@@ -1,0 +1,166 @@
+"""apply_changes — the per-micro-batch CDC pipeline.
+
+    events (one micro-batch of the binlog/WAL tail)
+      ├─ DDL events  → schema evolution on the lake table (ordinal order)
+      ├─ validation  → quarantine (never fatal; reference: ROWS_REJECTED)
+      ├─ LWW dedup   → one winner row per key (partial-agg, skew-proof)
+      └─ MERGE       → bucket-pruned copy-on-write, epoch-idempotent
+    + one lineage row per epoch (reference: per-run Statistics,
+      app/jvm/core/.../sources/Statistics.scala:17-25)
+
+Called either directly (batch replay) or from foreachBatch (streaming).
+Exactly-once: the merge commit is epoch-keyed, the lineage/quarantine
+writes are epoch-partitioned overwrites — re-delivery of a whole batch
+after crash-before-checkpoint converges to the same state.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qwery_spark.cdc.dedup import lww_dedup
+from qwery_spark.cdc.validate import REASON_COL, with_reject_reason
+from qwery_spark.lake.merge import MergeStats, merge_changes
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.schema import VOCAB_SIZE
+
+
+@dataclass
+class ApplyResult:
+    epoch_id: int | None
+    rows_in: int = 0
+    rows_rejected: int = 0
+    ddl_applied: int = 0
+    ordinal_min: int | None = None
+    ordinal_max: int | None = None
+    wall_ms: int = 0
+    merge: MergeStats = field(default_factory=MergeStats)
+
+
+def apply_ddl(table: LakeTable, spec: dict) -> bool:
+    """Apply one DDL change event. Idempotent: re-delivery of an already
+    applied DDL (crash between DDL and merge commit) is a silent no-op."""
+    action = spec.get("action")
+    cur = {f["name"]: f for f in table.snapshot().fields()}
+    if action == "add_column":
+        if spec["name"] in cur:
+            return False
+        table.add_column(spec["name"], spec["type"])
+        return True
+    if action == "rename_column":
+        if spec["from"] not in cur:
+            return False  # already renamed (or never existed)
+        table.rename_column(spec["from"], spec["to"])
+        return True
+    if action == "widen_type":
+        if spec["name"] in cur and cur[spec["name"]]["type"] == spec["type"]:
+            return False
+        table.widen_type(spec["name"], spec["type"])
+        return True
+    raise ValueError(f"unknown DDL action: {spec}")
+
+
+def apply_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    validation: str = "builtin",
+    vocab: int = VOCAB_SIZE,
+    quarantine_dir: str | None = None,
+    lineage_dir: str | None = None,
+    collect_stats: bool = True,
+) -> ApplyResult:
+    """Apply one micro-batch of ordered change events to the table."""
+    t0 = time.monotonic()
+    res = ApplyResult(epoch_id=epoch_id)
+
+    # idempotency fast path: whole batch already committed
+    snap = table.snapshot()
+    if epoch_id is not None and epoch_id in snap.applied_epochs:
+        res.merge = MergeStats(skipped=True, snapshot_version=snap.version,
+                               snapshot_id=snap.snapshot_id)
+        res.wall_ms = int((time.monotonic() - t0) * 1000)
+        return res
+
+    # ---- DDL events: rare; collected to the driver, applied in order ----
+    ddl_rows = (
+        events.filter(F.col("op") == "DDL")
+        .select("ordinal", "ddl")
+        .orderBy("ordinal")
+        .collect()
+    )
+    for r in ddl_rows:
+        if r["ddl"] and apply_ddl(table, json.loads(r["ddl"])):
+            res.ddl_applied += 1
+
+    data = events.filter(F.col("op") != "DDL")
+    annotated = with_reject_reason(data, mode=validation, vocab=vocab)
+
+    if collect_stats:
+        agg = annotated.agg(
+            F.count("*").alias("n"),
+            F.count(REASON_COL).alias("rej"),
+            F.min("ordinal").alias("omin"),
+            F.max("ordinal").alias("omax"),
+        ).collect()[0]
+        res.rows_in = int(agg["n"]) + len(ddl_rows)
+        res.rows_rejected = int(agg["rej"])
+        res.ordinal_min = agg["omin"]
+        res.ordinal_max = agg["omax"]
+
+    if quarantine_dir is not None:
+        rejected = annotated.filter(F.col(REASON_COL).isNotNull()).withColumn(
+            "epoch_id", F.lit(epoch_id if epoch_id is not None else -1).cast("bigint")
+        )
+        # epoch-scoped overwrite => idempotent under re-delivery
+        epoch_path = os.path.join(quarantine_dir, f"epoch={epoch_id if epoch_id is not None else 'batch'}")
+        rejected.write.mode("overwrite").parquet(epoch_path)
+
+    valid = annotated.filter(F.col(REASON_COL).isNull()).drop(REASON_COL, "ddl")
+    deduped = lww_dedup(valid, key="doc_id", ordinal="ordinal")
+    res.merge = merge_changes(
+        spark, table, deduped, epoch_id=epoch_id, collect_stats=collect_stats
+    )
+
+    res.wall_ms = int((time.monotonic() - t0) * 1000)
+    if lineage_dir is not None:
+        _write_lineage(spark, lineage_dir, res)
+    return res
+
+
+def _write_lineage(spark: SparkSession, lineage_dir: str, res: ApplyResult) -> None:
+    from qwery_spark.schema import LINEAGE_SCHEMA
+
+    row = [
+        (
+            int(res.epoch_id if res.epoch_id is not None else -1),
+            res.ordinal_min,
+            res.ordinal_max,
+            int(res.rows_in),
+            int(res.rows_rejected),
+            int(res.merge.rows_upserted),
+            int(res.merge.rows_deleted),
+            int(res.ddl_applied),
+            res.merge.snapshot_id,
+            int(res.wall_ms),
+            datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        )
+    ]
+    df = spark.createDataFrame(row, LINEAGE_SCHEMA)
+    epoch_path = os.path.join(lineage_dir, f"epoch={res.epoch_id if res.epoch_id is not None else 'batch'}")
+    df.coalesce(1).write.mode("overwrite").parquet(epoch_path)
+
+
+def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    # epoch=N dirs are hive-style partitions; drop the inferred dir column
+    # (epoch_id is stored inside the rows with a proper type).
+    df = spark.read.option("basePath", lineage_dir).parquet(lineage_dir)
+    return df.drop("epoch")

@@ -1,0 +1,211 @@
+"""Bucket-pruned copy-on-write MERGE (the engine's UPSERT KEYED ON).
+
+Set-oriented restatement of qwery's row-at-a-time UPSERT
+(reference: app/jvm/core/.../ops/sql/Upsert.scala:14-33 — INSERT, and on
+duplicate-key error UPDATE ... KEYED ON, i.e. last writer in stream
+order wins). Here a whole micro-batch is applied at once:
+
+  MERGE INTO target t USING deduped_batch s ON t.doc_id = s.doc_id
+    WHEN MATCHED AND s.ordinal > t.last_ordinal AND s.op='D'
+         THEN tombstone
+    WHEN MATCHED AND s.ordinal > t.last_ordinal THEN UPDATE payload
+    WHEN NOT MATCHED THEN INSERT (or tombstone for a delete of an
+         unseen key — keeps the cross-batch LWW guard airtight)
+
+Scale properties:
+  * the batch arrives deduped to ONE row per key (see cdc.dedup), so
+    both join sides are key-unique — no skew possible in this join.
+  * scan pruning: only the buckets the batch touches are read and
+    rewritten; untouched buckets carry over by manifest reference.
+    At 100 TB / 4096 buckets, a batch touching 1% of keyspace rewrites
+    ~41 buckets, not the table.
+  * stale events (ordinal <= last_ordinal) are dropped by the guard —
+    cross-batch stragglers cannot clobber newer rows, and tombstones
+    block resurrection after delete.
+  * exactly-once: the commit is epoch-keyed; re-delivery of a batch
+    after a crash-before-checkpoint is a metadata no-op.
+
+On a real cluster this file collapses to an Iceberg
+``MERGE INTO ... WHEN MATCHED AND s.ordinal > t.last_ordinal ...``
+with storage-partitioned join removing the target-side shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qwery_spark.lake.table import DATA_DIR, LakeTable, Snapshot
+
+ENGINE_COLS = ("last_ordinal", "_deleted")
+
+
+@dataclass
+class MergeStats:
+    skipped: bool = False
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    rows_stale: int = 0
+    touched_buckets: int = 0
+    snapshot_version: int | None = None
+    snapshot_id: str | None = None
+    summary: dict = field(default_factory=dict)
+
+
+def _user_fields(snap: Snapshot) -> list[dict]:
+    return [f for f in snap.fields() if f["name"] not in ENGINE_COLS]
+
+
+def merge_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int | None = None,
+    collect_stats: bool = True,
+    max_records_per_file: int = 2_000_000,
+) -> MergeStats:
+    """Apply a key-unique change batch to the table.
+
+    ``batch`` contract: exactly one row per key (pre-deduped LWW winner)
+    with columns (doc_id, op in {'U','D'}, ordinal bigint, <user payload
+    columns>). Missing user columns (e.g. just added via DDL) null-fill.
+    """
+    snap = table.snapshot()
+    if epoch_id is not None and epoch_id in snap.applied_epochs:
+        return MergeStats(skipped=True, snapshot_version=snap.version, snapshot_id=snap.snapshot_id)
+
+    key = snap.m["key_col"]
+    ufields = _user_fields(snap)
+    payload_cols = [f["name"] for f in ufields if f["name"] != key]
+
+    # align batch to current user schema (null-fill newly added columns)
+    have = set(batch.columns)
+    sel = [F.col(key), F.col("op"), F.col("ordinal").cast("bigint").alias("ordinal")]
+    for f in ufields:
+        if f["name"] == key:
+            continue
+        if f["name"] in have:
+            sel.append(F.col(f"`{f['name']}`").cast(f["type"]).alias(f["name"]))
+        else:
+            sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+    src = batch.select(*sel).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+    )
+    src.persist()
+    try:
+        # touched-bucket set: bounded by n_buckets, safe to collect
+        touched = {r[0] for r in src.select("_bucket").distinct().collect()}
+        if not touched:
+            return MergeStats(skipped=True, snapshot_version=snap.version,
+                              snapshot_id=snap.snapshot_id)
+
+        tgt = table.read_physical(spark, buckets=touched)
+
+        s = src.alias("s")
+
+        apply_change = F.col("s.ordinal").isNotNull() & (
+            F.col("t.last_ordinal").isNull()
+            | (F.col("s.ordinal") > F.col("t.last_ordinal"))
+        )
+        is_delete = F.col("s.op") == F.lit("D")
+
+        out_cols = [F.coalesce(F.col(f"s.`{key}`"), F.col(f"t.`{key}`")).alias(key)]
+        for c in payload_cols:
+            out_cols.append(
+                F.when(apply_change & is_delete, F.lit(None).cast(dict((f["name"], f["type"]) for f in ufields)[c]))
+                .when(apply_change, F.col(f"s.`{c}`"))
+                .otherwise(F.col(f"t.`{c}`"))
+                .alias(c)
+            )
+        out_cols.append(
+            F.when(apply_change, F.col("s.ordinal"))
+            .otherwise(F.col("t.last_ordinal"))
+            .alias("last_ordinal")
+        )
+        out_cols.append(
+            F.when(apply_change, is_delete)
+            .otherwise(F.coalesce(F.col("t.`_deleted`"), F.lit(False)))
+            .alias("_deleted")
+        )
+        out_cols.append(F.coalesce(F.col("s.`_bucket`"), F.col("t.`_bucket`")).alias("_bucket"))
+
+        # target bucket derived on the fly (cheap; no shuffle added)
+        joined = tgt.withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+        ).alias("t").join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), "full_outer")
+        result = joined.select(*out_cols)
+
+        # ---- write new files for touched buckets (one task per bucket) ----
+        stage = f"snap-{uuid.uuid4().hex[:12]}"
+        stage_dir = os.path.join(table.path, DATA_DIR, stage)
+        (
+            result.repartition(max(len(touched), 1), "_bucket")
+            .write.option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("_bucket")
+            .parquet(stage_dir)
+        )
+        new_files = []
+        for bdir in os.listdir(stage_dir):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=")[1])
+            for fn in os.listdir(os.path.join(stage_dir, bdir)):
+                if fn.endswith(".parquet"):
+                    new_files.append(
+                        {
+                            "path": os.path.join(DATA_DIR, stage, bdir, fn),
+                            "bucket": b,
+                            "schema_version": snap.schema_version,
+                        }
+                    )
+
+        stats = MergeStats(touched_buckets=len(touched))
+        if collect_stats:
+            # skinny second pass: batch vs (key, last_ordinal) projection only
+            tslim = tgt.select(F.col(key).alias("_tk"), "last_ordinal")
+            agg = (
+                src.join(tslim, src[key] == tslim["_tk"], "left")
+                .select(
+                    F.when(
+                        F.col("last_ordinal").isNull()
+                        | (F.col("ordinal") > F.col("last_ordinal")),
+                        F.when(F.col("op") == "D", F.lit("del")).otherwise(F.lit("up")),
+                    )
+                    .otherwise(F.lit("stale"))
+                    .alias("act")
+                )
+                .groupBy("act")
+                .count()
+                .collect()
+            )
+            m = {r["act"]: r["count"] for r in agg}
+            stats.rows_upserted = int(m.get("up", 0))
+            stats.rows_deleted = int(m.get("del", 0))
+            stats.rows_stale = int(m.get("stale", 0))
+
+        newsnap = table.commit_rewrite(
+            base=snap,
+            new_files=new_files,
+            replaced_buckets=touched,
+            epoch_id=epoch_id,
+            summary={
+                "operation": "merge",
+                "epoch_id": epoch_id,
+                "touched_buckets": sorted(touched),
+                "rows_upserted": stats.rows_upserted,
+                "rows_deleted": stats.rows_deleted,
+                "rows_stale": stats.rows_stale,
+            },
+        )
+        if newsnap is None:  # epoch raced in since our check: no-op
+            return MergeStats(skipped=True)
+        stats.snapshot_version = newsnap.version
+        stats.snapshot_id = newsnap.snapshot_id
+        stats.summary = newsnap.m["summary"]
+        return stats
+    finally:
+        src.unpersist()

@@ -1,0 +1,341 @@
+"""Snapshot-versioned, bucket-partitioned lake table (Iceberg-shaped).
+
+The sandbox image ships no Iceberg/Delta jars, so the engine implements
+the storage contract it needs directly on parquet + JSON manifests. The
+design mirrors Iceberg 1:1 so the table layer can be swapped for a real
+Iceberg catalog on a cluster (see docstrings on each method):
+
+  * every commit writes an immutable manifest ``_manifests/v{N}.json``
+    (atomic create-exclusive; single-writer driver) listing ALL live
+    data files -> snapshot isolation, time travel, O(1) rollback.
+  * data files live under ``data/snap-{N}/_bucket={B}/`` where
+    B = pmod(xxhash64(doc_id), n_buckets)  — Iceberg's hidden
+    ``bucket(N, doc_id)`` partition transform. MERGE prunes to the
+    buckets a batch touches and rewrites only those (copy-on-write).
+  * commits carry an ``epoch_id``; committing an epoch that any live
+    ancestor snapshot already applied is a no-op -> idempotent,
+    exactly-once foreachBatch sink (Iceberg analogue: snapshot summary
+    property checked before commit).
+  * schemas carry stable field ids; add/rename/widen produce a new
+    schema version. Old data files are aligned to the current schema
+    at read time by field id (rename = metadata-only, widen = cast on
+    read, add = null-fill) — exactly Iceberg's resolution rules.
+
+Reference semantics being served (SURVEY.md §2.10): qwery's
+UPSERT ... KEYED ON row-at-a-time insert-or-update
+(app/jvm/core/.../ops/sql/Upsert.scala:14-33) becomes a set-oriented
+MERGE in qwery_spark.lake.merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+# widenings permitted by widen_type (Iceberg-compatible set)
+_ALLOWED_WIDEN = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("float", "double"),
+    ("array<int>", "array<bigint>"),
+}
+
+
+def _type_of(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+class Snapshot:
+    """An immutable view of one committed manifest."""
+
+    def __init__(self, manifest: dict, table_path: str):
+        self.m = manifest
+        self.table_path = table_path
+
+    @property
+    def version(self) -> int:
+        return self.m["version"]
+
+    @property
+    def snapshot_id(self) -> str:
+        return self.m["snapshot_id"]
+
+    @property
+    def schema_version(self) -> int:
+        return self.m["schema_version"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.m["n_buckets"]
+
+    @property
+    def applied_epochs(self) -> set:
+        return set(self.m.get("applied_epochs", []))
+
+    def fields(self, schema_version: int | None = None) -> list[dict]:
+        sv = self.schema_version if schema_version is None else schema_version
+        return self.m["schemas"][str(sv)]
+
+    def files(self, buckets: set[int] | None = None) -> list[dict]:
+        fs = self.m["files"]
+        if buckets is None:
+            return fs
+        return [f for f in fs if f["bucket"] in buckets]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType.fromDDL(
+            ", ".join(f"`{f['name']}` {f['type']}" for f in self.fields())
+        )
+
+
+class LakeTable:
+    """A bucket-partitioned, snapshot-versioned table of keyed rows.
+
+    Physical rows always carry the engine columns ``last_ordinal`` and
+    ``_deleted`` in addition to the user schema; ``read()`` hides them.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ---------------- manifest plumbing ----------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            raise FileNotFoundError(f"not a lake table: {self.path}")
+        versions = [
+            int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no manifests in {mdir}")
+        return max(versions)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(self._manifest_path(v)) as fh:
+            return Snapshot(json.load(fh), self.path)
+
+    def _write_manifest(self, manifest: dict) -> Snapshot:
+        path = self._manifest_path(manifest["version"])
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        # create-exclusive commit: os.link fails if the target exists,
+        # giving atomic single-winner semantics (Iceberg: catalog CAS).
+        os.link(tmp, path)
+        os.unlink(tmp)
+        return Snapshot(manifest, self.path)
+
+    # ---------------- DDL ----------------
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key_col: str = "doc_id",
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is the USER schema; engine
+        columns are appended automatically. Partition spec is the hidden
+        transform bucket(n_buckets, key_col)."""
+        os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": _type_of(f.dataType)}
+            for i, f in enumerate(schema.fields)
+        ]
+        nxt = len(fields) + 1
+        fields.append({"id": nxt, "name": "last_ordinal", "type": "bigint"})
+        fields.append({"id": nxt + 1, "name": "_deleted", "type": "boolean"})
+        manifest = {
+            "version": 0,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent": None,
+            "epoch_id": None,
+            "applied_epochs": [],
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "schema_version": 0,
+            "schemas": {"0": fields},
+            "files": [],
+            "summary": {"operation": "create"},
+        }
+        t = cls(path)
+        t._write_manifest(manifest)
+        return t
+
+    # ---------------- reads ----------------
+    def _aligned_scan(
+        self, spark: SparkSession, snap: Snapshot, buckets: set[int] | None
+    ) -> DataFrame:
+        """Read live data files, aligning every historical schema version
+        to the current one by field id (rename: metadata-only; widen:
+        cast-on-read; added column: null-fill)."""
+        cur = snap.fields()
+        files = snap.files(buckets)
+        if not files:
+            empty = T.StructType.fromDDL(
+                ", ".join(f"`{f['name']}` {f['type']}" for f in cur)
+            )
+            return spark.createDataFrame([], empty)
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for sv, paths in sorted(by_sv.items()):
+            old = {f["id"]: f for f in snap.fields(sv)}
+            cols = []
+            for f in cur:
+                o = old.get(f["id"])
+                if o is None:
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                elif o["type"] != f["type"]:
+                    cols.append(F.col(f"`{o['name']}`").cast(f["type"]).alias(f["name"]))
+                elif o["name"] != f["name"]:
+                    cols.append(F.col(f"`{o['name']}`").alias(f["name"]))
+                else:
+                    cols.append(F.col(f"`{f['name']}`"))
+            parts.append(spark.read.parquet(*paths).select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def read_physical(
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        snapshot_version: int | None = None,
+    ) -> DataFrame:
+        """All physical rows (tombstones + engine columns included),
+        optionally pruned to a bucket subset (the MERGE fast path)."""
+        snap = self.snapshot(snapshot_version)
+        return self._aligned_scan(spark, snap, buckets)
+
+    def read(self, spark: SparkSession, snapshot_version: int | None = None) -> DataFrame:
+        """Public read: live rows only, user columns only."""
+        snap = self.snapshot(snapshot_version)
+        df = self._aligned_scan(spark, snap, None)
+        user_cols = [f["name"] for f in snap.fields() if f["name"] not in ("_deleted",)]
+        user_cols = [c for c in user_cols if c != "last_ordinal"]
+        return df.filter(~F.col("_deleted")).select(*[f"`{c}`" for c in user_cols])
+
+    # ---------------- commit ----------------
+    def bucket_expr(self, col: str | None = None):
+        snap = self.snapshot()
+        key = col or snap.m["key_col"]
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+
+    def commit_rewrite(
+        self,
+        base: Snapshot,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        epoch_id: int | None,
+        summary: dict | None = None,
+        new_schema: tuple[int, dict] | None = None,
+    ) -> Snapshot | None:
+        """Commit a copy-on-write rewrite of ``replaced_buckets``.
+
+        Returns the new Snapshot, or None if ``epoch_id`` was already
+        applied by a live snapshot (idempotent re-delivery no-op).
+        Optimistic concurrency: the commit asserts the table version has
+        not moved since ``base`` (single-writer in this sandbox; on a
+        real catalog this is the CAS retry loop).
+        """
+        latest = self.snapshot()
+        if epoch_id is not None and epoch_id in latest.applied_epochs:
+            return None
+        if latest.version != base.version:
+            raise RuntimeError(
+                f"concurrent commit: base v{base.version} != latest v{latest.version}"
+            )
+        kept = [f for f in latest.files() if f["bucket"] not in replaced_buckets]
+        manifest = dict(latest.m)
+        manifest["version"] = latest.version + 1
+        manifest["parent"] = latest.snapshot_id
+        manifest["snapshot_id"] = uuid.uuid4().hex
+        manifest["epoch_id"] = epoch_id
+        manifest["applied_epochs"] = sorted(
+            latest.applied_epochs | ({epoch_id} if epoch_id is not None else set())
+        )
+        manifest["files"] = kept + new_files
+        manifest["summary"] = summary or {}
+        if new_schema is not None:
+            sv, fields = new_schema
+            manifest["schema_version"] = sv
+            schemas = dict(manifest["schemas"])
+            schemas[str(sv)] = fields
+            manifest["schemas"] = schemas
+        return self._write_manifest(manifest)
+
+    def commit_schema_change(self, fields: list[dict], summary: dict) -> Snapshot:
+        """Metadata-only commit: new schema version, files untouched."""
+        latest = self.snapshot()
+        manifest = dict(latest.m)
+        manifest["version"] = latest.version + 1
+        manifest["parent"] = latest.snapshot_id
+        manifest["snapshot_id"] = uuid.uuid4().hex
+        manifest["epoch_id"] = None
+        sv = latest.schema_version + 1
+        manifest["schema_version"] = sv
+        schemas = dict(manifest["schemas"])
+        schemas[str(sv)] = fields
+        manifest["schemas"] = schemas
+        manifest["summary"] = summary
+        return self._write_manifest(manifest)
+
+    # ---------------- schema evolution (Iceberg UpdateSchema API shape) --
+    def add_column(self, name: str, type_ddl: str) -> Snapshot:
+        latest = self.snapshot()
+        fields = [dict(f) for f in latest.fields()]
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column exists: {name}")
+        next_id = max(f["id"] for f in fields) + 1
+        # engine columns stay last for readability (not semantically needed)
+        eng = [f for f in fields if f["name"] in ("last_ordinal", "_deleted")]
+        usr = [f for f in fields if f["name"] not in ("last_ordinal", "_deleted")]
+        usr.append({"id": next_id, "name": name, "type": type_ddl})
+        return self.commit_schema_change(
+            usr + eng, {"operation": "add_column", "name": name, "type": type_ddl}
+        )
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        latest = self.snapshot()
+        fields = [dict(f) for f in latest.fields()]
+        if not any(f["name"] == old for f in fields):
+            raise ValueError(f"no such column: {old}")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column exists: {new}")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        return self.commit_schema_change(
+            fields, {"operation": "rename_column", "from": old, "to": new}
+        )
+
+    def widen_type(self, name: str, new_type: str) -> Snapshot:
+        latest = self.snapshot()
+        fields = [dict(f) for f in latest.fields()]
+        tgt = next((f for f in fields if f["name"] == name), None)
+        if tgt is None:
+            raise ValueError(f"no such column: {name}")
+        if tgt["type"] != new_type and (tgt["type"], new_type) not in _ALLOWED_WIDEN:
+            raise ValueError(f"illegal widen {tgt['type']} -> {new_type}")
+        tgt["type"] = new_type
+        return self.commit_schema_change(
+            fields, {"operation": "widen_type", "name": name, "type": new_type}
+        )
