@@ -1,0 +1,106 @@
+"""Structured Streaming wrapper: WAL-tail -> foreachBatch(apply_changes).
+
+Reference analogue: qwery's Kafka tail + offset seek/replay
+(app/jvm/core/.../devices/KafkaInputDevice.scala:49-73 — buffered poll
+with per-record offsets, seek/rewind/fastForward) and the continuous
+ingestion daemon (etl:events/KafkaMessageStream.scala:25-38). Here the
+ordered event log is any Structured-Streaming source; the sandbox uses
+the file source over chunked parquet (one file per micro-batch, lexical
+name order == ordinal order). On a real cluster the same code points at
+``format("kafka")`` with ``startingOffsets`` — nothing downstream of
+``readStream`` changes.
+
+Exactly-once contract (two independent layers):
+  1. Spark's checkpoint replays an uncommitted micro-batch after a
+     crash (at-least-once delivery into foreachBatch).
+  2. apply_changes' epoch-keyed lake commit turns the replay into a
+     no-op (idempotent sink) -> end-to-end exactly-once.
+
+Resume: restart with the same checkpointLocation; Spark skips batches
+whose offsets are committed and continues the epoch counter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from qwery_spark.cdc.apply import ApplyResult, apply_changes
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.schema import EVENT_SCHEMA
+
+
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int = 1,
+    source_format: str = "parquet",
+    kafka_options: dict | None = None,
+) -> DataFrame:
+    """An unbounded DataFrame of change events.
+
+    file mode: chunk files named so lexical order == ordinal order
+    (datagen.write_event_chunks); latestFirst stays False so delivery
+    respects the WAL order batch-to-batch.
+    kafka mode (cluster): value parsed elsewhere; needs kafka jars.
+    """
+    if source_format == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        return reader.load()
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+@dataclass
+class StreamRun:
+    query: StreamingQuery
+    results: list[ApplyResult] = field(default_factory=list)
+
+
+def run_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    lineage_dir: str | None = None,
+    quarantine_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    validation: str = "builtin",
+    collect_stats: bool = True,
+) -> StreamRun:
+    """Start the CDC ingest stream. With available_now=True the query
+    drains everything currently in events_dir and stops (the pattern for
+    scheduled/triggered runs — reference: ScheduledEvent daily runs,
+    etl:events/ScheduledEvent.scala:25-47); otherwise it runs
+    continuously per trigger."""
+    events = stream_events(spark, events_dir, max_files_per_trigger)
+    run = StreamRun(query=None)  # populated below
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        res = apply_changes(
+            spark,
+            table,
+            df,
+            epoch_id=epoch_id,
+            validation=validation,
+            quarantine_dir=quarantine_dir,
+            lineage_dir=lineage_dir,
+            collect_stats=collect_stats,
+        )
+        run.results.append(res)
+
+    writer = events.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    run.query = writer.start()
+    return run
