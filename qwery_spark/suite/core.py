@@ -1,0 +1,459 @@
+"""Relational operator coverage (SURVEY.md §2.2-2.8) on the TPC-H-ish
+testdata tables. Each query is idiomatic DataFrame API — Catalyst gets
+the declarative plan (pushdown, pruning, join selection run free) —
+with an equivalent DuckDB oracle.
+
+Scale notes are attached per query: which joins broadcast, where the
+shuffles are, why the plan survives 100x data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qwery_spark.suite import load, register
+
+
+# --- aggregation (reference §2.4: global + grouped agg) ----------------
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan -> partial agg -> final agg. One shuffle on "
+    "2 low-cardinality keys; map-side combine reduces 100TB to KBs.",
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- joins (reference §2.3 — only nested-loop inner join existed; we do
+# the full broadcast/shuffle-hash family) --------------------------------
+@register(
+    "q03_segment_revenue",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 1000
+    """,
+    doc="3-way join + agg + HAVING. customer filter broadcast into orders; "
+    "orders->lineitem shuffles on orderkey (co-partitioned at scale via "
+    "bucketing on orderkey).",
+)
+def q03_segment_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(o.o_orderkey.alias("orderkey"))
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .filter(F.col("revenue") > 1000)
+    )
+
+
+@register(
+    "q05_nation_revenue",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="5-way star join. nation/region/customer broadcast (dims); the one "
+    "real shuffle is lineitem->orders on orderkey.",
+)
+def q05_nation_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    doc="Pure scan+filter+global agg: all predicates push to the parquet "
+    "reader (PushedFilters), zero shuffle.",
+)
+def q06_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- projection / filter / CASE / CAST / LIKE (reference §2.2) ---------
+@register(
+    "q_filter_case_cast",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CASE WHEN l_returnflag = 'R' THEN 'returned'
+                WHEN l_tax > 0.05 THEN 'taxed' ELSE 'ok' END AS status,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_linestatus LIKE 'F%' AND l_quantity >= 30
+    """,
+    doc="SELECT-list projection with searched CASE (reference Case.scala), "
+    "CAST (Cast.scala, sane non-lenient), LIKE (correct SQL semantics vs "
+    "the reference's unescaped-regex translate, Condition.scala:31-38).",
+)
+def q_filter_case_cast(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linestatus").like("F%") & (F.col("l_quantity") >= 30)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_tax") > 0.05, "taxed")
+        .otherwise("ok")
+        .alias("status"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+# --- sort / limit / top-k (reference §2.6: ORDER BY parsed-not-executed;
+# we implement it for real, with deterministic tiebreaks) ----------------
+@register(
+    "q_top10_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Top-K: Spark's TakeOrderedAndProject — per-partition heap + driver "
+    "merge, no global sort even at 10^10 rows.",
+)
+def q_top10_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+        .limit(10)
+    )
+
+
+# --- window functions (§2.5 — absent in reference; core to our CDC) ----
+@register(
+    "q_window_top3_per_cust",
+    """
+    SELECT custkey, orderkey, rn FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Top-N per group via ranking window — the same shape as the CDC "
+    "LWW dedup (row_number over ordinal desc).",
+)
+def q_window_top3_per_cust(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"), "rn"
+        )
+    )
+
+
+@register(
+    "q_window_running_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events WHERE user_id < 10
+    """,
+    doc="Frame-spec window (running total) — event-stream sessionization "
+    "building block.",
+)
+def q_window_running_sum(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+# --- set ops (§2.7: reference UNION = UNION ALL only) -------------------
+@register(
+    "q_union_all",
+    """
+    SELECT kind, count(*) AS n FROM (
+      SELECT 'high_bal' AS kind FROM customer WHERE c_acctbal > 7000
+      UNION ALL
+      SELECT 'big_supp' AS kind FROM supplier WHERE s_acctbal > 7000
+    ) u GROUP BY kind
+    """,
+    doc="UNION ALL (iterator-concat semantics of reference Union.scala) + "
+    "a grouped count to make the result stable.",
+)
+def q_union_all(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000).select(
+        F.lit("high_bal").alias("kind")
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 7000).select(
+        F.lit("big_supp").alias("kind")
+    )
+    return c.unionAll(s).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_intersect_except",
+    """
+    SELECT 'both' AS which, count(*) AS n FROM (
+      SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS which, count(*) AS n FROM (
+      SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    doc="INTERSECT/EXCEPT — absent in the reference (§2.7), built-in here.",
+)
+def q_intersect_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_nationkey")
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    both = c.intersect(s).agg(F.count("*").alias("n")).select(F.lit("both").alias("which"), "n")
+    only = c.subtract(s).agg(F.count("*").alias("n")).select(
+        F.lit("cust_only").alias("which"), "n"
+    )
+    return both.unionAll(only)
+
+
+# --- distinct / semi / anti (absent in reference; §2.3/§2.4) ------------
+@register(
+    "q_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT = groupBy under the hood; partial-agg dedup before shuffle.",
+)
+def q_distinct(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join (customers without orders). Broadcast-able when the "
+    "right side's distinct keys are small.",
+)
+def q_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 50000)
+    """,
+    doc="Semi join with pushed predicate on the probe side.",
+)
+def q_semi_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# --- scalar functions (reference §2.8 table) ----------------------------
+@register(
+    "q_scalar_strings",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_left8,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           trim(concat(' ', c_mktsegment, ' ')) AS seg_trim
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="Scalar string surface: LEN/TRIM/LEFT/CONCAT/PADLEFT per reference "
+    "builtins (Len.scala, Trim.scala, Left.scala, Concat.scala, "
+    "PadLeft.scala) — Spark builtins, whole-stage codegen.",
+)
+def q_scalar_strings(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_left8"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@register(
+    "q_scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(pow(1 + l_tax, 2), 6) AS tax_sq,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+    doc="Math builtins: SQRT/POW/SIGN (reference Sqrt.scala, Pow.scala, "
+    "Sign.scala).",
+)
+def q_scalar_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS month_total
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="DATE_FORMAT/DATE_PARSE surface (reference DateFormat.scala, "
+    "DateParse.scala) as date_format + grouped rollup by month.",
+)
+def q_date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("month_total"),
+        )
+    )
+
+
+@register(
+    "q_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           round(avg(CASE WHEN o_totalprice > 10000 THEN o_totalprice END), 4) AS avg_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot-style conditional aggregation (sum-of-CASE).",
+)
+def q_conditional_agg(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.round(
+            F.avg(F.when(F.col("o_totalprice") > 10000, F.col("o_totalprice"))), 4
+        ).alias("avg_big"),
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets — beyond the reference's single-key GROUP BY "
+    "(Select.scala:75-76 groups on only the first key).",
+)
+def q_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )

@@ -1,0 +1,106 @@
+"""Full-engine replay entry: derives a deterministic change stream FROM
+the driver's `events` table (so the DuckDB oracle can mirror it in pure
+SQL), replays it through the REAL pipeline — LakeTable + validation +
+quarantine + LWW dedup + bucket-pruned MERGE, in 4 micro-batches — and
+returns the final table state.
+
+This puts the engine itself (not just its operators) on the driver's
+correctness gate.
+
+Mapping (all SQL-expressible):
+  ordinal = event_id, doc_id = str(user_id),
+  op      = 'D' when event_type='error' else 'U',
+  tokens  = [ (event_id*31 + i) % VOCAB for i in 0..(event_id % 5) ],
+  n_tok   = len(tokens) + 1 when event_id % 997 == 0 (seeded violation
+            -> engine must quarantine; oracle simply excludes the event)
+  source  = event_type
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from qwery_spark.cdc.apply import apply_changes
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.schema import TARGET_SCHEMA, VOCAB_SIZE
+from qwery_spark.suite import load, register
+
+_N_BATCHES = 4
+
+
+def _derived_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    tokens = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 5).cast("int")),
+        lambda i: ((F.col("event_id") * 31 + i) % VOCAB_SIZE).cast("int"),
+    )
+    is_del = F.col("event_type") == "error"
+    violation = (F.col("event_id") % 997 == 0) & ~is_del
+    return ev.select(
+        F.col("event_id").alias("ordinal"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int"))
+        .otherwise((F.size(tokens) + F.when(violation, 1).otherwise(0)).cast("int"))
+        .alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+
+
+@register(
+    "cdc_engine_replay",
+    """
+    WITH replay AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+      WHERE NOT (event_id % 997 = 0 AND event_type <> 'error')  -- quarantined
+    )
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CAST((event_id % 5) + 1 AS INTEGER) AS n_tok,
+           event_type AS source,
+           md5(array_to_string(list_transform(range(0, CAST(event_id % 5 AS INTEGER) + 1),
+               i -> (event_id * 31 + i) % 50257), ',')) AS tokens_md5
+    FROM replay
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="THE engine end-to-end: 4-micro-batch replay into a fresh lake "
+    "table (validation+quarantine -> LWW dedup -> epoch-keyed MERGE with "
+    "tombstones), final state vs a pure-SQL LWW oracle. Token arrays "
+    "verified via md5(join(tokens)).",
+)
+def cdc_engine_replay(spark, sf_dir):
+    events = _derived_events(spark, sf_dir)
+    # stable ordinal-range batching (any batching is semantically safe —
+    # stragglers are guarded — but ranges keep the run deterministic)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+
+    d = tempfile.mkdtemp(prefix="qwery_engine_replay_")
+    try:
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16)
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+        out = (
+            tbl.read(spark)
+            .select(
+                "doc_id",
+                "n_tok",
+                "source",
+                F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
+                .alias("tokens_md5"),
+            )
+            .toPandas()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(out)

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic stub (documented NotImplementedError escape hatch for
+real codecs) — but the Spark-side plumbing is real and tested: binary
+columns, Arrow-batched mapInPandas with explicit output schema,
+partition-sized batches, metadata extraction.
+
+Binary payloads are synthesized from documents.text (utf-8 encode), so
+the byte-level results are oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from qwery_spark.suite import load, register
+
+MM_OUT_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, content_md5 string, "
+    "feat_dim int, decode_status string"
+)
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Stub decoder. Real deployments plug PIL/librosa/av here; the
+    container ships none of them, so decoding raises — callers must
+    treat 'unsupported' as a quarantine-style status, never a crash."""
+    raise NotImplementedError(f"no codec for {media_type} in this environment")
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow-batched, vectorized per batch (bulk
+    byte-length via pandas str ops; md5 per element is C-speed hashlib)."""
+    for pdf in batches:
+        payload = pdf["payload"]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": payload.map(len).astype("int32"),
+                "content_md5": payload.map(lambda b: hashlib.md5(b).hexdigest()),
+                "feat_dim": pd.Series([0] * len(pdf), dtype="int32"),
+                "decode_status": "unsupported",  # decode_media() stubbed
+            }
+        )
+        yield out
+
+
+@register(
+    "mm_binary_features",
+    """
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_md5,
+           0 AS feat_dim,
+           'unsupported' AS decode_status
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary column -> mapInPandas (Arrow batches) "
+    "-> typed feature row. Decode itself is stubbed (no codecs in image); "
+    "byte metadata is real and oracle-checked.",
+)
+def mm_binary_features(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = d.mapInPandas(_extract_batches, schema=MM_OUT_SCHEMA)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "content_md5",
+        F.col("feat_dim").cast("int").alias("feat_dim"),
+        "decode_status",
+    )
+
+
+@register(
+    "mm_metadata_rollup",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(CAST(text AS BLOB))) AS INTEGER) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+    doc="Typed-metadata rollup over binary payload sizes per source shard.",
+)
+def mm_metadata_rollup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.octet_length(F.encode("text", "UTF-8")).alias("nb")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("total_bytes"),
+        F.max("nb").cast("int").alias("max_bytes"),
+    )
