@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from qwery_spark.cdc.dedup import lww_dedup
 from qwery_spark.cdc.validate import REASON_COL, with_reject_reason
-from qwery_spark.lake.merge import MergeStats, merge_changes
+from qwery_spark.lake.merge import MergeStats, append_changes, merge_changes
 from qwery_spark.lake.table import LakeTable
 from qwery_spark.schema import VOCAB_SIZE
 
@@ -77,8 +77,12 @@ def apply_changes(
     quarantine_dir: str | None = None,
     lineage_dir: str | None = None,
     collect_stats: bool = True,
+    scan_ddl: bool = True,
 ) -> ApplyResult:
-    """Apply one micro-batch of ordered change events to the table."""
+    """Apply one micro-batch of ordered change events to the table.
+
+    scan_ddl=False skips the DDL-event scan job for streams known to
+    carry data-only events (one less fixed-latency job per batch)."""
     t0 = time.monotonic()
     res = ApplyResult(epoch_id=epoch_id)
 
@@ -91,16 +95,20 @@ def apply_changes(
         return res
 
     # ---- DDL events: rare; collected to the driver, applied in order ----
-    ddl_rows = (
-        events.filter(F.col("op") == "DDL")
-        .select("ordinal", "ddl")
-        .orderBy("ordinal")
-        .collect()
-    )
-    for r in ddl_rows:
-        if r["ddl"] and apply_ddl(table, json.loads(r["ddl"])):
-            res.ddl_applied += 1
+    ddl_rows = []
+    if scan_ddl and "ddl" in events.columns:
+        ddl_rows = (
+            events.filter(F.col("op") == "DDL")
+            .select("ordinal", "ddl")
+            .orderBy("ordinal")
+            .collect()
+        )
+        for r in ddl_rows:
+            if r["ddl"] and apply_ddl(table, json.loads(r["ddl"])):
+                res.ddl_applied += 1
 
+    # the filter is lazy (fused into the next job) — only the collect
+    # above costs a job, so the DDL guard stays on unconditionally
     data = events.filter(F.col("op") != "DDL")
     annotated = with_reject_reason(data, mode=validation, vocab=vocab)
 
@@ -124,11 +132,20 @@ def apply_changes(
         epoch_path = os.path.join(quarantine_dir, f"epoch={epoch_id if epoch_id is not None else 'batch'}")
         rejected.write.mode("overwrite").parquet(epoch_path)
 
-    valid = annotated.filter(F.col(REASON_COL).isNull()).drop(REASON_COL, "ddl")
-    deduped = lww_dedup(valid, key="doc_id", ordinal="ordinal")
-    res.merge = merge_changes(
-        spark, table, deduped, epoch_id=epoch_id, collect_stats=collect_stats
-    )
+    drop_cols = [REASON_COL] + (["ddl"] if "ddl" in events.columns else [])
+    valid = annotated.filter(F.col(REASON_COL).isNull()).drop(*drop_cols)
+    # write-mode dispatch (table property, Iceberg write.merge.mode style):
+    # cow = bucket-pruned rewrite MERGE over pre-deduped winners;
+    # mor = O(batch) delta append (dedup fused into its single shuffle)
+    if table.snapshot().write_mode == "mor":
+        res.merge = append_changes(
+            spark, table, valid, epoch_id=epoch_id, collect_stats=collect_stats
+        )
+    else:
+        deduped = lww_dedup(valid, key="doc_id", ordinal="ordinal")
+        res.merge = merge_changes(
+            spark, table, deduped, epoch_id=epoch_id, collect_stats=collect_stats
+        )
 
     res.wall_ms = int((time.monotonic() - t0) * 1000)
     if lineage_dir is not None:

@@ -1,0 +1,335 @@
+"""qwery-style statement surface, compiled onto Catalyst.
+
+The reference implements a full SQL dialect with its own tokenizer,
+template-driven parser, and row-at-a-time interpreter
+(core:SQLLanguageParser.scala, core:QweryCompiler.scala). We keep the
+UX — file-path FROM clauses with WITH hints, SELECT ... INTO sinks,
+INSERT INTO/OVERWRITE, UPSERT KEYED ON, DECLARE/SET variables with
+{{var}} templating, CREATE VIEW/FUNCTION, SHOW/DESCRIBE — but the
+statement compiler is deliberately THIN: the SELECT core is handed to
+spark.sql() (Catalyst is the analyzer/optimizer/codegen the reference
+never had), sources resolve through qwery_spark.sources (scheme +
+extension + hint routing), and UPSERT routes into the lake MERGE.
+
+Statement inventory vs reference (SURVEY.md §2.10): SELECT(+INTO),
+INSERT INTO/OVERWRITE (SELECT and VALUES forms), UPSERT KEYED ON,
+DECLARE, SET (expression and scalar-subquery), CREATE [OR REPLACE]
+VIEW, CREATE [TEMPORARY] FUNCTION (SQL-bodied, native in Spark 4),
+SHOW VIEWS/VARIABLES/FUNCTIONS, DESCRIBE, and NATIVE SQL fallthrough.
+BEGIN...END blocks = the script itself (statements run sequentially).
+
+Deliberate divergences from reference quirks (SURVEY.md §7.0.6): LE is
+a real <=, ORDER BY executes, LIMIT applies to output rows, GROUP BY
+uses all keys, standard operator precedence.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qwery_spark.sources import read_source, write_sink
+
+_SOURCE_RE = re.compile(
+    r"\b(FROM|JOIN)\s+'([^']+)'(\s+WITH\s*\(([^()]*)\))?",
+    re.IGNORECASE,
+)
+_INTO_RE = re.compile(
+    r"\bINTO\s+'([^']+)'(\s+WITH\s*\(([^()]*)\))?",
+    re.IGNORECASE,
+)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split on ';' outside single-quoted strings."""
+    out, buf, in_q = [], [], False
+    for ch in text:
+        if ch == "'":
+            in_q = not in_q
+        if ch == ";" and not in_q:
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def parse_hints(raw: str | None) -> dict:
+    """'COLUMN HEADERS, DELIMITER |, FORMAT json' -> option dict."""
+    hints: dict = {}
+    if not raw:
+        return hints
+    # split on commas outside single quotes
+    parts, buf, in_q = [], [], False
+    for ch in raw:
+        if ch == "'":
+            in_q = not in_q
+        if ch == "," and not in_q:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for part in parts:
+        p = part.strip()
+        if not p:
+            continue
+        up = p.upper()
+        if up == "COLUMN HEADERS":
+            hints["headers"] = True
+        elif up == "NO HEADERS":
+            hints["headers"] = False
+        elif up == "AUTO DELIMITER":
+            hints["auto_delimiter"] = True
+        elif up == "INFER SCHEMA":
+            hints["infer_schema"] = True
+        elif up == "GZIP":
+            pass  # transparent in Spark
+        else:
+            m = re.match(r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH)\s+'?([^']*)'?$", p,
+                         re.IGNORECASE)
+            if not m:
+                raise ValueError(f"unknown hint: {p}")
+            k = m.group(1).upper()
+            v = m.group(2)
+            hints[{"DELIMITER": "delimiter", "FORMAT": "format",
+                   "FIXED WIDTH": "fixed_width", "JSON PATH": "json_path"}[k]] = v
+    return hints
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class ScriptEngine:
+    """Session state + statement dispatch. Reference analogue: Scope
+    (variables/views/functions, core:ops/Scope.scala:18-23) + the
+    CodeBlock sequential executor (core:ops/CodeBlock.scala)."""
+
+    def __init__(self, spark: SparkSession, import_env: bool = True):
+        self.spark = spark
+        self.variables: dict[str, object] = {}
+        self.views: list[str] = []
+        self.functions: list[str] = []
+        if import_env:
+            # reference imports env vars as env.* (core:ops/Scope.scala:219)
+            for k, v in os.environ.items():
+                self.variables[f"env.{k}"] = v
+
+    # ---------------- template + variable expansion ----------------
+    def expand(self, text: str) -> str:
+        """{{ var }} textual templating (core:sources/DataResource.scala:41
+        calls scope.expand) then @var -> SQL literal substitution."""
+
+        def tmpl(m):
+            name = m.group(1).strip()
+            if name not in self.variables:
+                raise KeyError(f"undefined template variable: {name}")
+            return str(self.variables[name])
+
+        text = re.sub(r"\{\{\s*([^}]+?)\s*\}\}", tmpl, text)
+
+        def var(m):
+            name = m.group(1)
+            if name not in self.variables:
+                raise KeyError(f"undefined variable: @{name}")
+            return _sql_literal(self.variables[name])
+
+        return re.sub(r"@([A-Za-z_][\w.]*)", var, text)
+
+    # ---------------- source rewriting ----------------
+    def _rewrite_sources(self, sql: str) -> str:
+        """Replace FROM/JOIN 'path' [WITH (...)] with generated temp views
+        loaded through the source registry."""
+
+        def repl(m):
+            kw, path, _, hints_raw = m.group(1), m.group(2), m.group(3), m.group(4)
+            df = read_source(self.spark, path, parse_hints(hints_raw))
+            view = f"src_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return _SOURCE_RE.sub(repl, sql)
+
+    def _compile_select(self, sql: str) -> DataFrame:
+        return self.spark.sql(self._rewrite_sources(sql))
+
+    # ---------------- statements ----------------
+    def execute(self, statement: str):
+        """Execute one statement; returns a DataFrame or a scalar/None."""
+        raw = statement.strip().rstrip(";").strip()
+        up_raw = raw.upper()
+
+        # DECLARE/SET bind the @name itself — expand only the RHS
+        if up_raw.startswith("DECLARE "):
+            m = re.match(r"DECLARE\s+@?([\w.]+)\s+(\w+)", raw, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"bad DECLARE: {raw}")
+            self.variables.setdefault(m.group(1), None)
+            return None
+
+        if up_raw.startswith("SET "):
+            m = re.match(r"SET\s+@?([\w.]+)\s*=\s*(.+)$", raw, re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise ValueError(f"bad SET: {raw}")
+            name, expr = m.group(1), self.expand(m.group(2).strip())
+            if expr.startswith("(") and re.search(r"^\(\s*SELECT\b", expr, re.IGNORECASE):
+                # scalar subquery: first row, first column
+                # (core:ops/Executable.scala:29-34 toExpression)
+                df = self._compile_select(expr[1:-1])
+                row = df.first()
+                self.variables[name] = None if row is None else row[0]
+            else:
+                self.variables[name] = self.spark.sql(f"SELECT {expr}").first()[0]
+            return self.variables[name]
+
+        stmt = self.expand(raw)
+        up = stmt.upper()
+
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", up):
+            m = re.match(
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            name, body = m.group(1), m.group(2)
+            self._compile_select(body).createOrReplaceTempView(name)
+            self.views.append(name)
+            return None
+
+        if re.match(r"CREATE\s+(TEMPORARY\s+)?FUNCTION\b", up):
+            # Spark 4 SQL-bodied UDFs natively cover the reference's
+            # CREATE FUNCTION (core:ops/Function.scala); force session scope
+            body = re.sub(
+                r"^CREATE\s+FUNCTION", "CREATE TEMPORARY FUNCTION", stmt, flags=re.IGNORECASE
+            )
+            self.spark.sql(body)
+            m = re.match(r"CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(\w+)", stmt, re.IGNORECASE)
+            self.functions.append(m.group(1))
+            return None
+
+        if up.startswith("SHOW "):
+            what = up.split()[1]
+            if what == "VIEWS":
+                return self.spark.sql("SHOW VIEWS")
+            if what == "VARIABLES":
+                rows = [(k, str(v)) for k, v in sorted(self.variables.items())
+                        if not k.startswith("env.")]
+                return self.spark.createDataFrame(rows or [("", "")], "name string, value string")
+            if what == "FUNCTIONS":
+                rows = [(f,) for f in self.functions]
+                return self.spark.createDataFrame(rows or [("",)], "name string")
+            raise ValueError(f"unknown SHOW target: {what}")
+
+        if up.startswith("DESCRIBE "):
+            target = stmt[len("DESCRIBE "):].strip()
+            if target.startswith("'"):
+                df = read_source(self.spark, target.strip("'"), {})
+            else:
+                df = self.spark.table(target)
+            rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            return self.spark.createDataFrame(rows, "column string, type string")
+
+        if up.startswith("INSERT "):
+            return self._insert(stmt)
+
+        if up.startswith("UPSERT "):
+            return self._upsert(stmt)
+
+        if up.startswith("SELECT") or up.startswith("WITH"):
+            into = _INTO_RE.search(stmt)
+            if into:
+                target, hints = into.group(1), parse_hints(into.group(3))
+                body = _INTO_RE.sub("", stmt)
+                df = self._compile_select(body)
+                n = write_sink(df, target, hints, mode="overwrite")
+                return self.spark.createDataFrame(
+                    [(n, 0)], "ROWS_INSERTED long, ROWS_REJECTED long"
+                )
+            return self._compile_select(stmt)
+
+        # NATIVE SQL fallthrough (core:ops/sql/NativeSQL.scala)
+        return self.spark.sql(self._rewrite_sources(stmt))
+
+    def _insert(self, stmt: str):
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+'([^']+)'(\s+WITH\s*\(([^()]*)\))?"
+            r"(\s*\(([^()]*)\))?\s+(SELECT|WITH|VALUES)(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"bad INSERT: {stmt}")
+        mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
+        target, hints = m.group(2), parse_hints(m.group(4))
+        cols = [c.strip() for c in (m.group(6) or "").split(",") if c.strip()]
+        kw, rest = m.group(7).upper(), m.group(8)
+        if kw == "VALUES":
+            df = self.spark.sql(f"SELECT * FROM VALUES {rest}")
+        else:
+            df = self._compile_select(f"{kw}{rest}")
+        if cols:
+            # positional rebind, as the reference does
+            # (core:ops/sql/Insert.scala:19 fields zip row.columns)
+            df = df.toDF(*cols)
+        n = write_sink(df, target, hints, mode=mode)
+        return self.spark.createDataFrame([(n, 0)], "ROWS_INSERTED long, ROWS_REJECTED long")
+
+    def _upsert(self, stmt: str):
+        """UPSERT INTO LAKE 'path' KEYED ON key [ORDINAL col] <select>.
+
+        Routes to the lake MERGE/append (reference: UPSERT ... KEYED ON,
+        core:ops/sql/Upsert.scala:14-33 — stream-order last-writer-wins,
+        here made explicit via the ordinal column)."""
+        from pyspark.sql import functions as F
+
+        from qwery_spark.cdc.dedup import lww_dedup
+        from qwery_spark.lake.merge import append_changes, merge_changes
+        from qwery_spark.lake.table import LakeTable
+
+        m = re.match(
+            r"UPSERT\s+INTO\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
+            r"(?:\s+ORDINAL\s+(\w+))?\s+(SELECT|WITH)(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"bad UPSERT: {stmt}")
+        path, key, ordinal, kw, rest = m.groups()
+        df = self._compile_select(f"{kw}{rest}")
+        if ordinal and ordinal != "ordinal":
+            df = df.withColumnRenamed(ordinal, "ordinal")
+        if "ordinal" not in df.columns:
+            raise ValueError("UPSERT requires an ordinal column (LSN) for LWW ordering")
+        if "op" not in df.columns:
+            df = df.withColumn("op", F.lit("U"))
+        if key != "doc_id":
+            df = df.withColumnRenamed(key, "doc_id")
+        tbl = LakeTable(path)
+        if tbl.snapshot().write_mode == "mor":
+            stats = append_changes(self.spark, tbl, df)
+        else:
+            stats = merge_changes(self.spark, tbl, lww_dedup(df))
+        return self.spark.createDataFrame(
+            [(stats.rows_upserted, stats.rows_deleted, stats.rows_stale)],
+            "ROWS_UPSERTED long, ROWS_DELETED long, ROWS_STALE long",
+        )
+
+    def run_script(self, script: str) -> list:
+        """Sequential multi-statement execution (BEGIN..END semantics,
+        core:ops/CodeBlock.scala: result of the last statement)."""
+        return [self.execute(s) for s in split_statements(script)]

@@ -176,7 +176,9 @@ def _splice_ddl(tbl: pa.Table, ddl_events: list[tuple[int, dict]]) -> pa.Table:
     return out
 
 
-def write_event_chunks(tbl: pa.Table, out_dir: str, n_chunks: int) -> list[str]:
+def write_event_chunks(
+    tbl: pa.Table, out_dir: str, n_chunks: int, row_group_size: int = 32_000
+) -> list[str]:
     """Write the event table as n_chunks parquet files (one per micro-batch).
 
     Files are named chunk-00000.parquet ... so lexical order == ordinal
@@ -192,6 +194,8 @@ def write_event_chunks(tbl: pa.Table, out_dir: str, n_chunks: int) -> list[str]:
         if hi <= lo:
             continue
         path = os.path.join(out_dir, f"chunk-{i:05d}.parquet")
-        pq.write_table(tbl.slice(lo, hi - lo), path)
+        # small row groups keep the Spark scan splittable: a micro-batch
+        # file must never serialize into a single scan task
+        pq.write_table(tbl.slice(lo, hi - lo), path, row_group_size=row_group_size)
         paths.append(path)
     return paths

@@ -60,6 +60,188 @@ def _user_fields(snap: Snapshot) -> list[dict]:
     return [f for f in snap.fields() if f["name"] not in ENGINE_COLS]
 
 
+def _align_batch(batch: DataFrame, snap: Snapshot, key: str):
+    """Project a change batch onto the current user schema (null-fill
+    newly added columns, cast widened ones) + derive the bucket."""
+    ufields = _user_fields(snap)
+    have = set(batch.columns)
+    sel = [F.col(key), F.col("op"), F.col("ordinal").cast("bigint").alias("ordinal")]
+    for f in ufields:
+        if f["name"] == key:
+            continue
+        if f["name"] in have:
+            sel.append(F.col(f"`{f['name']}`").cast(f["type"]).alias(f["name"]))
+        else:
+            sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+    return batch.select(*sel).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+    )
+
+
+def _stage_write(
+    df: DataFrame,
+    table: LakeTable,
+    schema_version: int,
+    n_partitions: int,
+    max_records_per_file: int,
+    repartition: bool = True,
+) -> list[dict]:
+    """Write ``df`` (carrying _bucket) as bucket-partitioned parquet under
+    a fresh staging dir; return manifest file entries. Pass
+    repartition=False when df is already bucket-partitioned (avoids a
+    second shuffle)."""
+    stage = f"snap-{uuid.uuid4().hex[:12]}"
+    stage_dir = os.path.join(table.path, DATA_DIR, stage)
+    if repartition:
+        df = df.repartition(max(n_partitions, 1), "_bucket")
+    (
+        df.write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("_bucket")
+        .parquet(stage_dir)
+    )
+    new_files = []
+    for bdir in os.listdir(stage_dir):
+        if not bdir.startswith("_bucket="):
+            continue
+        b = int(bdir.split("=")[1])
+        for fn in os.listdir(os.path.join(stage_dir, bdir)):
+            if fn.endswith(".parquet"):
+                new_files.append(
+                    {
+                        "path": os.path.join(DATA_DIR, stage, bdir, fn),
+                        "bucket": b,
+                        "schema_version": schema_version,
+                    }
+                )
+    return new_files
+
+
+def append_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int | None = None,
+    collect_stats: bool = True,
+    max_records_per_file: int = 2_000_000,
+) -> MergeStats:
+    """Merge-on-read fast path: dedup the batch to per-key LWW winners
+    and APPEND them (updates as full rows, deletes as tombstones) as new
+    delta files — NO target read, NO join, write volume O(batch).
+    Read-time resolution (LakeTable._resolve_lww) picks the max-ordinal
+    row per key, so cross-batch stragglers and delete-resurrection are
+    impossible by construction. compact() folds deltas back to one file
+    per bucket.
+
+    ``batch`` is the VALIDATED raw event batch (NOT pre-deduped): the
+    whole pipeline — dedup + bucket layout — runs in ONE shuffle:
+    repartition on _bucket, then groupBy(_bucket, key) max_by, whose
+    clustering requirement the bucket partitioning already satisfies
+    (same bucket => same partition => same (bucket,key) colocated), and
+    partitionBy(_bucket) writes from already-bucket-local tasks.
+
+    This is the Iceberg merge-on-read (equality-delete) shape — the only
+    write mode whose per-batch cost stays flat across a 10^10-event run.
+    """
+    snap = table.snapshot()
+    if epoch_id is not None and epoch_id in snap.applied_epochs:
+        return MergeStats(skipped=True, snapshot_version=snap.version, snapshot_id=snap.snapshot_id)
+    key = snap.m["key_col"]
+    src = _align_batch(batch, snap, key)
+    ufields = _user_fields(snap)
+    payload = [f for f in ufields if f["name"] != key]
+
+    pre = src.repartition(snap.n_buckets, "_bucket")
+    winner = pre.groupBy("_bucket", key).agg(
+        F.max_by(
+            F.struct(F.col("op"), *[F.col(f"`{f['name']}`") for f in payload]),
+            F.col("ordinal"),
+        ).alias("w"),
+        F.max("ordinal").alias("last_ordinal"),
+    )
+    is_delete = F.col("w.op") == "D"
+    rows = winner.select(
+        F.col(key),
+        *[
+            F.when(is_delete, F.lit(None).cast(f["type"]))
+            .otherwise(F.col(f"w.`{f['name']}`"))
+            .alias(f["name"])
+            for f in payload
+        ],
+        F.col("last_ordinal"),
+        is_delete.alias("_deleted"),
+        F.col("_bucket"),
+    )
+    new_files = _stage_write(
+        rows, table, snap.schema_version, snap.n_buckets, max_records_per_file,
+        repartition=False,
+    )
+    touched = {f["bucket"] for f in new_files}
+
+    stats = MergeStats(touched_buckets=len(touched))
+    if collect_stats:
+        agg = winner.groupBy((F.col("w.op") == "D").alias("d")).count().collect()
+        m = {r["d"]: r["count"] for r in agg}
+        stats.rows_upserted = int(m.get(False, 0))
+        stats.rows_deleted = int(m.get(True, 0))
+
+    newsnap = table.commit_rewrite(
+        base=snap,
+        new_files=new_files,
+        replaced_buckets=set(),
+        epoch_id=epoch_id,
+        summary={
+            "operation": "append-delta",
+            "epoch_id": epoch_id,
+            "touched_buckets": sorted(touched),
+            "rows_upserted": stats.rows_upserted,
+            "rows_deleted": stats.rows_deleted,
+        },
+        append_buckets=touched,
+    )
+    if newsnap is None:
+        return MergeStats(skipped=True)
+    stats.snapshot_version = newsnap.version
+    stats.snapshot_id = newsnap.snapshot_id
+    stats.summary = newsnap.m["summary"]
+    return stats
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    buckets: set[int] | None = None,
+    drop_tombstones: bool = False,
+    max_records_per_file: int = 2_000_000,
+) -> dict:
+    """Fold MOR delta files back into one resolved file per bucket
+    (Iceberg rewrite_data_files analogue). With drop_tombstones=True,
+    delete markers are vacuumed too — only safe once no straggler below
+    the tombstone's ordinal can still arrive (retention watermark)."""
+    snap = table.snapshot()
+    target = buckets if buckets is not None else (snap.unresolved_buckets or set(range(snap.n_buckets)))
+    if not target:
+        return {"compacted_buckets": 0}
+    key = snap.m["key_col"]
+    df = table.read_physical(spark, buckets=target, resolve=True)
+    if drop_tombstones:
+        df = df.filter(~F.col("_deleted"))
+    df = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+    )
+    new_files = _stage_write(df, table, snap.schema_version, len(target), max_records_per_file)
+    newsnap = table.commit_rewrite(
+        base=snap,
+        new_files=new_files,
+        replaced_buckets=set(target),
+        epoch_id=None,
+        summary={"operation": "compact", "buckets": sorted(target)},
+    )
+    return {
+        "compacted_buckets": len(target),
+        "snapshot_version": newsnap.version if newsnap else None,
+    }
+
+
 def merge_changes(
     spark: SparkSession,
     table: LakeTable,
@@ -81,20 +263,7 @@ def merge_changes(
     key = snap.m["key_col"]
     ufields = _user_fields(snap)
     payload_cols = [f["name"] for f in ufields if f["name"] != key]
-
-    # align batch to current user schema (null-fill newly added columns)
-    have = set(batch.columns)
-    sel = [F.col(key), F.col("op"), F.col("ordinal").cast("bigint").alias("ordinal")]
-    for f in ufields:
-        if f["name"] == key:
-            continue
-        if f["name"] in have:
-            sel.append(F.col(f"`{f['name']}`").cast(f["type"]).alias(f["name"]))
-        else:
-            sel.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-    src = batch.select(*sel).withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
-    )
+    src = _align_batch(batch, snap, key)
     src.persist()
     try:
         # touched-bucket set: bounded by n_buckets, safe to collect
@@ -140,29 +309,9 @@ def merge_changes(
         result = joined.select(*out_cols)
 
         # ---- write new files for touched buckets (one task per bucket) ----
-        stage = f"snap-{uuid.uuid4().hex[:12]}"
-        stage_dir = os.path.join(table.path, DATA_DIR, stage)
-        (
-            result.repartition(max(len(touched), 1), "_bucket")
-            .write.option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy("_bucket")
-            .parquet(stage_dir)
+        new_files = _stage_write(
+            result, table, snap.schema_version, len(touched), max_records_per_file
         )
-        new_files = []
-        for bdir in os.listdir(stage_dir):
-            if not bdir.startswith("_bucket="):
-                continue
-            b = int(bdir.split("=")[1])
-            for fn in os.listdir(os.path.join(stage_dir, bdir)):
-                if fn.endswith(".parquet"):
-                    new_files.append(
-                        {
-                            "path": os.path.join(DATA_DIR, stage, bdir, fn),
-                            "bucket": b,
-                            "schema_version": snap.schema_version,
-                        }
-                    )
-
         stats = MergeStats(touched_buckets=len(touched))
         if collect_stats:
             # skinny second pass: batch vs (key, last_ordinal) projection only

@@ -80,6 +80,14 @@ class Snapshot:
     def applied_epochs(self) -> set:
         return set(self.m.get("applied_epochs", []))
 
+    @property
+    def write_mode(self) -> str:
+        return self.m.get("write_mode", "cow")
+
+    @property
+    def unresolved_buckets(self) -> set:
+        return set(self.m.get("unresolved_buckets", []))
+
     def fields(self, schema_version: int | None = None) -> list[dict]:
         sv = self.schema_version if schema_version is None else schema_version
         return self.m["schemas"][str(sv)]
@@ -145,10 +153,23 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int = 16,
         key_col: str = "doc_id",
+        write_mode: str = "cow",
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the USER schema; engine
         columns are appended automatically. Partition spec is the hidden
-        transform bucket(n_buckets, key_col)."""
+        transform bucket(n_buckets, key_col).
+
+        write_mode (Iceberg's write.merge.mode analogue):
+          'cow' — copy-on-write MERGE: each batch rewrites touched
+                  buckets; reads are resolve-free. Read-optimized.
+          'mor' — merge-on-read: each batch APPENDS its LWW winners and
+                  delete tombstones; reads resolve per-key max-ordinal;
+                  compact() folds deltas back into one file per bucket.
+                  Write amplification drops from O(table) to O(batch) —
+                  the only shape that scales to 10^10-event ingest.
+        """
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be cow|mor, got {write_mode}")
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         fields = [
@@ -166,6 +187,8 @@ class LakeTable:
             "applied_epochs": [],
             "key_col": key_col,
             "n_buckets": n_buckets,
+            "write_mode": write_mode,
+            "resolved": True,  # False once MOR deltas overlap keys
             "schema_version": 0,
             "schemas": {"0": fields},
             "files": [],
@@ -214,23 +237,59 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
+    @staticmethod
+    def _resolve_lww(df: DataFrame, key: str) -> DataFrame:
+        """Merge-on-read resolution: one winner row per key, the one with
+        the highest last_ordinal (tombstones compete like normal rows, so
+        a delete with the max ordinal wins — the straggler guard falls out
+        of the resolution itself). Hash aggregation with map-side partial
+        max_by: hot keys combine before the shuffle."""
+        cols = [c for c in df.columns if c != key]
+        w = F.max_by(F.struct(*[F.col(f"`{c}`") for c in cols]), F.col("last_ordinal")).alias("w")
+        return (
+            df.groupBy(key)
+            .agg(w)
+            .select(key, *[F.col(f"w.`{c}`").alias(c) for c in cols])
+        )
+
     def read_physical(
         self,
         spark: SparkSession,
         buckets: set[int] | None = None,
         snapshot_version: int | None = None,
+        resolve: bool = True,
     ) -> DataFrame:
         """All physical rows (tombstones + engine columns included),
-        optionally pruned to a bucket subset (the MERGE fast path)."""
+        optionally pruned to a bucket subset (the MERGE fast path).
+
+        With resolve=True (default), buckets carrying unresolved MOR
+        deltas are LWW-resolved; already-resolved buckets pass through
+        untouched (no shuffle paid where none is needed)."""
         snap = self.snapshot(snapshot_version)
-        return self._aligned_scan(spark, snap, buckets)
+        unresolved = snap.unresolved_buckets
+        if buckets is not None:
+            unresolved = unresolved & buckets
+        if not resolve or not unresolved:
+            return self._aligned_scan(spark, snap, buckets)
+        clean = (buckets if buckets is not None else set(range(snap.n_buckets))) - unresolved
+        key = snap.m["key_col"]
+        parts = []
+        if clean:
+            parts.append(self._aligned_scan(spark, snap, clean))
+        parts.append(self._resolve_lww(self._aligned_scan(spark, snap, unresolved), key))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def read(self, spark: SparkSession, snapshot_version: int | None = None) -> DataFrame:
-        """Public read: live rows only, user columns only."""
+        """Public read: live rows only, user columns only (MOR deltas
+        resolved transparently)."""
         snap = self.snapshot(snapshot_version)
-        df = self._aligned_scan(spark, snap, None)
-        user_cols = [f["name"] for f in snap.fields() if f["name"] not in ("_deleted",)]
-        user_cols = [c for c in user_cols if c != "last_ordinal"]
+        df = self.read_physical(spark, snapshot_version=snapshot_version)
+        user_cols = [
+            f["name"] for f in snap.fields() if f["name"] not in ("_deleted", "last_ordinal")
+        ]
         return df.filter(~F.col("_deleted")).select(*[f"`{c}`" for c in user_cols])
 
     # ---------------- commit ----------------
@@ -247,8 +306,11 @@ class LakeTable:
         epoch_id: int | None,
         summary: dict | None = None,
         new_schema: tuple[int, dict] | None = None,
+        append_buckets: set[int] | None = None,
     ) -> Snapshot | None:
-        """Commit a copy-on-write rewrite of ``replaced_buckets``.
+        """Commit new files: a copy-on-write rewrite of
+        ``replaced_buckets`` and/or a merge-on-read delta append to
+        ``append_buckets`` (those become unresolved until compaction).
 
         Returns the new Snapshot, or None if ``epoch_id`` was already
         applied by a live snapshot (idempotent re-delivery no-op).
@@ -264,7 +326,12 @@ class LakeTable:
                 f"concurrent commit: base v{base.version} != latest v{latest.version}"
             )
         kept = [f for f in latest.files() if f["bucket"] not in replaced_buckets]
+        unresolved = (latest.unresolved_buckets - set(replaced_buckets)) | set(
+            append_buckets or ()
+        )
         manifest = dict(latest.m)
+        manifest["unresolved_buckets"] = sorted(unresolved)
+        manifest["resolved"] = not unresolved
         manifest["version"] = latest.version + 1
         manifest["parent"] = latest.snapshot_id
         manifest["snapshot_id"] = uuid.uuid4().hex

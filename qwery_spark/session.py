@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE from coalescing below the core count on mid-size
+        # shuffles (64MB default advisory size serializes local runs)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # local-mode scan splitting: micro-batch files are ~50-150MB, so
+        # the 128MB default would scan them in 1-2 tasks; 16MB keeps the
+        # scan wide. On a real cluster with TB-scale inputs revert to
+        # 128-256MB (per-task overhead amortizes there).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")

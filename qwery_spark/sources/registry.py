@@ -1,0 +1,137 @@
+"""Source/sink routing: URL scheme + extension -> Spark reader/writer.
+
+Reference: SourceUrlParser routes by scheme (file:, http(s):, s3:,
+kafka:, jdbc:) then picks the format from hints or extension
+(core:devices/SourceUrlParser.scala:19-77). Spark-first restatement:
+everything resolves to spark.read.format(...) with explicit options —
+Catalyst/DataSourceV2 handles pushdown, partitioned listing, and
+parallel IO from there. Compression (.gz) is transparent in Spark.
+
+Hints map the reference's WITH clauses
+(core:SQLLanguageParser.scala:430-520):
+  COLUMN HEADERS       -> header=True
+  DELIMITER '|'        -> sep
+  AUTO DELIMITER       -> driver-side 5-line sniff (delimited.py)
+  FIXED WIDTH 'n^w,..' -> substring projection (fixed_width.py)
+  JSON PATH (a.b)      -> post-select into nested field + explode
+  FORMAT x             -> explicit format override
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qwery_spark.sources.delimited import delimiter_for_extension, sniff_delimiter
+from qwery_spark.sources.fixed_width import read_fixed_width, write_fixed_width
+
+
+def _strip_scheme(path: str) -> tuple[str, str]:
+    for scheme in ("file://", "files://", "s3://", "s3a://", "http://", "https://"):
+        if path.startswith(scheme):
+            return scheme.rstrip(":/"), path
+    return "file", path
+
+
+def _infer_format(path: str, hints: dict) -> str:
+    if "format" in hints:
+        return str(hints["format"]).lower()
+    if "fixed_width" in hints:
+        return "fixed_width"
+    p = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(p)[1].lower()
+    return {
+        ".csv": "csv", ".tsv": "csv", ".psv": "csv", ".txt": "csv",
+        ".json": "json", ".jsonl": "json", ".ndjson": "json",
+        ".parquet": "parquet", ".avro": "avro", ".orc": "orc",
+    }.get(ext, "parquet")
+
+
+def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> DataFrame:
+    """Load any supported source as a DataFrame."""
+    hints = dict(hints or {})
+    scheme, path = _strip_scheme(path)
+    if scheme in ("s3", "s3a"):
+        # s3a:// paths work as-is once Hadoop S3 jars + creds are on the
+        # cluster; nothing engine-side changes.
+        path = "s3a://" + path.split("://", 1)[1]
+    fmt = _infer_format(path, hints)
+
+    if fmt == "fixed_width":
+        return read_fixed_width(spark, path, hints["fixed_width"])
+    if fmt == "csv":
+        sep = hints.get("delimiter")
+        if sep is None:
+            sep = delimiter_for_extension(path)
+        if sep is None or hints.get("auto_delimiter"):
+            local = path.split("://", 1)[-1]
+            target = local
+            if os.path.isdir(local):
+                files = [f for f in sorted(os.listdir(local)) if not f.startswith("_")]
+                if files:
+                    target = os.path.join(local, files[0])
+            sep = sniff_delimiter(target)
+        header = bool(hints.get("headers", True))
+        reader = (
+            spark.read.option("header", header)
+            .option("sep", sep)
+            .option("inferSchema", bool(hints.get("infer_schema", False)))
+        )
+        df = reader.csv(path)
+        if not header:
+            # reference names headerless columns field0..fieldN
+            df = df.toDF(*[f"field{i}" for i in range(len(df.columns))])
+        return df
+    if fmt == "json":
+        df = spark.read.json(path)
+        jp = hints.get("json_path")
+        if jp:
+            # WITH JSON PATH (a,b): drill into nested element; arrays
+            # explode to rows (core:sources/JSONInputSource.scala:14-30)
+            for seg in [s.strip() for s in str(jp).split(",") if s.strip()]:
+                field = df.schema[seg] if seg in df.columns else None
+                col = F.col(seg)
+                if field is not None and field.dataType.typeName() == "array":
+                    df = df.select(F.explode(col).alias(seg))
+                    df = df.select(f"{seg}.*")
+                else:
+                    df = df.select(f"{seg}.*")
+        return df
+    if fmt == "avro":
+        return spark.read.format("avro").load(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    return spark.read.parquet(path)
+
+
+def write_sink(
+    df: DataFrame, path: str, hints: dict | None = None, mode: str = "overwrite"
+) -> int:
+    """Write a DataFrame to a sink; returns rows written (the reference
+    returns ROWS_INSERTED, core:ops/sql/Insert.scala:13-28)."""
+    hints = dict(hints or {})
+    _, path = _strip_scheme(path)
+    fmt = _infer_format(path, hints)
+    n = df.count()
+    if fmt == "fixed_width":
+        write_fixed_width(df, path, hints["fixed_width"], mode=mode)
+        return n
+    if fmt == "csv":
+        sep = hints.get("delimiter") or delimiter_for_extension(path) or ","
+        df.write.mode(mode).option("header", bool(hints.get("headers", True))).option(
+            "sep", sep
+        ).csv(path)
+        return n
+    if fmt == "json":
+        df.write.mode(mode).json(path)
+        return n
+    if fmt == "avro":
+        df.write.mode(mode).format("avro").save(path)
+        return n
+    if fmt == "orc":
+        df.write.mode(mode).orc(path)
+        return n
+    df.write.mode(mode).parquet(path)
+    return n

@@ -1,0 +1,225 @@
+"""Statement-surface tests porting the reference's golden-case shapes
+(test:QweryTest.scala, test:ops/JoinTest.scala) onto a deterministic
+synthetic companylist fixture (FIXTURES.md §F3)."""
+
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from qwery_spark.compiler import ScriptEngine
+
+SECTORS = [
+    "Finance", "Technology", "Health Care", "Energy", "Consumer Services",
+    "Capital Goods", "Basic Industries", "Transportation", "Public Utilities",
+    "Miscellaneous", "Consumer Durables", "Consumer Non-Durables", "n/a",
+]
+
+
+def make_companylist(n=360, seed=7) -> pd.DataFrame:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        sale = "n/a" if rng.random() < 0.05 else f"{rng.uniform(0.1, 4500):.4f}"
+        rows.append(
+            {
+                "Symbol": f"SYM{i:04d}",
+                "Name": f"Company {i} Inc.",
+                "LastSale": sale,
+                "MarketCap": "n/a" if sale == "n/a" else f"{rng.uniform(1e6, 9e9):.2f}",
+                "IPOyear": str(rng.choice(["n/a", "1999", "2005", "2014", "2020"])),
+                "Sector": rng.choice(SECTORS),
+                "Industry": rng.choice(["Software", "Banks", "Biotech", "Oil & Gas"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("companylist"))
+    df = make_companylist()
+    df.to_csv(os.path.join(d, "companylist.csv"), index=False)
+    # second list: 97% symbol overlap (join fixture, JoinTest.scala:57-70)
+    df2 = df.sample(frac=0.97, random_state=3).copy()
+    df2.to_csv(os.path.join(d, "companylist2.csv"), index=False)
+    df.to_csv(os.path.join(d, "companylist.psv"), index=False, sep="|")
+    return d
+
+
+@pytest.fixture()
+def eng(spark):
+    return ScriptEngine(spark)
+
+
+def test_select_where_like(eng, fixture_dir):
+    df = eng.execute(
+        f"SELECT Symbol, Name FROM '{fixture_dir}/companylist.csv' "
+        "WITH (COLUMN HEADERS) WHERE Industry = 'Banks' AND Symbol LIKE 'SYM0%'"
+    )
+    pdf = df.toPandas()
+    exp = make_companylist()
+    exp = exp[(exp.Industry == "Banks") & exp.Symbol.str.startswith("SYM0")]
+    assert len(pdf) == len(exp)
+
+
+def test_top_limit_and_order_by_executes(eng, fixture_dir):
+    # reference parses ORDER BY but never sorts (SURVEY §2.6); we do
+    df = eng.execute(
+        f"SELECT Symbol, CAST(LastSale AS DOUBLE) AS sale "
+        f"FROM '{fixture_dir}/companylist.csv' WHERE LastSale <> 'n/a' "
+        "ORDER BY sale DESC LIMIT 5"
+    )
+    vals = [r["sale"] for r in df.collect()]
+    assert len(vals) == 5 and vals == sorted(vals, reverse=True)
+
+
+def test_group_by_sector_counts(eng, fixture_dir):
+    df = eng.execute(
+        f"SELECT Sector, COUNT(*) AS n FROM '{fixture_dir}/companylist.csv' "
+        "GROUP BY Sector"
+    ).toPandas()
+    exp = make_companylist().groupby("Sector").size()
+    got = dict(zip(df.Sector, df.n))
+    assert got == exp.to_dict()
+
+
+def test_global_aggregates_with_na(eng, fixture_dir):
+    # lenient-CAST semantics: 'n/a' -> NULL, skipped by aggregates
+    # (reference coerces via Try -> None, core:ops/Expression.scala:40-44)
+    df = eng.execute(
+        "SELECT COUNT(*) AS n_rows, "
+        "ROUND(MIN(TRY_CAST(LastSale AS DOUBLE)), 4) AS min_sale, "
+        "ROUND(MAX(TRY_CAST(LastSale AS DOUBLE)), 4) AS max_sale, "
+        "ROUND(AVG(TRY_CAST(LastSale AS DOUBLE)), 4) AS avg_sale "
+        f"FROM '{fixture_dir}/companylist.csv'"
+    ).collect()[0]
+    pdf = make_companylist()
+    sales = pd.to_numeric(pdf.LastSale, errors="coerce").dropna()
+    assert df["n_rows"] == len(pdf)
+    assert abs(df["min_sale"] - round(sales.min(), 4)) < 1e-9
+    assert abs(df["max_sale"] - round(sales.max(), 4)) < 1e-9
+    assert abs(df["avg_sale"] - round(sales.mean(), 4)) < 1e-6
+
+
+def test_join_two_lists(eng, fixture_dir):
+    # JoinTest.scala oracle shape: inner join on Symbol, 97% overlap
+    df = eng.execute(
+        f"SELECT A.Symbol, B.Name FROM '{fixture_dir}/companylist.csv' A "
+        f"JOIN '{fixture_dir}/companylist2.csv' B ON B.Symbol = A.Symbol"
+    )
+    assert df.count() == len(make_companylist().sample(frac=0.97, random_state=3))
+
+
+def test_describe_all_strings(eng, fixture_dir):
+    # CSV without INFER SCHEMA reads everything as string
+    # (QweryTest.scala:183-197 DESCRIBE output)
+    df = eng.execute(f"DESCRIBE '{fixture_dir}/companylist.csv'").toPandas()
+    assert set(df["type"]) == {"string"}
+    assert "Symbol" in list(df["column"])
+
+
+def test_delimiter_autodetect_psv(eng, fixture_dir):
+    df = eng.execute(
+        f"SELECT Symbol FROM '{fixture_dir}/companylist.psv' WITH (AUTO DELIMITER)"
+    )
+    assert df.count() == 360
+
+
+def test_select_into_json_and_insert_csv(eng, fixture_dir, tmp_path):
+    out_json = str(tmp_path / "out.json")
+    res = eng.execute(
+        f"SELECT Symbol, Sector INTO '{out_json}' "
+        f"FROM '{fixture_dir}/companylist.csv' WHERE Sector = 'Finance'"
+    ).collect()[0]
+    exp = (make_companylist().Sector == "Finance").sum()
+    assert res["ROWS_INSERTED"] == exp
+    assert eng.spark.read.json(out_json).count() == exp
+
+    out_csv = str(tmp_path / "out.csv")
+    res2 = eng.execute(
+        f"INSERT OVERWRITE '{out_csv}' (sym, sect) "
+        f"SELECT Symbol, Sector FROM '{fixture_dir}/companylist.csv'"
+    ).collect()[0]
+    assert res2["ROWS_INSERTED"] == 360
+    back = eng.spark.read.option("header", True).csv(out_csv)
+    assert back.columns == ["sym", "sect"] and back.count() == 360
+
+
+def test_insert_values(eng, tmp_path):
+    out = str(tmp_path / "vals.csv")
+    res = eng.execute(
+        f"INSERT OVERWRITE '{out}' (Symbol, Sector) "
+        "VALUES ('AAXN', 'Industrials'), ('AMZN', 'Consumer')"
+    ).collect()[0]
+    assert res["ROWS_INSERTED"] == 2
+
+
+def test_fixed_width_roundtrip(eng, fixture_dir, tmp_path):
+    out = str(tmp_path / "fw")
+    eng.execute(
+        f"SELECT Symbol, Sector INTO '{out}' WITH (FIXED WIDTH 'Symbol^10,Sector^24') "
+        f"FROM '{fixture_dir}/companylist.csv'"
+    )
+    back = eng.execute(
+        f"SELECT * FROM '{out}' WITH (FIXED WIDTH 'Symbol^10,Sector^24', FORMAT 'fixed_width')"
+    ).toPandas()
+    exp = make_companylist()
+    assert sorted(back.Symbol) == sorted(exp.Symbol)
+    # width-24 truncation preserved exact prefixes
+    assert set(back.Sector) == {s[:24] for s in exp.Sector.unique()}
+
+
+def test_declare_set_and_templating(eng, fixture_dir):
+    eng.execute("DECLARE @minsale DOUBLE")
+    eng.execute("SET @minsale = 100.0")
+    eng.execute(f"SET @src = '{fixture_dir}/companylist.csv'")
+    n = eng.execute(
+        "SELECT COUNT(*) AS n FROM '{{ src }}' "
+        "WHERE TRY_CAST(LastSale AS DOUBLE) > @minsale"
+    ).collect()[0]["n"]
+    pdf = make_companylist()
+    exp = (pd.to_numeric(pdf.LastSale, errors="coerce") > 100.0).sum()
+    assert n == exp
+
+
+def test_set_scalar_subquery(eng, fixture_dir):
+    eng.execute(
+        f"SET @total = (SELECT COUNT(*) FROM '{fixture_dir}/companylist.csv')"
+    )
+    assert eng.variables["total"] == 360
+
+
+def test_create_view_and_function(eng, fixture_dir):
+    eng.execute(
+        f"CREATE OR REPLACE VIEW finance AS SELECT * FROM "
+        f"'{fixture_dir}/companylist.csv' WHERE Sector = 'Finance'"
+    )
+    eng.execute("CREATE FUNCTION dbl(x DOUBLE) RETURNS DOUBLE RETURN x * 2")
+    out = eng.execute(
+        "SELECT dbl(TRY_CAST(LastSale AS DOUBLE)) AS d FROM finance LIMIT 1"
+    )
+    assert out.columns == ["d"]
+    shows = eng.execute("SHOW VARIABLES")
+    assert "name" in shows.columns
+
+
+def test_upsert_into_lake(eng, tmp_path):
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4, write_mode="mor")
+    res = eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+        "SELECT * FROM VALUES "
+        "(1, 'a', array(1, 2), 2, 'web'), "
+        "(2, 'a', array(3), 1, 'web'), "
+        "(3, 'b', array(9, 9), 2, 'code') "
+        "AS t(ord, doc_id, tokens, n_tok, source)"
+    ).collect()[0]
+    assert res["ROWS_UPSERTED"] == 2  # LWW winners: a@2, b@3
+    tbl = LakeTable(path)
+    state = tbl.read(eng.spark).orderBy("doc_id").collect()
+    assert [list(r["tokens"]) for r in state] == [[3], [9, 9]]
