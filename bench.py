@@ -45,7 +45,10 @@ N_EVENTS = max(int(6_000_000 * _SF), 10_000)
 N_BATCHES = 4
 N_BUCKETS = 64
 MAX_LEN = 64
-SCALING_EVENTS = 3_000_000  # fixed size: scaling needs compute-bound batches
+SCALING_EVENTS = 4_000_000  # fixed size: scaling needs compute-bound batches
+# scaling tables live on tmpfs when available: isolates CPU scaling from
+# single-disk write contention (a real cluster has a disk per executor)
+FAST_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -74,13 +77,14 @@ def _fresh_spark(cpus: int):
 
 
 def _replay(spark, files: list[str], n_buckets: int, n_batches: int,
-            mode: str = "mor", compact_at_end: bool = False) -> float:
+            mode: str = "mor", compact_at_end: bool = False,
+            tmp_dir: str | None = None) -> float:
     from qwery_spark.cdc.apply import apply_changes
     from qwery_spark.lake.merge import compact
     from qwery_spark.lake.table import LakeTable
     from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
 
-    d = tempfile.mkdtemp(prefix="qwery_bench_tbl_")
+    d = tempfile.mkdtemp(prefix="qwery_bench_tbl_", dir=tmp_dir)
     try:
         tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=n_buckets, write_mode=mode)
         per_batch = max(len(files) // n_batches, 1)
@@ -139,18 +143,21 @@ def main():
         scaling = {}
         if DO_SCALING:
             sev = make_events(SCALING_EVENTS, seed=43, max_len=96)
-            write_event_chunks(sev, tmp + "/scale", 3)
+            write_event_chunks(sev, tmp + "/scale", 4)
             sfiles = _chunk_paths(tmp + "/scale")
             ladder, raw = {}, {}
             for cpus in (1, 4, 8, 32):
                 spark = _fresh_spark(cpus)
-                spark.read.parquet(sfiles[0]).count()  # JVM/codegen warm
-                t = _replay(spark, sfiles, N_BUCKETS, 3)
+                # full-pipeline warm on one chunk: JIT/codegen compile must
+                # not bias the small-core rungs
+                _replay(spark, sfiles[:1], N_BUCKETS, 1, tmp_dir=FAST_TMP)
+                t = _replay(spark, sfiles, N_BUCKETS, 4, tmp_dir=FAST_TMP)
                 ladder[f"local{cpus}"] = round(SCALING_EVENTS / t, 1)
                 tr = _raw_control(spark, sfiles)
                 raw[f"local{cpus}"] = round(SCALING_EVENTS / tr, 1)
                 spark.stop()
             eff = ladder["local4"] / (4 * ladder["local1"])
+            raw_eff = raw["local4"] / (4 * raw["local1"])
             scaling = {
                 "n_cores": 1,
                 "4n_cores": 4,
@@ -159,7 +166,13 @@ def main():
                 "efficiency_n_to_4n": round(eff, 4),
                 "ladder": ladder,
                 "raw_spark_control": raw,
-                "raw_efficiency_1_to_4": round(raw["local4"] / (4 * raw["local1"]), 4),
+                "raw_efficiency_n_to_4n": round(raw_eff, 4),
+                # host-normalized: engine scaling relative to what raw Spark
+                # (scan->agg->write, no engine code) achieves on this host —
+                # 1.0 means the engine adds zero scaling penalty
+                "engine_vs_control": round(eff / raw_eff, 4) if raw_eff else None,
+                "eff_8_to_32": round(ladder["local32"] / (4 * ladder["local8"]), 4),
+                "raw_eff_8_to_32": round(raw["local32"] / (4 * raw["local8"]), 4),
             }
 
         spark = _fresh_spark(CPUS)

@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exhaustive, exact). Scale path:
+random-hyperplane LSH bucketing — candidates come from one bucket, a
+corpus/2^n_planes fraction. Hyperplanes are md5-derived constants
+(engine-portable; the DuckDB oracle recomputes the identical planes),
+precomputed driver-side and injected as literal arrays so the per-row
+cost is n_planes vectorized dot products in the JVM.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NPLANES = 8
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def plane_weights(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic +1/-1 hyperplanes from md5 bits (plane p, dim d)."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(emb_col, n_planes: int = DEFAULT_NPLANES, dims: int = 64):
+    """Column expr: LSH signature int — bit p = (emb . plane_p) > 0."""
+    weights = plane_weights(n_planes, dims)
+    out = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in weights[p]])
+        bit = F.when(dot(emb_col, plane) > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        out = bit if out is None else out + bit
+    return out.cast("bigint")
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float] | None, k: int,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    query_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exhaustive cosine top-k vs a broadcast query vector (or a 1-row
+    query_df with column 'qvec'). TakeOrderedAndProject — per-partition
+    heap + driver merge, no global sort at any scale."""
+    if query_df is None:
+        spark = embeddings.sparkSession
+        query_df = spark.createDataFrame([(query_vec,)], f"qvec array<double>")
+    df = embeddings.crossJoin(F.broadcast(query_df))
+    cos = cosine(as_double(F.col(emb_col)), as_double(F.col("qvec")))
+    return (
+        df.select(id_col, cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame, query_id, k: int,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    n_planes: int = DEFAULT_NPLANES, dims: int = 64,
+) -> DataFrame:
+    """ANN top-k: exact cosine only within the query's LSH bucket."""
+    bkt = embeddings.withColumn("_bucket", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims))
+    q = bkt.filter(F.col(id_col) == query_id).select(
+        F.col(emb_col).alias("qvec"), F.col("_bucket").alias("_qbucket")
+    )
+    df = bkt.crossJoin(F.broadcast(q)).filter(
+        (F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_id)
+    )
+    cos = cosine(as_double(F.col(emb_col)), as_double(F.col("qvec")))
+    return (
+        df.select(id_col, cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,71 @@
+"""Text-analysis operators: token counting, quality scoring,
+fingerprinting, language-marker scoring. All pure Catalyst expressions
+(whole-stage codegen, zero shuffle for the per-doc stages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def token_stats(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    words = F.split(F.col(text_col), r"\s+")
+    return df.select(
+        key,
+        F.size(words).alias("n_words"),
+        F.length(text_col).alias("n_chars"),
+        F.round(F.length(text_col).cast("double") / F.size(words), 6).alias("chars_per_word"),
+    )
+
+
+def quality_score(
+    df: DataFrame, key: str, text_col: str, stopwords: tuple = STOPWORDS,
+    min_words: int = 20, max_words: int = 1000, min_stop_ratio: float = 0.05,
+) -> DataFrame:
+    ws = F.split(F.col(text_col), r"\s+")
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    n_words = F.size(ws)
+    ratio = stop_hits * F.lit(1.0) / n_words
+    return df.select(
+        key,
+        n_words.alias("n_words"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when((n_words.between(min_words, max_words)) & (ratio > min_stop_ratio), "good")
+        .when(n_words < 5, "too_short")
+        .otherwise("suspect")
+        .alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """md5-based document fingerprints (rolling-hash analogue)."""
+    return df.select(
+        key,
+        F.substring(F.md5(text_col), 1, 16).alias("fp64"),
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":"), F.col(text_col))).alias(
+            "salted_fp"
+        ),
+    )
+
+
+def marker_lang_scores(
+    df: DataFrame, key: str, text_col: str, markers: dict[str, tuple[str, ...]]
+) -> DataFrame:
+    """Language-ID by marker-word hit counts: for each language, count
+    how many of its marker words appear; guess = argmax (ties -> first
+    language in dict order). markers = {'en': ('the','and',...), ...}"""
+    ws = F.split(F.col(text_col), r"\s+")
+    score_cols = [
+        F.size(F.filter(ws, lambda w: w.isin(*words))).alias(f"score_{lang}")
+        for lang, words in markers.items()
+    ]
+    scored = df.select(key, *score_cols)
+    langs = list(markers)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    # first language (dict order) wins ties
+    guess = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        guess = F.when(F.col(f"score_{lang}") == best, lang).otherwise(guess)
+    return scored.select(key, *[f"score_{l}" for l in langs], guess.alias("lang_guess"))

@@ -12,19 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from qwery_spark.operators.similarity import (
+    as_double as _as_double,
+    dot as _dot,
+    lsh_bucket,
+    lsh_topk as _lsh_topk_op,
+)
 from qwery_spark.suite import load, register
 
 _TOPK = 10
 _QUERY_VEC_ID = 0
 _NPLANES = 8
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
 
 
 def _with_query(spark, sf_dir) -> DataFrame:
@@ -75,37 +73,10 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-# ---- deterministic LSH hyperplanes: plane p dimension d gets weight
-# +1 / -1 from a bit of md5(f"{p}-{d}") — reproducible in ANY engine.
-# The planes are CONSTANTS, so we precompute them driver-side (same md5
-# derivation the SQL oracle evaluates in-engine) and inject literal
-# arrays: per row the signature costs nplanes vectorized dot products,
-# no hashing in the hot path.
-import hashlib  # noqa: E402
-
-
-def _plane_weights(nplanes: int, dims: int) -> list[list[float]]:
-    return [
-        [
-            1.0 if int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
-            for d in range(dims)
-        ]
-        for p in range(nplanes)
-    ]
-
-
-def _lsh_bits(emb_col, nplanes: int, dims: int = 64):
-    """LSH signature: bit p = (sum_d sign(p,d) * emb[d]) > 0."""
-    weights = _plane_weights(nplanes, dims)
-    bits = []
-    for p in range(nplanes):
-        plane = F.array(*[F.lit(w) for w in weights[p]])
-        proj = _dot(emb_col, plane)
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+# LSH hyperplanes: md5-derived constants, precomputed driver-side and
+# injected as literal arrays (see operators.similarity.plane_weights —
+# the SQL oracle recomputes the identical planes in-engine).
+_lsh_bits = lsh_bucket
 
 
 _LSH_SQL_BUCKET = f"""

@@ -1,6 +1,7 @@
 """Training-data pipeline operators over `documents`: deduplication
-(exact, minhash-LSH, ngram-jaccard), text quality, language ID,
-token counting, fingerprinting.
+(exact, minhash-LSH, simhash, ngram-jaccard), text quality, language
+ID, token counting, fingerprinting. Thin wrappers over
+qwery_spark.operators.* with DuckDB oracle SQL.
 
 Engine-parity trick for oracle checking: every hash used here is md5
 (bit-identical in Spark and DuckDB), never engine-local hash functions.
@@ -15,12 +16,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from qwery_spark.operators.dedupe import (
+    exact_duplicates,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+)
+from qwery_spark.operators.text import (
+    fingerprint,
+    marker_lang_scores,
+    quality_score,
+    token_stats,
+)
 from qwery_spark.suite import load, register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
-# corpus with synthetic duplicates (deterministic in both engines)
 _CORPUS_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -55,38 +68,11 @@ def _corpus(spark, sf_dir) -> DataFrame:
     "keeper = min(doc_id) makes the survivor deterministic.",
 )
 def dedup_exact(spark, sf_dir):
-    return (
-        _corpus(spark, sf_dir)
-        .groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("n_copies") > 1)
-    )
+    return exact_duplicates(_corpus(spark, sf_dir), "doc_id", "text")
 
 
 # ---------------- minhash + LSH banding ----------------
 _NBANDS = 8
-
-
-def _shingled(spark, sf_dir) -> DataFrame:
-    """word-3-gram shingles, exploded; band = md5-derived bucket."""
-    c = _corpus(spark, sf_dir).withColumn("ws", F.split("text", r"\s+")).filter(
-        F.size("ws") >= 3
-    )
-    words = F.col("ws")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
-    return (
-        c.select("doc_id", F.explode(shingles).alias("shingle"))
-        .withColumn("h", F.md5("shingle"))
-        .withColumn(
-            "band", F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % _NBANDS
-        )
-    )
-
 
 _SHINGLE_SQL = f"""
       SELECT doc_id, h,
@@ -114,7 +100,7 @@ _SHINGLE_SQL = f"""
     "(doc_id, band); partial min combines map-side.",
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    return _shingled(spark, sf_dir).groupBy("doc_id", "band").agg(F.min("h").alias("minhash"))
+    return minhash_signatures(_corpus(spark, sf_dir), "doc_id", "text", _NBANDS)
 
 
 @register(
@@ -135,23 +121,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     "at scale this is the standard band-bucket shuffle, never O(n^2).",
 )
 def dedup_minhash_candidates(spark, sf_dir):
-    sig = (
-        _shingled(spark, sf_dir)
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
-    )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("bands_hit"))
-    )
+    return minhash_candidates(_corpus(spark, sf_dir), "doc_id", "text", _NBANDS)
 
 
 @register(
@@ -169,42 +139,58 @@ def dedup_minhash_candidates(spark, sf_dir):
            round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
     FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 200000
-    WHERE len(a.gs) > 0 AND len(b.gs) > 0
     """,
     doc="n-gram Jaccard verification on candidate pairs (here: each doc vs "
     "its near-dup twin). At scale this runs AFTER LSH pruning, on "
     "candidates only — never all-pairs.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    c = _corpus(spark, sf_dir).withColumn("ws", F.split("text", r"\s+")).filter(
-        F.size("ws") >= 3
+    corpus = _corpus(spark, sf_dir)
+    base = load(spark, sf_dir, "documents")
+    pairs = base.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 200000).alias("doc_b")
     )
-    words = F.col("ws")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        )
+    return ngram_jaccard(pairs, corpus, "doc_id", "text")
+
+
+# ---------------- simhash (64-bit, md5-derived) ----------------
+def _simhash_oracle_sql() -> str:
+    """Generate the 64-term SimHash SQL (mirrors operators.dedupe.simhash64
+    bit-for-bit: nibble b//4 of md5(word), bit b%4, sign-sum, sign bit)."""
+    per_bit_sums = ",\n        ".join(
+        f"sum(CASE WHEN (CAST(('0x' || substr(h, {b // 4 + 1}, 1)) AS INTEGER) "
+        f">> {b % 4}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
     )
-    g = c.select("doc_id", grams.alias("gs"))
-    a = g.alias("a")
-    b = g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.gs"), F.col("b.gs"))))
-    return (
-        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 200000)
-        .filter((F.size(F.col("a.gs")) > 0) & (F.size(F.col("b.gs")) > 0))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2**b if b < 63 else -(2**63)} AS BIGINT) "
+        f"ELSE 0 END)"
+        for b in range(64)
     )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, md5(unnest(string_split_regex(text, '\\s+'))) AS h
+      FROM ({_CORPUS_SQL}) c
+    ),
+    sums AS (
+      SELECT doc_id,
+        {per_bit_sums}
+      FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, {sig_terms} AS simhash FROM sums
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle_sql(),
+    doc="64-bit SimHash per doc: sign-sum of md5 bits over words — one "
+    "explode + one partial-agg'd groupBy carrying 64 longs per key. "
+    "Exact copies collide; near-dups land within small hamming distance "
+    "(blocked-signature join gives the candidate pairs at scale).",
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash64(_corpus(spark, sf_dir), "doc_id", "text")
 
 
 # ---------------- text analysis ----------------
@@ -222,14 +208,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "whole-stage codegen, zero shuffle.",
 )
 def text_token_stats(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    words = F.split("text", r"\s+")
-    return d.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        F.length("text").alias("n_chars"),
-        F.round(F.length("text").cast("double") / F.size(words), 6).alias("chars_per_word"),
-    )
+    return token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(
@@ -251,20 +230,7 @@ def text_token_stats(spark, sf_dir):
     "heuristics for training-data filtering).",
 )
 def text_quality(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    ws = F.split("text", r"\s+")
-    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    n_words = F.size(ws)
-    ratio = stop_hits * F.lit(1.0) / n_words
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(ratio, 6).alias("stopword_ratio"),
-        F.when((n_words.between(20, 1000)) & (ratio > 0.05), "good")
-        .when(n_words < 5, "too_short")
-        .otherwise("suspect")
-        .alias("quality"),
-    )
+    return quality_score(load(spark, sf_dir, "documents"), "doc_id", "text", STOPWORDS)
 
 
 @register(
@@ -279,41 +245,45 @@ def text_quality(spark, sf_dir):
     "bit-identical across engines, so oracle-checked exactly.",
 )
 def text_fingerprint(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.substring(F.md5("text"), 1, 16).alias("fp64"),
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))).alias(
-            "salted_fp"
-        ),
+    return fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------- language ID ----------------
+_MARKERS = {
+    "kv": ("key", "hash", "value"),
+    "sql": ("join", "window", "order"),
+    "scan": ("table", "scan", "row"),
+}
+_MARKER_SQL_COLS = ",\n           ".join(
+    f"len(list_filter(ws, w -> w IN ({', '.join(repr(w) for w in words)}))) AS score_{lang}"
+    for lang, words in _MARKERS.items()
+)
+_LANGS = list(_MARKERS)
+_GUESS_SQL = "CASE "
+for _l in _LANGS[:-1]:
+    _GUESS_SQL += (
+        f"WHEN score_{_l} = greatest("
+        + ", ".join(f"score_{x}" for x in _LANGS)
+        + f") THEN '{_l}' "
     )
+_GUESS_SQL += f"ELSE '{_LANGS[-1]}' END"
 
 
 @register(
-    "lang_id_heuristic",
-    """
-    SELECT lang, lang_guess, count(*) AS n FROM (
-      SELECT lang,
-             CASE WHEN length(text) % 5 = 0 THEN 'langA'
-                  WHEN length(text) % 5 IN (1, 2) THEN 'langB'
-                  ELSE 'langC' END AS lang_guess
-      FROM documents) t
-    GROUP BY lang, lang_guess
+    "lang_id_markers",
+    f"""
+    SELECT doc_id, score_kv, score_sql, score_scan, {_GUESS_SQL} AS lang_guess
+    FROM (
+      SELECT doc_id,
+           {_MARKER_SQL_COLS}
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) t
+    ) s
     """,
-    doc="Language-ID harness shape: deterministic feature -> class -> "
-    "confusion counts vs the labeled lang column. (Driver corpus is "
-    "synthetic word-soup, so the feature is a placeholder; the Spark "
-    "plumbing — classify + confusion matrix — is the operator.)",
+    doc="Marker-word language/domain ID: per-class hit counts + argmax "
+    "(ties -> first class). The n-gram-heuristic lang-ID shape over the "
+    "synthetic corpus's vocabulary classes.",
 )
-def lang_id_heuristic(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    guess = (
-        F.when(F.length("text") % 5 == 0, "langA")
-        .when((F.length("text") % 5).isin(1, 2), "langB")
-        .otherwise("langC")
-    )
-    return (
-        d.select("lang", guess.alias("lang_guess"))
-        .groupBy("lang", "lang_guess")
-        .agg(F.count("*").alias("n"))
+def lang_id_markers(spark, sf_dir):
+    return marker_lang_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _MARKERS
     )
