@@ -44,30 +44,36 @@ _INTO_RE = re.compile(
 
 
 def split_statements(text: str) -> list[str]:
-    """Split on ';' outside single-quoted strings."""
-    out, buf, in_q = [], [], False
-    for ch in text:
+    """Split on ';' outside single-quoted strings and outside
+    BEGIN...END blocks (so procedure bodies stay intact)."""
+    out, buf, in_q, depth = [], [], False, 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
         if ch == "'":
             in_q = not in_q
-        if ch == ";" and not in_q:
+        if not in_q:
+            up = text[i : i + 6].upper()
+            if up.startswith("BEGIN") and (i + 5 == n or not text[i + 5].isalnum()):
+                depth += 1
+            elif up.startswith("END") and (i + 3 == n or not text[i + 3].isalnum()):
+                depth = max(depth - 1, 0)
+        if ch == ";" and not in_q and depth == 0:
             stmt = "".join(buf).strip()
             if stmt:
                 out.append(stmt)
             buf = []
         else:
             buf.append(ch)
+        i += 1
     tail = "".join(buf).strip()
     if tail:
         out.append(tail)
     return out
 
 
-def parse_hints(raw: str | None) -> dict:
-    """'COLUMN HEADERS, DELIMITER |, FORMAT json' -> option dict."""
-    hints: dict = {}
-    if not raw:
-        return hints
-    # split on commas outside single quotes
+def split_commas(raw: str) -> list[str]:
+    """Split on commas outside single quotes."""
     parts, buf, in_q = [], [], False
     for ch in raw:
         if ch == "'":
@@ -78,7 +84,15 @@ def parse_hints(raw: str | None) -> dict:
         else:
             buf.append(ch)
     parts.append("".join(buf))
-    for part in parts:
+    return parts
+
+
+def parse_hints(raw: str | None) -> dict:
+    """'COLUMN HEADERS, DELIMITER |, FORMAT json' -> option dict."""
+    hints: dict = {}
+    if not raw:
+        return hints
+    for part in split_commas(raw):
         p = part.strip()
         if not p:
             continue
@@ -125,6 +139,7 @@ class ScriptEngine:
         self.variables: dict[str, object] = {}
         self.views: list[str] = []
         self.functions: list[str] = []
+        self.procedures: dict[str, tuple[list[str], str]] = {}  # name -> (params, body)
         if import_env:
             # reference imports env vars as env.* (core:ops/Scope.scala:219)
             for k, v in os.environ.items():
@@ -197,6 +212,43 @@ class ScriptEngine:
                 self.variables[name] = self.spark.sql(f"SELECT {expr}").first()[0]
             return self.variables[name]
 
+        # PROCEDURE/CALL handle expansion themselves (the body's @params
+        # must survive until CALL binds them)
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\b", up_raw):
+            m = re.match(
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*(\(([^)]*)\))?\s+AS\s+"
+                r"BEGIN\s+(.*?)\s*END\s*$",
+                raw,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"bad CREATE PROCEDURE: {raw[:120]}")
+            name, params = m.group(1), [
+                p.strip().lstrip("@") for p in (m.group(3) or "").split(",") if p.strip()
+            ]
+            self.procedures[name] = (params, m.group(4))
+            return None
+
+        if up_raw.startswith("CALL "):
+            m = re.match(r"CALL\s+(\w+)\s*(\((.*)\))?\s*$", raw, re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise ValueError(f"bad CALL: {raw}")
+            name = m.group(1)
+            if name not in self.procedures:
+                raise KeyError(f"unknown procedure: {name}")
+            params, body = self.procedures[name]
+            args = [a for a in map(str.strip, split_commas(m.group(3) or "")) if a]
+            if len(args) != len(params):
+                raise ValueError(f"{name} expects {len(params)} args, got {len(args)}")
+            saved = dict(self.variables)
+            try:
+                for p, a in zip(params, args):
+                    self.variables[p] = self.spark.sql(f"SELECT {self.expand(a)}").first()[0]
+                results = self.run_script(body)
+                return results[-1] if results else None
+            finally:
+                self.variables = saved
+
         stmt = self.expand(raw)
         up = stmt.upper()
 
@@ -233,6 +285,11 @@ class ScriptEngine:
             if what == "FUNCTIONS":
                 rows = [(f,) for f in self.functions]
                 return self.spark.createDataFrame(rows or [("",)], "name string")
+            if what == "PROCEDURES":
+                rows = [(n, ", ".join(p)) for n, (p, _) in sorted(self.procedures.items())]
+                return self.spark.createDataFrame(
+                    rows or [("", "")], "name string, params string"
+                )
             raise ValueError(f"unknown SHOW target: {what}")
 
         if up.startswith("DESCRIBE "):
@@ -249,6 +306,11 @@ class ScriptEngine:
 
         if up.startswith("UPSERT "):
             return self._upsert(stmt)
+
+        if re.match(r"UPDATE\s+LAKE\b", up):
+            # UPDATE ... KEYED ON: matched rows only
+            # (core:ops/sql/Update.scala:19-44)
+            return self._upsert(stmt, insert_missing=False)
 
         if up.startswith("SELECT") or up.startswith("WITH"):
             into = _INTO_RE.search(stmt)
@@ -289,8 +351,9 @@ class ScriptEngine:
         n = write_sink(df, target, hints, mode=mode)
         return self.spark.createDataFrame([(n, 0)], "ROWS_INSERTED long, ROWS_REJECTED long")
 
-    def _upsert(self, stmt: str):
-        """UPSERT INTO LAKE 'path' KEYED ON key [ORDINAL col] <select>.
+    def _upsert(self, stmt: str, insert_missing: bool = True):
+        """UPSERT INTO LAKE 'path' KEYED ON key [ORDINAL col] <select>
+        (or UPDATE LAKE ... for matched-only semantics).
 
         Routes to the lake MERGE/append (reference: UPSERT ... KEYED ON,
         core:ops/sql/Upsert.scala:14-33 — stream-order last-writer-wins,
@@ -302,7 +365,7 @@ class ScriptEngine:
         from qwery_spark.lake.table import LakeTable
 
         m = re.match(
-            r"UPSERT\s+INTO\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
+            r"(?:UPSERT\s+INTO|UPDATE)\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
             r"(?:\s+ORDINAL\s+(\w+))?\s+(SELECT|WITH)(.*)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
@@ -320,10 +383,14 @@ class ScriptEngine:
         if key != "doc_id":
             df = df.withColumnRenamed(key, "doc_id")
         tbl = LakeTable(path)
-        if tbl.snapshot().write_mode == "mor":
+        if insert_missing and tbl.snapshot().write_mode == "mor":
             stats = append_changes(self.spark, tbl, df)
         else:
-            stats = merge_changes(self.spark, tbl, lww_dedup(df))
+            # UPDATE (matched-only) always goes through the COW merge —
+            # a blind MOR append would insert unmatched keys
+            stats = merge_changes(
+                self.spark, tbl, lww_dedup(df), insert_missing=insert_missing
+            )
         return self.spark.createDataFrame(
             [(stats.rows_upserted, stats.rows_deleted, stats.rows_stale)],
             "ROWS_UPSERTED long, ROWS_DELETED long, ROWS_STALE long",

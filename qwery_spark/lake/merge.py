@@ -249,12 +249,18 @@ def merge_changes(
     epoch_id: int | None = None,
     collect_stats: bool = True,
     max_records_per_file: int = 2_000_000,
+    insert_missing: bool = True,
 ) -> MergeStats:
     """Apply a key-unique change batch to the table.
 
     ``batch`` contract: exactly one row per key (pre-deduped LWW winner)
     with columns (doc_id, op in {'U','D'}, ordinal bigint, <user payload
     columns>). Missing user columns (e.g. just added via DDL) null-fill.
+
+    insert_missing=False gives UPDATE ... KEYED ON semantics (matched
+    rows only, unmatched batch rows are no-ops — reference:
+    core:ops/sql/Update.scala:19-44); the join flips from full_outer to
+    a target-side left join.
     """
     snap = table.snapshot()
     if epoch_id is not None and epoch_id in snap.applied_epochs:
@@ -303,9 +309,10 @@ def merge_changes(
         out_cols.append(F.coalesce(F.col("s.`_bucket`"), F.col("t.`_bucket`")).alias("_bucket"))
 
         # target bucket derived on the fly (cheap; no shuffle added)
+        join_how = "full_outer" if insert_missing else "left"
         joined = tgt.withColumn(
             "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
-        ).alias("t").join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), "full_outer")
+        ).alias("t").join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), join_how)
         result = joined.select(*out_cols)
 
         # ---- write new files for touched buckets (one task per bucket) ----
@@ -316,12 +323,15 @@ def merge_changes(
         if collect_stats:
             # skinny second pass: batch vs (key, last_ordinal) projection only
             tslim = tgt.select(F.col(key).alias("_tk"), "last_ordinal")
+            missing_act = F.lit("noop") if not insert_missing else F.when(
+                F.col("op") == "D", F.lit("del")
+            ).otherwise(F.lit("up"))
             agg = (
                 src.join(tslim, src[key] == tslim["_tk"], "left")
                 .select(
-                    F.when(
-                        F.col("last_ordinal").isNull()
-                        | (F.col("ordinal") > F.col("last_ordinal")),
+                    F.when(F.col("last_ordinal").isNull(), missing_act)
+                    .when(
+                        F.col("ordinal") > F.col("last_ordinal"),
                         F.when(F.col("op") == "D", F.lit("del")).otherwise(F.lit("up")),
                     )
                     .otherwise(F.lit("stale"))

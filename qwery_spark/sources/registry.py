@@ -49,14 +49,40 @@ def _infer_format(path: str, hints: dict) -> str:
     }.get(ext, "parquet")
 
 
+def _parse_jdbc(path: str) -> tuple[str, str]:
+    """'jdbc:mysql://host/db?table=T' -> (url, table) — the reference's
+    JDBC URL form (core:sources/JDBCInputSource.scala parseInputURL)."""
+    if "?table=" not in path:
+        raise ValueError("jdbc source needs ?table=<name>")
+    url, table = path.split("?table=", 1)
+    return url, table.split("&")[0]
+
+
 def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> DataFrame:
     """Load any supported source as a DataFrame."""
     hints = dict(hints or {})
+    if path.startswith("jdbc:"):
+        # needs the vendor driver jar on the cluster classpath
+        url, table = _parse_jdbc(path)
+        return spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
     scheme, path = _strip_scheme(path)
     if scheme in ("s3", "s3a"):
         # s3a:// paths work as-is once Hadoop S3 jars + creds are on the
         # cluster; nothing engine-side changes.
         path = "s3a://" + path.split("://", 1)[1]
+    if scheme in ("http", "https"):
+        # driver-side fetch to a temp file, then normal routing — mirrors
+        # the reference's URL text reader
+        # (core:devices/TextFileInputDevice.scala:35-49). Fine for config/
+        # lookup files; bulk data belongs on s3a/hdfs.
+        import tempfile
+        import urllib.request
+
+        suffix = os.path.splitext(path.split("?")[0])[1] or ".txt"
+        fd, local = tempfile.mkstemp(suffix=suffix, prefix="qwery_http_")
+        os.close(fd)
+        urllib.request.urlretrieve(path, local)  # noqa: S310
+        path = local
     fmt = _infer_format(path, hints)
 
     if fmt == "fixed_width":
@@ -112,6 +138,13 @@ def write_sink(
     """Write a DataFrame to a sink; returns rows written (the reference
     returns ROWS_INSERTED, core:ops/sql/Insert.scala:13-28)."""
     hints = dict(hints or {})
+    if path.startswith("jdbc:"):
+        url, table = _parse_jdbc(path)
+        n = df.count()
+        df.write.mode(mode).format("jdbc").option("url", url).option(
+            "dbtable", table
+        ).save()
+        return n
     _, path = _strip_scheme(path)
     fmt = _infer_format(path, hints)
     n = df.count()

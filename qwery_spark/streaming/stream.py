@@ -58,6 +58,30 @@ def stream_events(
     )
 
 
+def parse_kafka_events(df: DataFrame) -> DataFrame:
+    """Decode a kafka-source frame (key/value/topic/partition/offset) into
+    the change-event schema. Events are JSON in the record value; a
+    missing ordinal falls back to the kafka offset — the reference's
+    Record(data, offset, partition) carried exactly this
+    (core:devices/Record.scala:9, KafkaInputDevice.scala:61-63)."""
+    from pyspark.sql import functions as F
+
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+    )
+    return parsed.select(
+        F.coalesce(F.col("e.ordinal"), F.col("_kafka_offset")).alias("ordinal"),
+        F.col("e.op").alias("op"),
+        F.col("e.doc_id").alias("doc_id"),
+        F.col("e.tokens").alias("tokens"),
+        F.col("e.n_tok").alias("n_tok"),
+        F.col("e.source").alias("source"),
+        F.col("e.ddl").alias("ddl"),
+    )
+
+
 @dataclass
 class StreamRun:
     query: StreamingQuery
