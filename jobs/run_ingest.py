@@ -1,0 +1,95 @@
+"""Cluster entrypoint: continuous CDC ingest via spark-submit.
+
+    spark-submit \
+      --py-files qwery_spark.zip \
+      jobs/run_ingest.py \
+      --events /data/wal-tail --table /lake/tok_sequences \
+      --checkpoint /chk/tok_sequences --lineage /lake/_lineage \
+      --quarantine /lake/_quarantine --buckets 4096 --mode mor \
+      [--kafka broker:9092 --topic changes] [--continuous 30s]
+
+On a cluster, executor count/size come from spark-submit flags
+(--num-executors etc.); this script carries NO local-mode assumptions —
+it uses the ambient SparkSession. Build the zip with jobs/package.sh.
+
+The same job runs at N and 4N executors for the scaling criterion;
+lineage rows (per-epoch offsets, counts, snapshot ids, wall ms) land in
+--lineage for throughput accounting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", help="WAL-tail directory (parquet chunks)")
+    p.add_argument("--kafka", help="kafka bootstrap servers (alternative to --events)")
+    p.add_argument("--topic", help="kafka topic (with --kafka)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--lineage")
+    p.add_argument("--quarantine")
+    p.add_argument("--buckets", type=int, default=4096)
+    p.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    p.add_argument("--create", action="store_true", help="create the table if absent")
+    p.add_argument("--continuous", metavar="INTERVAL",
+                   help="processingTime trigger (e.g. '30 seconds'); default: drain+stop")
+    p.add_argument("--compact-after", action="store_true",
+                   help="compact MOR deltas after an availableNow drain")
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("qwery-cdc-ingest").getOrCreate()
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.lake.merge import compact
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+    from qwery_spark.streaming.stream import parse_kafka_events, stream_events
+
+    if args.create:
+        try:
+            LakeTable(args.table).snapshot()
+        except FileNotFoundError:
+            LakeTable.create(args.table, TARGET_SCHEMA, n_buckets=args.buckets,
+                             write_mode=args.mode)
+    table = LakeTable(args.table)
+
+    if args.kafka:
+        raw = stream_events(spark, "", source_format="kafka", kafka_options={
+            "kafka.bootstrap.servers": args.kafka,
+            "subscribe": args.topic,
+            "startingOffsets": "earliest",
+        })
+        events = parse_kafka_events(raw)
+    else:
+        events = stream_events(spark, args.events,
+                               max_files_per_trigger=args.max_files_per_trigger)
+
+    def _batch(df, epoch_id):
+        apply_changes(
+            spark, table, df, epoch_id=epoch_id,
+            lineage_dir=args.lineage, quarantine_dir=args.quarantine,
+        )
+
+    writer = events.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", args.checkpoint
+    )
+    if args.continuous:
+        q = writer.trigger(processingTime=args.continuous).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        if args.compact_after and table.snapshot().write_mode == "mor":
+            compact(spark, table)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -365,6 +365,42 @@ class LakeTable:
         manifest["summary"] = summary
         return self._write_manifest(manifest)
 
+    # ---------------- maintenance (Iceberg expire_snapshots / orphan GC) --
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Drop all but the newest ``keep_last`` manifests (time travel
+        window). applied_epochs accumulate forward, so exactly-once
+        replay protection survives expiry. Returns manifests removed."""
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        versions = sorted(
+            int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+        )
+        to_drop = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        for v in to_drop:
+            os.unlink(self._manifest_path(v))
+        return len(to_drop)
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by any live manifest (orphans
+        from expired snapshots / failed stages). Returns files removed."""
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        live: set[str] = set()
+        for n in os.listdir(mdir):
+            if n.startswith("v") and n.endswith(".json"):
+                with open(os.path.join(mdir, n)) as fh:
+                    live.update(f["path"] for f in json.load(fh)["files"])
+        removed = 0
+        droot = os.path.join(self.path, DATA_DIR)
+        for root, _dirs, files in os.walk(droot, topdown=False):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live and f.endswith(".parquet"):
+                    os.unlink(full)
+                    removed += 1
+            if not os.listdir(root) and root != droot:
+                os.rmdir(root)
+        return removed
+
     # ---------------- schema evolution (Iceberg UpdateSchema API shape) --
     def add_column(self, name: str, type_ddl: str) -> Snapshot:
         latest = self.snapshot()

@@ -126,6 +126,40 @@ def cdc_hourly_throughput(spark, sf_dir):
 
 
 @register(
+    "cdc_asof_last_error",
+    """
+    SELECT l.event_id, l.user_id,
+           r.err_id AS last_error_id,
+           round(r.value, 4) AS last_error_value
+    FROM events l ASOF LEFT JOIN
+         (SELECT user_id, event_id, event_id AS err_id, value
+          FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.event_id >= r.event_id
+    """,
+    doc="As-of join (backward): each event enriched with the latest "
+    "error event of the same user at-or-before it — an operator Spark "
+    "lacks natively, built as union+window (one shuffle, no join "
+    "explosion); DuckDB's native ASOF JOIN is the oracle.",
+)
+def cdc_asof_last_error(spark, sf_dir):
+    from qwery_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id")
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("event_id").alias("err_id"), "value"
+    )
+    out = asof_join(left, right, key="user_id", time_col="event_id",
+                    right_payload=["err_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("right_err_id").alias("last_error_id"),
+        F.round("right_value", 4).alias("last_error_value"),
+    )
+
+
+@register(
     "cdc_json_props",
     """
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,

@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: the plan shape IS part of the contract.
+A correct-but-mis-planned operator (scan without pushdown, dim join
+without broadcast, dedup with an extra shuffle) fails here even though
+its results match the oracle."""
+
+import re
+
+import pytest
+
+from qwery_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    p = _plan(spark, "q06_forecast_revenue")
+    assert "PushedFilters: [" in p and "IsNotNull(l_shipdate)" in p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    read = m.group(1)
+    # only the 4 needed columns reach the scan
+    assert "l_quantity" in read and "l_orderkey" not in read and "l_tax" not in read
+
+
+def test_star_join_broadcasts_dims(spark):
+    assert _plan(spark, "q05_nation_revenue").count("BroadcastHashJoin") >= 3
+
+
+def test_topk_avoids_global_sort(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q_top10_orders")
+
+
+def test_aggregations_single_shuffle(spark):
+    for q in ("q01_pricing_summary", "dedup_exact"):
+        p = _plan(spark, q)
+        assert "HashAggregate" in p and p.count("Exchange") == 1, q
+
+
+def test_ann_probe_broadcasts(spark):
+    assert "BroadcastExchange" in _plan(spark, "ann_cosine_topk")
+
+
+def test_mor_dedup_is_single_shuffle(spark, tmp_table_dir):
+    """The fused dedup+bucket-layout must stay ONE exchange: the bucket
+    repartition satisfies the groupBy(_bucket, key) clustering."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.merge import _align_batch
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=16,
+                           write_mode="mor")
+    ev = spark.createDataFrame(make_events(500, seed=1).to_pandas(), schema=EVENT_SCHEMA)
+    src = _align_batch(ev.filter(F.col("op") != "DDL").drop("ddl"), tbl.snapshot(), "doc_id")
+    winner = (
+        src.repartition(16, "_bucket")
+        .groupBy("_bucket", "doc_id")
+        .agg(
+            F.max_by(F.struct("op", "tokens", "n_tok", "source"), "ordinal").alias("w"),
+            F.max("ordinal").alias("last_ordinal"),
+        )
+    )
+    p = winner._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+
+
+def test_lww_dedup_partial_aggregates(spark):
+    """max_by dedup must partial-aggregate map-side (skew defense)."""
+    from qwery_spark.cdc.dedup import lww_dedup
+    from qwery_spark.datagen import make_events
+    from qwery_spark.schema import EVENT_SCHEMA
+
+    ev = spark.createDataFrame(make_events(500, seed=2).to_pandas(), schema=EVENT_SCHEMA)
+    dd = lww_dedup(ev.drop("ddl"))
+    p = dd._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in p, p
