@@ -172,3 +172,116 @@ def embedding_label_stats(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg(F.sqrt(_dot(emb, emb))), 6).alias("avg_norm"),
     )
+
+
+# ---- IVF (inverted-file) ANN: coarse quantize to the nearest of K
+# deterministic centroids (the embeddings of vec_id 0..K-1 — no RNG),
+# search only the query's cell. The second ANN scale path next to LSH.
+_IVF_K = 8
+
+_IVF_CELL_SQL = f"""
+      SELECT vec_id, label, embedding, cent_id AS cell
+      FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.vec_id AS cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE) ),
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                   - 2 * list_dot_product(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+                   + list_dot_product(
+                     list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(c.embedding, x -> CAST(x AS DOUBLE))),
+                   c.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_IVF_K}) c
+      ) e
+      WHERE rn = 1
+"""
+
+
+@register(
+    "ann_ivf_cells",
+    f"""
+    SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM ({_IVF_CELL_SQL}) t GROUP BY cell
+    """,
+    doc="IVF coarse quantization: nearest-centroid cell per vector "
+    "(centroids broadcast; argmin via min-over-struct, deterministic "
+    "ties by centroid id). At scale: cells are the partition key, "
+    "probes touch one cell.",
+)
+def ann_ivf_cells(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    ed = _as_double(F.col("embedding"))
+    cd = _as_double(F.col("cent"))
+    dist = _dot(ed, ed) - 2 * _dot(ed, cd) + _dot(cd, cd)
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.struct(dist.alias("d"), F.col("cent_id")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cent_id").alias("cell"))
+    )
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cells AS ({_IVF_CELL_SQL}),
+    q AS (SELECT embedding AS qvec, cell AS qcell FROM cells WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id, round({_COSINE_SQL_EXPR}, 6) AS cosine
+    FROM cells e CROSS JOIN q
+    WHERE e.cell = q.qcell AND e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {_COSINE_SQL_EXPR} DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+    doc="IVF-pruned top-k: exact cosine within the query's cell only — "
+    "the probe reads corpus/K, verified against the exhaustive baseline.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    ed = _as_double(F.col("embedding"))
+    cd = _as_double(F.col("cent"))
+    dist = _dot(ed, ed) - 2 * _dot(ed, cd) + _dot(cd, cd)
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "label", "embedding",
+            F.struct(dist.alias("d"), F.col("cent_id")).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("dc").alias("best"),
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "label", "embedding", F.col("best.cent_id").alias("cell"))
+    )
+    q = cells.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    df = cells.crossJoin(F.broadcast(q)).filter(
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    qd = _as_double(F.col("qvec"))
+    ed2 = _as_double(F.col("embedding"))
+    cos = _dot(ed2, qd) / (F.sqrt(_dot(ed2, ed2)) * F.sqrt(_dot(qd, qd)))
+    return (
+        df.select("vec_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(_TOPK)
+        .select("vec_id", F.round("_cos", 6).alias("cosine"))
+    )

@@ -457,3 +457,122 @@ def q_rollup(spark, sf_dir):
             "n",
         )
     )
+
+
+# --- percentiles (exact; interpolated identically in both engines) -----
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles per group (Spark `percentile`; at 100TB the "
+    "approx_percentile sketch replaces it — same query shape).",
+)
+def q_percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+# --- pivot ---------------------------------------------------------------
+@register(
+    "q_pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Pivot: groupBy().pivot() with an explicit value list (no extra "
+    "pass to discover values; one shuffle).",
+)
+def q_pivot_returnflag(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+
+
+# --- cube ----------------------------------------------------------------
+@register(
+    "q_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (cross of all subtotal combinations).",
+)
+def q_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+# --- sessionization (gap-based) -------------------------------------------
+@register(
+    "q_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization: lag + running-sum windows then a "
+    "grouped rollup — the classic event-stream pattern (streaming "
+    "equivalent: session_window(ts, gap)).",
+)
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # exact microseconds on both engines (truncated seconds would
+            # disagree with the oracle on boundary gaps)
+            | (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                )
+                > 600_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("event_id").alias("first_event")
+    )

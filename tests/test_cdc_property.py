@@ -1,0 +1,68 @@
+"""Property-based CDC correctness: random event sequences (random ops,
+keys, batching, delivery order) must always converge to the oracle's
+final state, in both write modes.
+
+hypothesis drives the generator; the Spark session is reused across
+examples (deadline disabled — Spark latency is not the property)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from qwery_spark.cdc.apply import apply_changes
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+from tests.helpers import assert_state_equals_oracle
+
+
+@st.composite
+def event_sequences(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    n_keys = draw(st.integers(min_value=1, max_value=8))
+    rng_seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(rng_seed)
+    rows = []
+    for ordinal in range(n):
+        op = rng.choice(["I", "U", "D"], p=[0.5, 0.3, 0.2])
+        key = f"k{rng.integers(0, n_keys)}"
+        if op == "D":
+            rows.append((ordinal, "D", key, None, None, None, None))
+        else:
+            toks = rng.integers(0, 1000, size=rng.integers(1, 6)).tolist()
+            # occasionally violate n_tok (must be quarantined)
+            n_tok = len(toks) + (1 if rng.random() < 0.1 else 0)
+            rows.append((ordinal, op, key, toks, n_tok, "web", None))
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    shuffle_within = draw(st.booleans())
+    return rows, n_batches, shuffle_within, rng_seed
+
+
+COLS = ["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=event_sequences())
+def test_random_replay_matches_oracle(spark, tmp_path_factory, mode, seq):
+    rows, n_batches, shuffle_within, rng_seed = seq
+    pdf = pd.DataFrame(rows, columns=COLS)
+    d = str(tmp_path_factory.mktemp("prop"))
+    tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=4, write_mode=mode)
+    bounds = np.linspace(0, len(pdf), n_batches + 1, dtype=int)
+    rng = np.random.default_rng(rng_seed)
+    for i in range(n_batches):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        if chunk.empty:
+            continue
+        if shuffle_within:
+            chunk = chunk.sample(frac=1.0, random_state=int(rng.integers(0, 2**31)))
+        df = spark.createDataFrame(chunk, schema=EVENT_SCHEMA)
+        apply_changes(spark, tbl, df, epoch_id=i)
+    assert_state_equals_oracle(spark, tbl, pdf)
