@@ -16,13 +16,23 @@ Strategy choice (scale rationale):
     bounded; no salting needed. This is the plan you want at 100 TB.
 
   * ``lww_dedup_window``: row_number() OVER (PARTITION BY key ORDER BY
-    ordinal DESC) == 1. A window function must co-locate and SORT every
-    row of a key on one task — the classic skew trap (AQE skew-join
-    splitting does not apply to window partitions). Provided for
-    benchmarking; ``lww_dedup_salted_window`` shows the two-phase
-    salted mitigation if a window formulation were ever required.
+    ordinal DESC) == 1. Historically the classic skew trap (all rows of
+    a key co-located + sorted on one task; AQE skew-join splitting does
+    not apply to window partitions). MEASURED FINDING (Spark >= 3.5 /
+    4.x): the rank<=1 filter triggers WindowGroupLimitExec with a
+    PARTIAL pass before the exchange — a map-side per-key top-1 that
+    bounds skew exactly like the agg's partial combine. Verified in
+    tests/test_plans.py and tools/skew_bench.py (2.4M-row hot key:
+    window 0.86x of max_by). On older Sparks, or for rank>k windows
+    where the partial pass keeps k rows per key per task, max_by agg
+    remains the safe default — and it fuses with the MOR bucket layout
+    into a single shuffle (lake.merge.append_changes).
 
-bench.py measures all three; see BENCH notes.
+  * ``lww_dedup_salted_window``: two-phase salted mitigation — only
+    needed where WindowGroupLimit is unavailable; measurably slower
+    (1.4-1.6x) when it is.
+
+tools/skew_bench.py measures all three; results in BASELINE.md §BENCH.
 """
 
 from __future__ import annotations
