@@ -99,6 +99,7 @@ def run_stream(
     available_now: bool = True,
     validation: str = "builtin",
     collect_stats: bool = True,
+    compact_every: int | None = None,
 ) -> StreamRun:
     """Start the CDC ingest stream. With available_now=True the query
     drains everything currently in events_dir and stops (the pattern for
@@ -120,6 +121,17 @@ def run_stream(
             collect_stats=collect_stats,
         )
         run.results.append(res)
+        # periodic MOR compaction keeps the delta-file count (and thus
+        # read-side resolution cost) bounded during long tails
+        if (
+            compact_every
+            and not res.merge.skipped
+            and epoch_id > 0
+            and epoch_id % compact_every == 0
+        ):
+            from qwery_spark.lake.merge import compact
+
+            compact(spark, table)
 
     writer = events.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir
