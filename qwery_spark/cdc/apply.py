@@ -176,6 +176,13 @@ def _write_lineage(spark: SparkSession, lineage_dir: str, res: ApplyResult) -> N
     df.coalesce(1).write.mode("overwrite").parquet(epoch_path)
 
 
+def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """All quarantined events with reject_reason + epoch_id — the
+    reprocess queue (fix upstream, strip the reason column, re-apply)."""
+    df = spark.read.option("basePath", quarantine_dir).parquet(quarantine_dir)
+    return df.drop("epoch")
+
+
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
     # epoch=N dirs are hive-style partitions; drop the inferred dir column
     # (epoch_id is stored inside the rows with a proper type).
