@@ -92,7 +92,9 @@ def _replay(spark, files: list[str], n_buckets: int, n_batches: int,
         for b in range(n_batches):
             chunk = files[b * per_batch : (b + 1) * per_batch] or files[-1:]
             df = spark.read.schema(EVENT_SCHEMA).parquet(*chunk)
-            apply_changes(spark, tbl, df, epoch_id=b, collect_stats=False, scan_ddl=False)
+            # collect_stats rides the write job via the Observation API —
+            # full lineage metrics are free, so the bench keeps them on
+            apply_changes(spark, tbl, df, epoch_id=b, collect_stats=True, scan_ddl=False)
         if compact_at_end:
             compact(spark, tbl)
         return time.monotonic() - t0

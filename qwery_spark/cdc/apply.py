@@ -112,17 +112,22 @@ def apply_changes(
     data = events.filter(F.col("op") != "DDL")
     annotated = with_reject_reason(data, mode=validation, vocab=vocab)
 
+    # batch statistics ride the main job via the Observation API
+    # (CollectMetrics node) — NO extra pass over the data. Reference
+    # analogue: StatisticsGenerator sampling inside the read loop
+    # (core:sources/StatisticsGenerator.scala:12-33), not a second scan.
+    obs = None
     if collect_stats:
-        agg = annotated.agg(
-            F.count("*").alias("n"),
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        annotated = annotated.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.count(REASON_COL).alias("rej"),
             F.min("ordinal").alias("omin"),
             F.max("ordinal").alias("omax"),
-        ).collect()[0]
-        res.rows_in = int(agg["n"]) + len(ddl_rows)
-        res.rows_rejected = int(agg["rej"])
-        res.ordinal_min = agg["omin"]
-        res.ordinal_max = agg["omax"]
+        )
 
     if quarantine_dir is not None:
         rejected = annotated.filter(F.col(REASON_COL).isNotNull()).withColumn(
@@ -146,6 +151,26 @@ def apply_changes(
         res.merge = merge_changes(
             spark, table, deduped, epoch_id=epoch_id, collect_stats=collect_stats
         )
+
+    # read even when the merge was an empty-batch no-op: observed_or
+    # falls back to a skinny agg if no action fired the metrics node
+    if obs is not None:
+        from qwery_spark.lake.merge import observed_or
+
+        vals = observed_or(
+            obs,
+            annotated,
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.count(REASON_COL).alias("rej"),
+                F.min("ordinal").alias("omin"),
+                F.max("ordinal").alias("omax"),
+            ],
+        )
+        res.rows_in = int(vals["n"]) + len(ddl_rows)
+        res.rows_rejected = int(vals["rej"])
+        res.ordinal_min = vals["omin"]
+        res.ordinal_max = vals["omax"]
 
     res.wall_ms = int((time.monotonic() - t0) * 1000)
     if lineage_dir is not None:

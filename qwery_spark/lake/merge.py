@@ -44,6 +44,17 @@ from qwery_spark.lake.table import DATA_DIR, LakeTable, Snapshot
 ENGINE_COLS = ("last_ordinal", "_deleted")
 
 
+def observed_or(obs, fallback_df, exprs: list) -> dict:
+    """Observation.get, falling back to a direct aggregation when the
+    metrics row can't be materialized (Spark's toPyRow chokes on
+    observations over empty writes). The fallback re-runs only a skinny
+    agg and only on that rare empty-batch path."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return fallback_df.agg(*exprs).collect()[0].asDict()
+
+
 @dataclass
 class MergeStats:
     skipped: bool = False
@@ -158,6 +169,17 @@ def append_changes(
         ).alias("w"),
         F.max("ordinal").alias("last_ordinal"),
     )
+    obs = None
+    if collect_stats:
+        from pyspark.sql import Observation
+
+        # stats ride the write job (CollectMetrics) — no extra pass
+        obs = Observation()
+        winner = winner.observe(
+            obs,
+            F.sum(F.when(F.col("w.op") == "D", 1).otherwise(0)).alias("deleted"),
+            F.count(F.lit(1)).alias("total"),
+        )
     is_delete = F.col("w.op") == "D"
     rows = winner.select(
         F.col(key),
@@ -178,11 +200,17 @@ def append_changes(
     touched = {f["bucket"] for f in new_files}
 
     stats = MergeStats(touched_buckets=len(touched))
-    if collect_stats:
-        agg = winner.groupBy((F.col("w.op") == "D").alias("d")).count().collect()
-        m = {r["d"]: r["count"] for r in agg}
-        stats.rows_upserted = int(m.get(False, 0))
-        stats.rows_deleted = int(m.get(True, 0))
+    if obs is not None:
+        vals = observed_or(
+            obs,
+            rows,
+            [
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deleted"),
+                F.count(F.lit(1)).alias("total"),
+            ],
+        )
+        stats.rows_deleted = int(vals["deleted"] or 0)
+        stats.rows_upserted = int(vals["total"] or 0) - stats.rows_deleted
 
     newsnap = table.commit_rewrite(
         base=snap,
@@ -313,38 +341,45 @@ def merge_changes(
         joined = tgt.withColumn(
             "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
         ).alias("t").join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), join_how)
-        result = joined.select(*out_cols)
+        act = (
+            F.when(apply_change & is_delete, "del")
+            .when(apply_change, "up")
+            .when(F.col("s.ordinal").isNotNull(), "stale")
+        )
+        result = joined.select(*out_cols, act.alias("_act"))
+
+        obs = None
+        if collect_stats:
+            from pyspark.sql import Observation
+
+            # MERGE action counts ride the write job — no second pass
+            obs = Observation()
+            result = result.observe(
+                obs,
+                F.sum(F.when(F.col("_act") == "up", 1).otherwise(0)).alias("up"),
+                F.sum(F.when(F.col("_act") == "del", 1).otherwise(0)).alias("del"),
+                F.sum(F.when(F.col("_act") == "stale", 1).otherwise(0)).alias("stale"),
+            )
+        result = result.drop("_act")
 
         # ---- write new files for touched buckets (one task per bucket) ----
         new_files = _stage_write(
             result, table, snap.schema_version, len(touched), max_records_per_file
         )
         stats = MergeStats(touched_buckets=len(touched))
-        if collect_stats:
-            # skinny second pass: batch vs (key, last_ordinal) projection only
-            tslim = tgt.select(F.col(key).alias("_tk"), "last_ordinal")
-            missing_act = F.lit("noop") if not insert_missing else F.when(
-                F.col("op") == "D", F.lit("del")
-            ).otherwise(F.lit("up"))
-            agg = (
-                src.join(tslim, src[key] == tslim["_tk"], "left")
-                .select(
-                    F.when(F.col("last_ordinal").isNull(), missing_act)
-                    .when(
-                        F.col("ordinal") > F.col("last_ordinal"),
-                        F.when(F.col("op") == "D", F.lit("del")).otherwise(F.lit("up")),
-                    )
-                    .otherwise(F.lit("stale"))
-                    .alias("act")
-                )
-                .groupBy("act")
-                .count()
-                .collect()
+        if obs is not None:
+            vals = observed_or(
+                obs,
+                result,
+                [
+                    F.lit(0).alias("up"),
+                    F.lit(0).alias("del"),
+                    F.lit(0).alias("stale"),
+                ],
             )
-            m = {r["act"]: r["count"] for r in agg}
-            stats.rows_upserted = int(m.get("up", 0))
-            stats.rows_deleted = int(m.get("del", 0))
-            stats.rows_stale = int(m.get("stale", 0))
+            stats.rows_upserted = int(vals["up"] or 0)
+            stats.rows_deleted = int(vals["del"] or 0)
+            stats.rows_stale = int(vals["stale"] or 0)
 
         newsnap = table.commit_rewrite(
             base=snap,
