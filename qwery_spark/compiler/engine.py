@@ -313,6 +313,12 @@ class ScriptEngine:
             return self._upsert(stmt, insert_missing=False)
 
         if up.startswith("SELECT") or up.startswith("WITH"):
+            # reference TOP n (core:SQLLanguageParser.scala:814) -> LIMIT n,
+            # applied to OUTPUT rows (documented divergence: the reference
+            # takes n INPUT rows pre-aggregation, Select.scala:34)
+            m = re.match(r"SELECT\s+TOP\s+(\d+)\s+(.*)$", stmt, re.IGNORECASE | re.DOTALL)
+            if m:
+                stmt = f"SELECT {m.group(2)} LIMIT {m.group(1)}"
             into = _INTO_RE.search(stmt)
             if into:
                 target, hints = into.group(1), parse_hints(into.group(3))

@@ -82,3 +82,22 @@ def test_crash_after_commit_before_checkpoint(spark, tmp_table_dir):
     # stream's epoch 0 must have been skipped as already-applied
     assert any(r.merge.skipped for r in run.results)
     assert_state_equals_oracle(spark, tbl, events.to_pandas())
+
+
+def test_stream_with_ddl_mid_stream(spark, tmp_table_dir):
+    """A DDL change event arriving inside a later micro-batch evolves the
+    table mid-stream; earlier rows null-fill the new column on read."""
+    from qwery_spark.datagen import make_events
+
+    events = make_events(
+        2000, seed=29,
+        ddl_events=[(1500, {"action": "add_column", "name": "meta", "type": "string"})],
+    )
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    write_event_chunks(events, ev_dir, 4)
+    tbl = LakeTable.create(os.path.join(tmp_table_dir, "tbl"), TARGET_SCHEMA, n_buckets=4)
+    run = run_stream(spark, tbl, ev_dir, os.path.join(tmp_table_dir, "ckpt"))
+    run.query.awaitTermination(300)
+    assert sum(r.ddl_applied for r in run.results) == 1
+    assert "meta" in tbl.read(spark).columns
+    assert_state_equals_oracle(spark, tbl, events.to_pandas())
