@@ -285,3 +285,54 @@ def ann_ivf_topk(spark, sf_dir):
         .limit(_TOPK)
         .select("vec_id", F.round("_cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding, CAST({_LSH_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM (SELECT vec_id, embedding, embedding AS emb FROM embeddings) e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))))), 6
+           ) AS cosine
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+             * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) > 0.15
+    """,
+    doc="Embedding-cosine near-dup pairs: candidates ONLY within an LSH "
+    "bucket (bucket-join, never O(n^2)), exact cosine verification above "
+    "a threshold — the embedding-space dedup modality.",
+)
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    bkt = e.select("vec_id", "embedding", _lsh_bits(emb, _NPLANES).cast("bigint").alias("bucket"))
+    a, b = bkt.alias("a"), bkt.alias("b")
+    ea = _as_double(F.col("a.embedding"))
+    eb = _as_double(F.col("b.embedding"))
+    cos = _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") > 0.15)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+    )

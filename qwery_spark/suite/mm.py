@@ -104,3 +104,66 @@ def mm_metadata_rollup(spark, sf_dir):
         F.sum("nb").cast("bigint").alias("total_bytes"),
         F.max("nb").cast("int").alias("max_bytes"),
     )
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+_FRAME_SQL = f"""
+    SELECT doc_id,
+           CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER) AS n_frames,
+           CAST(ceil(ceil(length(text) / {FRAME_BYTES}.0) / {FRAME_STRIDE}.0) AS INTEGER) AS n_sampled,
+           md5(array_to_string(list_transform(
+                 list_filter(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER)),
+                             k -> k % {FRAME_STRIDE} = 0),
+                 k -> substr(text, 1 + k * {FRAME_BYTES}, {FRAME_BYTES})), '')) AS sample_md5
+    FROM documents
+"""
+
+
+def _frame_sample_batches(batches):
+    """mapInPandas worker: byte-level frame slicing + strided sampling of
+    the opaque binary payload (video frame-sample / audio-chunk shape).
+    The corpus is ASCII so the oracle can mirror byte slices with
+    VARCHAR substr; real codecs plug into decode_media()."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        n_frames, n_sampled, digests = [], [], []
+        for payload in pdf["payload"]:
+            frames = [
+                payload[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                for k in range(0, -(-len(payload) // FRAME_BYTES))
+            ]
+            sampled = frames[::FRAME_STRIDE]
+            n_frames.append(len(frames))
+            n_sampled.append(len(sampled))
+            digests.append(hashlib.md5(b"".join(sampled)).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": pd.Series(n_frames, dtype="int32"),
+                "n_sampled": pd.Series(n_sampled, dtype="int32"),
+                "sample_md5": digests,
+            }
+        )
+
+
+@register(
+    "mm_frame_sample",
+    _FRAME_SQL,
+    doc="Multimodal frame sampling: binary payload sliced into fixed-size "
+    "frames, every 4th sampled, digest of the sampled bytes — the "
+    "video/audio frame-sample plumbing (mapInPandas, Arrow batches) "
+    "with a byte-exact oracle (ASCII corpus => VARCHAR slices match).",
+)
+def mm_frame_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        _frame_sample_batches,
+        schema="doc_id bigint, n_frames int, n_sampled int, sample_md5 string",
+    )

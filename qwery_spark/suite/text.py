@@ -287,3 +287,24 @@ def lang_id_markers(spark, sf_dir):
     return marker_lang_scores(
         load(spark, sf_dir, "documents"), "doc_id", "text", _MARKERS
     )
+
+
+@register(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+           len(string_split_regex(text, '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting: word-or-punctuation regex (the standard "
+    "pre-tokenizer shape) next to the whitespace count — pure Catalyst "
+    "regexp_extract_all, zero shuffle.",
+)
+def text_bpe_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+    )
