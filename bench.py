@@ -180,6 +180,8 @@ def main():
         spark = _fresh_spark(CPUS)
         _replay(spark, head_files, N_BUCKETS, N_BATCHES)  # warm
         replay_sec = _replay(spark, head_files, N_BUCKETS, N_BATCHES, compact_at_end=True)
+        # write-amplification evidence: same replay through the COW MERGE
+        cow_sec = _replay(spark, head_files, N_BUCKETS, N_BATCHES, mode="cow")
 
         from qwery_spark.suite import REGISTRY
 
@@ -200,6 +202,8 @@ def main():
             "n_events": N_EVENTS,
             "events_per_sec": round(N_EVENTS / replay_sec, 1),
             "mode": "mor+final_compact",
+            "cow_replay_sec": round(cow_sec, 3),
+            "cow_events_per_sec": round(N_EVENTS / cow_sec, 1),
             "scaling": scaling,
         }
         print(json.dumps(out))
