@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--compact-after", action="store_true",
                    help="compact MOR deltas after an availableNow drain")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--transform-sql",
+                   help="qwery-style SELECT-transform over the view `events`, "
+                        "applied per micro-batch before validation+merge")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -72,6 +75,9 @@ def main(argv=None):
                                max_files_per_trigger=args.max_files_per_trigger)
 
     def _batch(df, epoch_id):
+        if args.transform_sql:
+            df.createOrReplaceTempView("events")
+            df = df.sparkSession.sql(args.transform_sql)
         apply_changes(
             spark, table, df, epoch_id=epoch_id,
             lineage_dir=args.lineage, quarantine_dir=args.quarantine,

@@ -100,16 +100,29 @@ def run_stream(
     validation: str = "builtin",
     collect_stats: bool = True,
     compact_every: int | None = None,
+    transform_sql: str | None = None,
 ) -> StreamRun:
     """Start the CDC ingest stream. With available_now=True the query
     drains everything currently in events_dir and stops (the pattern for
     scheduled/triggered runs — reference: ScheduledEvent daily runs,
     etl:events/ScheduledEvent.scala:25-47); otherwise it runs
-    continuously per trigger."""
+    continuously per trigger.
+
+    ``transform_sql`` is the qwery-style SELECT-transform stage between
+    source and sink (reference: SELECT ... INTO with projections /
+    filters / CASE / CAST, SURVEY.md §7.0.3): a SQL statement over the
+    view ``events``, compiled by Catalyst per micro-batch BEFORE
+    validation + merge. It must preserve the change-event columns it
+    doesn't transform (ordinal/op/doc_id at minimum)."""
     events = stream_events(spark, events_dir, max_files_per_trigger)
     run = StreamRun(query=None)  # populated below
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
+        if transform_sql is not None:
+            # foreachBatch hands us a micro-batch-scoped session clone;
+            # the view must be registered AND resolved on that clone
+            df.createOrReplaceTempView("events")
+            df = df.sparkSession.sql(transform_sql)
         res = apply_changes(
             spark,
             table,
