@@ -107,7 +107,7 @@ def cdc_stale_ratio(spark, sf_dir):
     SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_keys,
-           round(avg(value), 6) AS avg_value
+           round(sum(value), 2) AS total_value
     FROM events GROUP BY 1
     """,
     doc="Event-time windowed rollup (streaming-shaped agg; maps to a "
@@ -120,7 +120,7 @@ def cdc_hourly_throughput(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_keys"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
 

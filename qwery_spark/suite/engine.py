@@ -75,6 +75,10 @@ def _derived_events(spark, sf_dir):
     "verified via md5(join(tokens)).",
 )
 def cdc_engine_replay(spark, sf_dir):
+    return _engine_replay(spark, sf_dir, write_mode="cow")
+
+
+def _engine_replay(spark, sf_dir, write_mode: str):
     events = _derived_events(spark, sf_dir)
     # stable ordinal-range batching (any batching is semantically safe —
     # stragglers are guarded — but ranges keep the run deterministic)
@@ -84,7 +88,7 @@ def cdc_engine_replay(spark, sf_dir):
 
     d = tempfile.mkdtemp(prefix="qwery_engine_replay_")
     try:
-        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16)
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode=write_mode)
         for b in range(_N_BATCHES):
             batch = events.filter(
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
@@ -104,3 +108,17 @@ def cdc_engine_replay(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(out)
+
+
+from qwery_spark.suite import REGISTRY  # noqa: E402
+
+
+@register(
+    "cdc_engine_replay_mor",
+    REGISTRY["cdc_engine_replay"].sql,  # identical final state, same oracle
+    doc="The same 4-batch engine replay through the MERGE-ON-READ write "
+    "path (delta append + read-time LWW resolution) — both write modes "
+    "sit on the driver's correctness gate with one shared SQL oracle.",
+)
+def cdc_engine_replay_mor(spark, sf_dir):
+    return _engine_replay(spark, sf_dir, write_mode="mor")

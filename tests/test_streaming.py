@@ -101,3 +101,34 @@ def test_stream_with_ddl_mid_stream(spark, tmp_table_dir):
     assert sum(r.ddl_applied for r in run.results) == 1
     assert "meta" in tbl.read(spark).columns
     assert_state_equals_oracle(spark, tbl, events.to_pandas())
+
+
+def test_continuous_trigger_picks_up_late_files(spark, tmp_table_dir):
+    """processingTime trigger: files arriving AFTER the stream starts are
+    ingested; stop via stop() once lineage shows them applied."""
+    import time
+
+    from qwery_spark.datagen import make_events
+
+    events = make_events(1200, seed=103)
+    first, second = events.slice(0, 600), events.slice(600, 600)
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    write_event_chunks(first, ev_dir, 2)
+    tbl = LakeTable.create(os.path.join(tmp_table_dir, "tbl"), TARGET_SCHEMA, n_buckets=4,
+                           write_mode="mor")
+    run = run_stream(spark, tbl, ev_dir, os.path.join(tmp_table_dir, "ckpt"),
+                     available_now=False, max_files_per_trigger=4)
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and sum(r.rows_in for r in run.results) < 600:
+            time.sleep(0.5)
+        # late arrivals while the query is live
+        import pyarrow.parquet as pq
+
+        pq.write_table(second, os.path.join(ev_dir, "chunk-99999.parquet"))
+        while time.monotonic() < deadline and sum(r.rows_in for r in run.results) < 1200:
+            time.sleep(0.5)
+    finally:
+        run.query.stop()
+    assert sum(r.rows_in for r in run.results) == 1200
+    assert_state_equals_oracle(spark, tbl, events.to_pandas())
