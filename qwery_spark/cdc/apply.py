@@ -137,7 +137,25 @@ def apply_changes(
         epoch_path = os.path.join(quarantine_dir, f"epoch={epoch_id if epoch_id is not None else 'batch'}")
         rejected.write.mode("overwrite").parquet(epoch_path)
 
-    drop_cols = [REASON_COL] + (["ddl"] if "ddl" in events.columns else [])
+    # per-source-partition lineage detail (kafka partition ordinals kept
+    # by parse_kafka_events as _partition): one small grouped agg, only
+    # when lineage is being recorded
+    part_details = None
+    if lineage_dir is not None and "_partition" in annotated.columns:
+        part_details = (
+            annotated.groupBy("_partition")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(REASON_COL).alias("rej"),
+                F.min("ordinal").alias("omin"),
+                F.max("ordinal").alias("omax"),
+            )
+            .collect()
+        )
+
+    drop_cols = [REASON_COL] + [
+        c for c in ("ddl", "_partition") if c in annotated.columns
+    ]
     valid = annotated.filter(F.col(REASON_COL).isNull()).drop(*drop_cols)
     # write-mode dispatch (table property, Iceberg write.merge.mode style):
     # cow = bucket-pruned rewrite MERGE over pre-deduped winners;
@@ -174,16 +192,43 @@ def apply_changes(
 
     res.wall_ms = int((time.monotonic() - t0) * 1000)
     if lineage_dir is not None:
-        _write_lineage(spark, lineage_dir, res)
+        _write_lineage(spark, lineage_dir, res, part_details)
     return res
 
 
-def _write_lineage(spark: SparkSession, lineage_dir: str, res: ApplyResult) -> None:
+def _write_lineage(
+    spark: SparkSession, lineage_dir: str, res: ApplyResult, part_details=None
+) -> None:
     from qwery_spark.schema import LINEAGE_SCHEMA
 
-    row = [
+    epoch = int(res.epoch_id if res.epoch_id is not None else -1)
+    committed = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    if part_details:
+        # one row per source partition: offset range + row counts
+        # (merge-level counts live on the batch-total row, partition=-1)
+        rows = [
+            (
+                epoch,
+                int(p["_partition"]) if p["_partition"] is not None else -1,
+                p["omin"],
+                p["omax"],
+                int(p["n"]),
+                int(p["rej"]),
+                0,
+                0,
+                0,
+                res.merge.snapshot_id,
+                int(res.wall_ms),
+                committed,
+            )
+            for p in part_details
+        ]
+    else:
+        rows = []
+    rows.append(
         (
-            int(res.epoch_id if res.epoch_id is not None else -1),
+            epoch,
+            -1,
             res.ordinal_min,
             res.ordinal_max,
             int(res.rows_in),
@@ -193,10 +238,10 @@ def _write_lineage(spark: SparkSession, lineage_dir: str, res: ApplyResult) -> N
             int(res.ddl_applied),
             res.merge.snapshot_id,
             int(res.wall_ms),
-            datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            committed,
         )
-    ]
-    df = spark.createDataFrame(row, LINEAGE_SCHEMA)
+    )
+    df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
     epoch_path = os.path.join(lineage_dir, f"epoch={res.epoch_id if res.epoch_id is not None else 'batch'}")
     df.coalesce(1).write.mode("overwrite").parquet(epoch_path)
 

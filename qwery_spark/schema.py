@@ -67,6 +67,10 @@ QUARANTINE_SCHEMA = T.StructType(
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch_id", T.LongType(), False),
+        # source partition (kafka partition id; -1 = whole batch when the
+        # source carries no partition ordinal). One lineage row per
+        # (epoch, partition): offset range + row counts per partition.
+        T.StructField("partition", T.IntegerType(), False),
         T.StructField("ordinal_min", T.LongType(), True),
         T.StructField("ordinal_max", T.LongType(), True),
         T.StructField("rows_in", T.LongType(), False),

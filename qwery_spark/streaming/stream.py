@@ -79,6 +79,9 @@ def parse_kafka_events(df: DataFrame) -> DataFrame:
         F.col("e.n_tok").alias("n_tok"),
         F.col("e.source").alias("source"),
         F.col("e.ddl").alias("ddl"),
+        # kept for per-partition lineage rows (apply_changes groups the
+        # batch stats by this when present)
+        F.col("_kafka_partition").cast("int").alias("_partition"),
     )
 
 

@@ -50,3 +50,29 @@ def test_parse_kafka_events_wire_shape(spark):
     assert [r["ordinal"] for r in out] == [7, 101]
     assert out[0]["doc_id"] == "a" and list(out[0]["tokens"]) == [1, 2]
     assert out[1]["op"] == "D" and out[1]["tokens"] is None
+
+
+def test_per_partition_lineage(spark, tmp_table_dir):
+    """Batches carrying a _partition column (kafka tail) produce one
+    lineage row per source partition plus the batch-total row."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.apply import apply_changes, read_lineage
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    events = make_events(1000, seed=107)
+    df = spark.createDataFrame(events.to_pandas()).withColumn(
+        "_partition", (F.col("ordinal") % 3).cast("int")
+    )
+    tbl = LakeTable.create(os.path.join(tmp_table_dir, "t"), TARGET_SCHEMA, n_buckets=4,
+                           write_mode="mor")
+    apply_changes(spark, tbl, df, epoch_id=0,
+                  lineage_dir=os.path.join(tmp_table_dir, "lin"))
+    lin = read_lineage(spark, os.path.join(tmp_table_dir, "lin")).toPandas()
+    parts = sorted(lin["partition"])
+    assert parts == [-1, 0, 1, 2]
+    total = lin[lin.partition == -1].iloc[0]
+    per_part = lin[lin.partition >= 0]
+    assert per_part["rows_in"].sum() == total["rows_in"]
+    assert per_part["ordinal_min"].min() == total["ordinal_min"]
+    assert per_part["ordinal_max"].max() == total["ordinal_max"]
