@@ -47,6 +47,7 @@ COLS = ["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"]
 @settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,  # driver-run stability: same examples every run
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(seq=event_sequences())
