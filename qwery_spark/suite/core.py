@@ -576,3 +576,124 @@ def q_sessionize(spark, sf_dir):
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"), F.min("event_id").alias("first_event")
     )
+
+
+# --- more window/analytic coverage -----------------------------------------
+@register(
+    "q_lead_lag",
+    """
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           round(value - lag(value) OVER w, 4) AS value_delta
+    FROM events WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="lead/lag analytics — event-stream delta computation.",
+)
+def q_lead_lag(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+@register(
+    "q_ntile_quartiles",
+    """
+    SELECT quartile, count(*) AS n,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM (
+      SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders) t
+    GROUP BY quartile
+    """,
+    doc="ntile bucketing (quartile stats). Note the global ORDER BY window "
+    "— fine for ntile reporting, not for row-wise hot paths.",
+)
+def q_ntile_quartiles(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey <= 50
+    GROUP BY c_nationkey
+    """,
+    doc="Ordered string aggregation: sort_array(collect_list) + array_join "
+    "(collect_list alone is order-nondeterministic — the sort makes it "
+    "reproducible, matching string_agg ... ORDER BY).",
+)
+def q_string_agg(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
+    )
+
+
+@register(
+    "q_corr_scalar_subquery",
+    """
+    SELECT o.o_orderkey, round(o.o_totalprice, 4) AS total
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery (each order vs its customer's average) "
+    "— Catalyst decorrelates it into an aggregate + join; the reference "
+    "had no subquery support at all.",
+)
+def q_corr_scalar_subquery(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avg_per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+@register(
+    "q04_priority_with_lineitem",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: date-ranged EXISTS semi join + grouped count.",
+)
+def q04_priority_with_lineitem(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
