@@ -108,14 +108,18 @@ def parse_hints(raw: str | None) -> dict:
         elif up == "GZIP":
             pass  # transparent in Spark
         else:
-            m = re.match(r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH)\s+'?([^']*)'?$", p,
-                         re.IGNORECASE)
+            m = re.match(
+                r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH|PARTITIONED BY)\s+'?([^']*)'?$",
+                p,
+                re.IGNORECASE,
+            )
             if not m:
                 raise ValueError(f"unknown hint: {p}")
             k = m.group(1).upper()
             v = m.group(2)
             hints[{"DELIMITER": "delimiter", "FORMAT": "format",
-                   "FIXED WIDTH": "fixed_width", "JSON PATH": "json_path"}[k]] = v
+                   "FIXED WIDTH": "fixed_width", "JSON PATH": "json_path",
+                   "PARTITIONED BY": "partitioned_by"}[k]] = v
     return hints
 
 
@@ -273,6 +277,19 @@ class ScriptEngine:
             m = re.match(r"CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(\w+)", stmt, re.IGNORECASE)
             self.functions.append(m.group(1))
             return None
+
+        if up.startswith("SHOW FILES"):
+            # reference: SHOW FILES lists the inbox dir, composable as a
+            # subquery (core:ops/sql/Show.scala:15-45)
+            m = re.match(r"SHOW\s+FILES(?:\s+'([^']*)')?", stmt, re.IGNORECASE)
+            target = m.group(1) or os.getcwd()
+            rows = []
+            for name in sorted(os.listdir(target)):
+                full = os.path.join(target, name)
+                rows.append((name, os.path.getsize(full), os.path.isdir(full)))
+            return self.spark.createDataFrame(
+                rows or [("", 0, False)], "name string, size long, is_dir boolean"
+            )
 
         if up.startswith("SHOW "):
             what = up.split()[1]

@@ -151,20 +151,24 @@ def write_sink(
     if fmt == "fixed_width":
         write_fixed_width(df, path, hints["fixed_width"], mode=mode)
         return n
+    writer = df.write.mode(mode)
+    # PARTITIONED BY hint -> hive-style directory partitioning (sink-side
+    # partition pruning for downstream readers)
+    pb = hints.get("partitioned_by")
+    if pb:
+        writer = writer.partitionBy(*[c.strip() for c in str(pb).split(",") if c.strip()])
     if fmt == "csv":
         sep = hints.get("delimiter") or delimiter_for_extension(path) or ","
-        df.write.mode(mode).option("header", bool(hints.get("headers", True))).option(
-            "sep", sep
-        ).csv(path)
+        writer.option("header", bool(hints.get("headers", True))).option("sep", sep).csv(path)
         return n
     if fmt == "json":
-        df.write.mode(mode).json(path)
+        writer.json(path)
         return n
     if fmt == "avro":
-        df.write.mode(mode).format("avro").save(path)
+        writer.format("avro").save(path)
         return n
     if fmt == "orc":
-        df.write.mode(mode).orc(path)
+        writer.orc(path)
         return n
-    df.write.mode(mode).parquet(path)
+    writer.parquet(path)
     return n

@@ -67,3 +67,60 @@ def test_update_lake_matched_only(eng, tmp_path):
     state = tbl.read(eng.spark).orderBy("doc_id").collect()
     assert [r["doc_id"] for r in state] == ["a"]
     assert list(state[0]["tokens"]) == [2, 2]
+
+
+def test_show_files_and_explain(eng, tmp_path):
+    pd.DataFrame({"a": [1]}).to_csv(tmp_path / "x.csv", index=False)
+    files = eng.execute(f"SHOW FILES '{tmp_path}'").collect()
+    assert any(r["name"] == "x.csv" for r in files)
+    # EXPLAIN passes through with source rewriting intact
+    plan = eng.execute(f"EXPLAIN SELECT a FROM '{tmp_path}/x.csv'").collect()
+    assert "Relation" in plan[0][0] or "Scan" in plan[0][0]
+
+
+def test_partitioned_by_sink(eng, tmp_path):
+    import os
+
+    out = str(tmp_path / "part.parquet")
+    eng.execute(
+        f"INSERT OVERWRITE '{out}' WITH (PARTITIONED BY 'grp') (n, grp) "
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') AS t(n, grp)"
+    )
+    dirs = {d for d in os.listdir(out) if d.startswith("grp=")}
+    assert dirs == {"grp=a", "grp=b"}
+    assert eng.spark.read.parquet(out).count() == 3
+
+
+def test_quarantine_reprocess_workflow(eng, tmp_path):
+    """The reject queue round-trip: quarantined events, fixed upstream,
+    re-applied in a later epoch."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.apply import apply_changes, read_quarantine
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    spark = eng.spark
+    tbl = LakeTable.create(str(tmp_path / "lake"), TARGET_SCHEMA, n_buckets=4)
+    qdir = str(tmp_path / "quarantine")
+    bad = pd.DataFrame(
+        [(1, "I", "a", [1, 2], 3, "web", None)],  # n_tok mismatch -> quarantined
+        columns=["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"],
+    )
+    r = apply_changes(spark, tbl, spark.createDataFrame(bad, schema=EVENT_SCHEMA),
+                      epoch_id=0, quarantine_dir=qdir)
+    assert r.rows_rejected == 1 and tbl.read(spark).count() == 0
+
+    q = read_quarantine(spark, qdir)
+    assert q.count() == 1 and q.collect()[0]["reject_reason"] == "n_tok_mismatch"
+    # fix: recompute n_tok, bump ordinal (the corrected event is a NEW
+    # WAL entry), strip bookkeeping columns, re-apply
+    fixed = (
+        q.withColumn("n_tok", F.size("tokens"))
+        .withColumn("ordinal", F.col("ordinal") + 100)
+        .drop("reject_reason", "epoch_id")
+    )
+    r2 = apply_changes(spark, tbl, fixed, epoch_id=1)
+    assert r2.rows_rejected == 0
+    state = tbl.read(spark).collect()
+    assert len(state) == 1 and state[0]["n_tok"] == 2
