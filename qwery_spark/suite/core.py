@@ -39,7 +39,7 @@ def q01_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -74,7 +74,7 @@ def q01_pricing_summary(spark, sf_dir):
 def q03_segment_revenue(spark, sf_dir):
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
     )
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -107,8 +107,8 @@ def q03_segment_revenue(spark, sf_dir):
 def q05_nation_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -140,8 +140,8 @@ def q06_forecast_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -402,7 +402,7 @@ def q_scalar_math(spark, sf_dir):
 )
 def q_date_funcs(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
     )
     return (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
@@ -687,8 +687,8 @@ def q_corr_scalar_subquery(spark, sf_dir):
 )
 def q04_priority_with_lineitem(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
     )
     li = load(spark, sf_dir, "lineitem")
     semi = o.join(
