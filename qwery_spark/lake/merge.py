@@ -278,6 +278,7 @@ def merge_changes(
     collect_stats: bool = True,
     max_records_per_file: int = 2_000_000,
     insert_missing: bool = True,
+    broadcast_threshold: int = 4_000_000,
 ) -> MergeStats:
     """Apply a key-unique change batch to the table.
 
@@ -337,16 +338,56 @@ def merge_changes(
         out_cols.append(F.coalesce(F.col("s.`_bucket`"), F.col("t.`_bucket`")).alias("_bucket"))
 
         # target bucket derived on the fly (cheap; no shuffle added)
-        join_how = "full_outer" if insert_missing else "left"
-        joined = tgt.withColumn(
+        tgt_b = tgt.withColumn(
             "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
-        ).alias("t").join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), join_how)
+        ).alias("t")
         act = (
             F.when(apply_change & is_delete, "del")
             .when(apply_change, "up")
             .when(F.col("s.ordinal").isNotNull(), "stale")
         )
-        result = joined.select(*out_cols, act.alias("_act"))
+        join_cond = F.col(f"t.`{key}`") == F.col(f"s.`{key}`")
+
+        n_src = src.count()  # persisted; the broadcast decision needs it
+        use_broadcast = insert_missing and n_src <= broadcast_threshold
+        if use_broadcast:
+            # ---- BROADCAST MERGE: the target side NEVER shuffles ----
+            # updates + carried rows: map-side broadcast left join
+            matched = tgt_b.join(F.broadcast(s), join_cond, "left").select(
+                *out_cols, act.alias("_act")
+            )
+            # inserts: src keys absent from the target. matched_keys is
+            # <= |src| rows (broadcast semi), so the anti join broadcasts
+            # too — the only shuffle left is the small inserts' bucket
+            # layout for the partitioned write.
+            matched_keys = (
+                tgt_b.join(F.broadcast(s), join_cond, "left_semi")
+                .select(F.col(f"t.`{key}`").alias(key))
+            )
+            ins_delete = F.col("op") == "D"
+            inserts = (
+                src.join(F.broadcast(matched_keys), key, "left_anti")
+                .select(
+                    F.col(key),
+                    *[
+                        F.when(ins_delete, F.lit(None).cast(f["type"]))
+                        .otherwise(F.col(f"`{f['name']}`"))
+                        .alias(f["name"])
+                        for f in ufields
+                        if f["name"] != key
+                    ],
+                    F.col("ordinal").alias("last_ordinal"),
+                    ins_delete.alias("_deleted"),
+                    F.col("_bucket"),
+                    F.when(ins_delete, "del").otherwise("up").alias("_act"),
+                )
+                .repartition(max(min(len(touched), 64), 1), "_bucket")
+            )
+            result = matched.unionByName(inserts)
+        else:
+            join_how = "full_outer" if insert_missing else "left"
+            joined = tgt_b.join(s, join_cond, join_how)
+            result = joined.select(*out_cols, act.alias("_act"))
 
         obs = None
         if collect_stats:
@@ -362,9 +403,14 @@ def merge_changes(
             )
         result = result.drop("_act")
 
-        # ---- write new files for touched buckets (one task per bucket) ----
+        # ---- write new files for touched buckets ----
+        # broadcast path: matched rows are already target-scan-local and
+        # inserts are bucket-repartitioned — re-shuffling would undo the
+        # zero-shuffle plan, so write as-is (partitionBy still routes
+        # rows to the right bucket dirs).
         new_files = _stage_write(
-            result, table, snap.schema_version, len(touched), max_records_per_file
+            result, table, snap.schema_version, len(touched), max_records_per_file,
+            repartition=not use_broadcast,
         )
         stats = MergeStats(touched_buckets=len(touched))
         if obs is not None:

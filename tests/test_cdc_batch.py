@@ -159,3 +159,21 @@ def test_validation_arrow_matches_builtin(spark, tmp_table_dir):
     pb = b.toPandas().sort_values("ordinal").reset_index(drop=True)
     assert pa_.equals(pb)
     assert pa_["reject_reason"].notna().sum() > 0
+
+
+def test_shuffle_merge_path_matches_oracle(spark, tmp_table_dir):
+    """Force the full-outer shuffle MERGE (broadcast_threshold=0) — the
+    big-batch path must stay semantically identical."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.dedup import lww_dedup
+    from qwery_spark.cdc.validate import split_valid
+    from qwery_spark.lake.merge import merge_changes
+
+    tbl = _mk_table(tmp_table_dir)
+    events = make_events(4000, seed=113)
+    for i, (lo, hi) in enumerate([(0, 2000), (2000, 4000)]):
+        df = _events_df(spark, events.slice(lo, hi - lo))
+        valid, _ = split_valid(df.filter(F.col("op") != "DDL").drop("ddl"))
+        merge_changes(spark, tbl, lww_dedup(valid), epoch_id=i, broadcast_threshold=0)
+    assert_state_equals_oracle(spark, tbl, events.to_pandas())

@@ -80,3 +80,41 @@ def test_lww_dedup_partial_aggregates(spark):
     dd = lww_dedup(ev.drop("ddl"))
     p = dd._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in p, p
+
+
+def test_broadcast_merge_no_target_shuffle(spark, tmp_table_dir):
+    """Small batches take the broadcast MERGE: the target side must reach
+    the write without any hash-partitioning exchange (only the small
+    inserts repartition)."""
+    import pandas as pd
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=8)
+    ev = make_events(2000, seed=3)
+    apply_changes(spark, tbl, spark.createDataFrame(ev.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=0)
+    snap = tbl.snapshot()
+    assert snap.m["summary"]["operation"] == "merge"
+    # second epoch: same-shape merge; verify join strategy via the plan of
+    # an equivalent construction
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.dedup import lww_dedup
+    from qwery_spark.cdc.validate import split_valid
+    from qwery_spark.lake.merge import _align_batch
+
+    more = make_events(500, seed=5, start_ordinal=2000)
+    df = spark.createDataFrame(more.to_pandas(), schema=EVENT_SCHEMA)
+    valid, _ = split_valid(df.filter(F.col("op") != "DDL").drop("ddl"))
+    src = _align_batch(lww_dedup(valid), snap, "doc_id").alias("s")
+    tgt = tbl.read_physical(spark).withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    ).alias("t")
+    joined = tgt.join(F.broadcast(src), F.col("t.doc_id") == F.col("s.doc_id"), "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
