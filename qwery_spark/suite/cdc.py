@@ -178,3 +178,69 @@ def cdc_json_props(spark, sf_dir):
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _with_tokens(spark, sf_dir):
+    """Deterministic token arrays derived from event_id (same derivation
+    as the engine-replay entries — SQL-mirrorable)."""
+    ev = load(spark, sf_dir, "events")
+    tokens = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 7).cast("int")),
+        lambda i: ((F.col("event_id") * 37 + i * 13) % 50257).cast("int"),
+    )
+    return ev.select(F.col("event_id").alias("ordinal"), tokens.alias("tokens"))
+
+
+_TOKENS_SQL = """
+      SELECT event_id AS ordinal,
+             list_transform(range(0, CAST(event_id % 7 AS INTEGER) + 1),
+                            i -> CAST((event_id * 37 + i * 13) % 50257 AS INTEGER)) AS tokens
+      FROM events
+"""
+
+
+@register(
+    "tok_histogram",
+    f"""
+    SELECT token % 100 AS token_bucket, count(*) AS n
+    FROM (SELECT unnest(tokens) AS token FROM ({_TOKENS_SQL}) t) u
+    GROUP BY 1
+    """,
+    doc="Token histogram: explode token arrays -> bucketed counts (vocab "
+    "frequency analysis; explode+partial-agg, one shuffle on a "
+    "100-value key).",
+)
+def tok_histogram(spark, sf_dir):
+    t = _with_tokens(spark, sf_dir)
+    return (
+        t.select(F.explode("tokens").alias("token"))
+        .groupBy((F.col("token") % 100).alias("token_bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "tok_array_stats",
+    f"""
+    SELECT ordinal,
+           len(tokens) AS n_tok,
+           CAST(list_sum(tokens) AS BIGINT) AS token_sum,
+           list_min(tokens) AS token_min,
+           list_max(tokens) AS token_max
+    FROM ({_TOKENS_SQL}) t
+    """,
+    doc="Per-row token-array statistics WITHOUT explode: native array "
+    "aggregates (size/aggregate-fold/array_min/array_max) — zero "
+    "shuffle, whole-stage codegen over the list buffers.",
+)
+def tok_array_stats(spark, sf_dir):
+    t = _with_tokens(spark, sf_dir)
+    return t.select(
+        "ordinal",
+        F.size("tokens").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "token_sum"
+        ),
+        F.array_min("tokens").alias("token_min"),
+        F.array_max("tokens").alias("token_max"),
+    )
