@@ -178,10 +178,19 @@ def main():
             }
 
         spark = _fresh_spark(CPUS)
-        _replay(spark, head_files, N_BUCKETS, N_BATCHES)  # warm
-        replay_sec = _replay(spark, head_files, N_BUCKETS, N_BATCHES, compact_at_end=True)
+        # tmpfs + best-of-2: the shared host's disk variance must not leak
+        # into the recorded headline
+        _replay(spark, head_files, N_BUCKETS, N_BATCHES, tmp_dir=FAST_TMP)  # warm
+        replay_sec = min(
+            _replay(spark, head_files, N_BUCKETS, N_BATCHES, compact_at_end=True,
+                    tmp_dir=FAST_TMP)
+            for _ in range(2)
+        )
         # write-amplification evidence: same replay through the COW MERGE
-        cow_sec = _replay(spark, head_files, N_BUCKETS, N_BATCHES, mode="cow")
+        cow_sec = min(
+            _replay(spark, head_files, N_BUCKETS, N_BATCHES, mode="cow", tmp_dir=FAST_TMP)
+            for _ in range(2)
+        )
 
         from qwery_spark.suite import REGISTRY
 
