@@ -329,6 +329,9 @@ class ScriptEngine:
             # (core:ops/sql/Update.scala:19-44)
             return self._upsert(stmt, insert_missing=False)
 
+        if re.match(r"DELETE\s+FROM\s+LAKE\b", up):
+            return self._delete(stmt)
+
         if up.startswith("SELECT") or up.startswith("WITH"):
             # reference TOP n (core:SQLLanguageParser.scala:814) -> LIMIT n,
             # applied to OUTPUT rows (documented divergence: the reference
@@ -417,6 +420,46 @@ class ScriptEngine:
         return self.spark.createDataFrame(
             [(stats.rows_upserted, stats.rows_deleted, stats.rows_stale)],
             "ROWS_UPSERTED long, ROWS_DELETED long, ROWS_STALE long",
+        )
+
+    def _delete(self, stmt: str):
+        """DELETE FROM LAKE 'path' KEYED ON key ORDINAL <n> [WHERE pred].
+
+        Predicate-driven bulk delete: matching live rows become delete
+        events at the given ordinal (a NEW WAL position — the caller
+        owns ordinal allocation, keeping LWW total order intact), then
+        the normal MERGE/tombstone machinery applies them."""
+        from pyspark.sql import functions as F
+
+        from qwery_spark.cdc.dedup import lww_dedup
+        from qwery_spark.lake.merge import append_changes, merge_changes
+        from qwery_spark.lake.table import LakeTable
+
+        m = re.match(
+            r"DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
+            r"\s+ORDINAL\s+(\d+)(?:\s+WHERE\s+(.+))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"bad DELETE: {stmt}")
+        path, key, ordinal, pred = m.group(1), m.group(2), int(m.group(3)), m.group(4)
+        tbl = LakeTable(path)
+        live = tbl.read(self.spark)
+        if pred:
+            live = live.filter(pred)
+        batch = live.select(
+            F.col(key).alias("doc_id") if key != "doc_id" else F.col(key),
+            F.lit("D").alias("op"),
+            F.lit(ordinal).cast("bigint").alias("ordinal"),
+        )
+        if tbl.snapshot().write_mode == "mor":
+            stats = append_changes(self.spark, tbl, batch)
+        else:
+            stats = merge_changes(self.spark, tbl, lww_dedup(batch))
+        return self.spark.createDataFrame(
+            [(stats.rows_deleted, stats.rows_stale)],
+            "ROWS_DELETED long, ROWS_STALE long",
         )
 
     def run_script(self, script: str) -> list:

@@ -124,3 +124,30 @@ def test_quarantine_reprocess_workflow(eng, tmp_path):
     assert r2.rows_rejected == 0
     state = tbl.read(spark).collect()
     assert len(state) == 1 and state[0]["n_tok"] == 2
+
+
+def test_delete_from_lake(eng, tmp_path):
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4, write_mode="mor")
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+        "SELECT * FROM VALUES "
+        "(1, 'a', array(1), 1, 'web'), (2, 'b', array(2), 1, 'code'), "
+        "(3, 'c', array(3), 1, 'web') AS t(ord, doc_id, tokens, n_tok, source)"
+    )
+    res = eng.execute(
+        f"DELETE FROM LAKE '{path}' KEYED ON doc_id ORDINAL 10 WHERE source = 'web'"
+    ).collect()[0]
+    assert res["ROWS_DELETED"] == 2
+    tbl = LakeTable(path)
+    state = tbl.read(eng.spark).collect()
+    assert [r["doc_id"] for r in state] == ["b"]
+    # straggler below the delete ordinal cannot resurrect
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+        "SELECT * FROM VALUES (5, 'a', array(9), 1, 'web') AS t(ord, doc_id, tokens, n_tok, source)"
+    )
+    assert sorted(r["doc_id"] for r in tbl.read(eng.spark).collect()) == ["b"]
