@@ -42,6 +42,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         )
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
+    # The driver's value-hash is representation-sensitive: a DuckDB HUGEINT
+    # (-> float64/object in pandas) vs a Spark BIGINT (int64) hash-mismatches
+    # even when values are equal.  Flag any dtype divergence so local runs
+    # predict the driver gate (round-1 lesson: q_scalar_math et al.).
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and not ({ka, kb} <= {"i", "u"}):
+            problems.append(f"col {c}: dtype kind spark={a[c].dtype} duck={b[c].dtype}")
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(dtype=object), b[c].to_numpy(dtype=object)

@@ -371,7 +371,7 @@ def q_scalar_strings(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            round(sqrt(l_quantity), 6) AS qty_sqrt,
            round(pow(1 + l_tax, 2), 6) AS tax_sq,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem WHERE l_orderkey <= 100
     """,
     doc="Math builtins: SQRT/POW/SIGN (reference Sqrt.scala, Pow.scala, "
@@ -418,7 +418,7 @@ def q_date_funcs(spark, sf_dir):
     """
     SELECT o_orderpriority,
            count(*) AS n,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            round(avg(CASE WHEN o_totalprice > 10000 THEN o_totalprice END), 4) AS avg_big
     FROM orders GROUP BY o_orderpriority
     """,
@@ -539,8 +539,8 @@ def q_cube(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
