@@ -5,9 +5,15 @@ the storage contract it needs directly on parquet + JSON manifests. The
 design mirrors Iceberg 1:1 so the table layer can be swapped for a real
 Iceberg catalog on a cluster (see docstrings on each method):
 
-  * every commit writes an immutable manifest ``_manifests/v{N}.json``
-    (atomic create-exclusive; single-writer driver) listing ALL live
-    data files -> snapshot isolation, time travel, O(1) rollback.
+  * every commit writes an immutable record ``_manifests/v{N}.json``
+    (atomic create-exclusive; single-writer driver). Records are
+    DELTAS — only the files added and the buckets replaced by THAT
+    commit — so commit metadata cost is O(touched buckets), never
+    O(table files). Every CKPT_EVERY commits a derived checkpoint
+    ``_manifests/ckpt-{N}.json`` materializes the full folded state
+    (the Delta-Lake log/checkpoint shape; Iceberg's manifest-list is
+    the same idea). Snapshot isolation, time travel and O(1) rollback
+    fall out of replaying the log to any version.
   * data files live under ``data/snap-{N}/_bucket={B}/`` where
     B = pmod(xxhash64(doc_id), n_buckets)  — Iceberg's hidden
     ``bucket(N, doc_id)`` partition transform. MERGE prunes to the
@@ -39,6 +45,16 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+# checkpoint cadence: a full-state snapshot every K commits bounds log
+# replay to K delta reads; between checkpoints each commit writes only
+# its own delta (O(touched buckets) bytes — the 10^10-event requirement)
+CKPT_EVERY = 32
+
+# folded-state cache: records are immutable, so (version -> state) can
+# never go stale; keyed by table path, holding only the newest folded
+# version per table (the head advances incrementally, O(1) per commit)
+_STATE_CACHE: dict[str, tuple[int, dict]] = {}
 
 # widenings permitted by widen_type (Iceberg-compatible set)
 _ALLOWED_WIDEN = {
@@ -114,12 +130,18 @@ class LakeTable:
     def __init__(self, path: str):
         self.path = path
 
-    # ---------------- manifest plumbing ----------------
+    # ---------------- manifest plumbing (delta log + checkpoints) -------
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, MANIFEST_DIR, f"v{version:08d}.json")
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, f"ckpt-{version:08d}.json")
+
+    def _mdir(self) -> str:
+        return os.path.join(self.path, MANIFEST_DIR)
+
     def current_version(self) -> int:
-        mdir = os.path.join(self.path, MANIFEST_DIR)
+        mdir = self._mdir()
         if not os.path.isdir(mdir):
             raise FileNotFoundError(f"not a lake table: {self.path}")
         versions = [
@@ -129,21 +151,105 @@ class LakeTable:
             raise FileNotFoundError(f"no manifests in {mdir}")
         return max(versions)
 
+    @staticmethod
+    def _fold(state: dict, rec: dict) -> dict:
+        """Apply one delta record to a folded state. A record carrying a
+        full ``files`` list IS a state (the create record, a manually
+        materialized manifest, or a legacy round-1 full manifest)."""
+        if "files" in rec:
+            return dict(rec)
+        s = dict(state)
+        s["version"] = rec["version"]
+        s["parent"] = rec.get("parent")
+        s["snapshot_id"] = rec["snapshot_id"]
+        s["epoch_id"] = rec.get("epoch_id")
+        if rec.get("epoch_id") is not None:
+            s["applied_epochs"] = sorted(
+                set(s.get("applied_epochs", [])) | {rec["epoch_id"]}
+            )
+        rep = set(rec.get("replace_buckets", ()))
+        if rep or rec.get("add_files"):
+            s["files"] = [
+                f for f in s["files"] if f["bucket"] not in rep
+            ] + rec.get("add_files", [])
+        unresolved = (set(s.get("unresolved_buckets", ())) - rep) | set(
+            rec.get("append_buckets", ())
+        )
+        s["unresolved_buckets"] = sorted(unresolved)
+        s["resolved"] = not unresolved
+        sc = rec.get("schema_change")
+        if sc is not None:
+            s["schema_version"] = sc["schema_version"]
+            schemas = dict(s["schemas"])
+            schemas[str(sc["schema_version"])] = sc["fields"]
+            s["schemas"] = schemas
+        s["summary"] = rec.get("summary", {})
+        return s
+
+    def _load_state(self, v: int) -> dict:
+        """Reconstruct the folded state at version ``v``: newest full
+        state (checkpoint / full record / cached head) <= v, then replay
+        the delta records up to v."""
+        cached = _STATE_CACHE.get(self.path)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        mdir = self._mdir()
+        names = os.listdir(mdir)
+        ckpts = [
+            int(n[5:13]) for n in names if n.startswith("ckpt-") and n.endswith(".json")
+        ]
+        base_v, state = -1, None
+        if cached is not None and cached[0] < v:
+            base_v, state = cached
+        best_ckpt = max((c for c in ckpts if base_v < c <= v), default=None)
+        if best_ckpt is not None:
+            with open(self._ckpt_path(best_ckpt)) as fh:
+                base_v, state = best_ckpt, json.load(fh)
+        start = base_v + 1
+        for i in range(start, v + 1):
+            with open(self._manifest_path(i)) as fh:
+                rec = json.load(fh)
+            if state is None and "files" not in rec:
+                raise FileNotFoundError(
+                    f"no full state at or below v{i} in {mdir} (expired?)"
+                )
+            state = self._fold(state or {}, rec)
+        if state is None:
+            raise FileNotFoundError(f"no manifest v{v} in {mdir}")
+        return state
+
     def snapshot(self, version: int | None = None) -> Snapshot:
-        v = self.current_version() if version is None else version
-        with open(self._manifest_path(v)) as fh:
-            return Snapshot(json.load(fh), self.path)
+        head = self.current_version()
+        v = head if version is None else version
+        state = self._load_state(v)
+        if v == head:
+            _STATE_CACHE[self.path] = (v, state)
+        return Snapshot(state, self.path)
 
     def _write_manifest(self, manifest: dict) -> Snapshot:
+        """Write one commit record (delta or full). Create-exclusive:
+        os.link fails if the version exists, giving atomic single-winner
+        semantics (Iceberg: catalog CAS)."""
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        # create-exclusive commit: os.link fails if the target exists,
-        # giving atomic single-winner semantics (Iceberg: catalog CAS).
         os.link(tmp, path)
         os.unlink(tmp)
         return Snapshot(manifest, self.path)
+
+    def _commit_record(self, rec: dict, folded: dict) -> Snapshot:
+        """Write a delta record, advance the state cache, and drop a
+        checkpoint every CKPT_EVERY commits (amortized O(files)/K)."""
+        self._write_manifest(rec)
+        _STATE_CACHE[self.path] = (rec["version"], folded)
+        if rec["version"] % CKPT_EVERY == 0:
+            ck = self._ckpt_path(rec["version"])
+            tmp = ck + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(folded, fh)
+            os.replace(tmp, ck)  # derived cache: last writer fine
+        return Snapshot(folded, self.path)
 
     # ---------------- DDL ----------------
     @classmethod
@@ -325,45 +431,36 @@ class LakeTable:
             raise RuntimeError(
                 f"concurrent commit: base v{base.version} != latest v{latest.version}"
             )
-        kept = [f for f in latest.files() if f["bucket"] not in replaced_buckets]
-        unresolved = (latest.unresolved_buckets - set(replaced_buckets)) | set(
-            append_buckets or ()
-        )
-        manifest = dict(latest.m)
-        manifest["unresolved_buckets"] = sorted(unresolved)
-        manifest["resolved"] = not unresolved
-        manifest["version"] = latest.version + 1
-        manifest["parent"] = latest.snapshot_id
-        manifest["snapshot_id"] = uuid.uuid4().hex
-        manifest["epoch_id"] = epoch_id
-        manifest["applied_epochs"] = sorted(
-            latest.applied_epochs | ({epoch_id} if epoch_id is not None else set())
-        )
-        manifest["files"] = kept + new_files
-        manifest["summary"] = summary or {}
+        rec = {
+            "version": latest.version + 1,
+            "parent": latest.snapshot_id,
+            "snapshot_id": uuid.uuid4().hex,
+            "epoch_id": epoch_id,
+            "replace_buckets": sorted(replaced_buckets),
+            "append_buckets": sorted(append_buckets or ()),
+            "add_files": new_files,
+            "summary": summary or {},
+        }
         if new_schema is not None:
             sv, fields = new_schema
-            manifest["schema_version"] = sv
-            schemas = dict(manifest["schemas"])
-            schemas[str(sv)] = fields
-            manifest["schemas"] = schemas
-        return self._write_manifest(manifest)
+            rec["schema_change"] = {"schema_version": sv, "fields": fields}
+        return self._commit_record(rec, self._fold(latest.m, rec))
 
     def commit_schema_change(self, fields: list[dict], summary: dict) -> Snapshot:
         """Metadata-only commit: new schema version, files untouched."""
         latest = self.snapshot()
-        manifest = dict(latest.m)
-        manifest["version"] = latest.version + 1
-        manifest["parent"] = latest.snapshot_id
-        manifest["snapshot_id"] = uuid.uuid4().hex
-        manifest["epoch_id"] = None
-        sv = latest.schema_version + 1
-        manifest["schema_version"] = sv
-        schemas = dict(manifest["schemas"])
-        schemas[str(sv)] = fields
-        manifest["schemas"] = schemas
-        manifest["summary"] = summary
-        return self._write_manifest(manifest)
+        rec = {
+            "version": latest.version + 1,
+            "parent": latest.snapshot_id,
+            "snapshot_id": uuid.uuid4().hex,
+            "epoch_id": None,
+            "schema_change": {
+                "schema_version": latest.schema_version + 1,
+                "fields": fields,
+            },
+            "summary": summary,
+        }
+        return self._commit_record(rec, self._fold(latest.m, rec))
 
     # ---------------- maintenance (Iceberg expire_snapshots / orphan GC) --
     def expire_snapshots(self, keep_last: int = 3) -> int:
@@ -371,12 +468,27 @@ class LakeTable:
         window). applied_epochs accumulate forward, so exactly-once
         replay protection survives expiry. Returns manifests removed."""
         mdir = os.path.join(self.path, MANIFEST_DIR)
+        names = os.listdir(mdir)
         versions = sorted(
-            int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+            int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
         )
         to_drop = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        if not to_drop:
+            return 0
+        oldest_kept = versions[len(to_drop)]
+        # the oldest surviving version must stay reconstructable after the
+        # log below it is gone: materialize a checkpoint there first
+        if not os.path.exists(self._ckpt_path(oldest_kept)):
+            state = self._load_state(oldest_kept)
+            tmp = self._ckpt_path(oldest_kept) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, self._ckpt_path(oldest_kept))
         for v in to_drop:
             os.unlink(self._manifest_path(v))
+        for n in names:
+            if n.startswith("ckpt-") and n.endswith(".json") and int(n[5:13]) < oldest_kept:
+                os.unlink(os.path.join(mdir, n))
         return len(to_drop)
 
     def vacuum(self) -> int:
@@ -385,9 +497,13 @@ class LakeTable:
         mdir = os.path.join(self.path, MANIFEST_DIR)
         live: set[str] = set()
         for n in os.listdir(mdir):
-            if n.startswith("v") and n.endswith(".json"):
+            if n.endswith(".json") and (n.startswith("v") or n.startswith("ckpt-")):
                 with open(os.path.join(mdir, n)) as fh:
-                    live.update(f["path"] for f in json.load(fh)["files"])
+                    rec = json.load(fh)
+                # full states carry "files"; delta records carry "add_files"
+                live.update(
+                    f["path"] for f in rec.get("files", []) + rec.get("add_files", [])
+                )
         removed = 0
         droot = os.path.join(self.path, DATA_DIR)
         for root, _dirs, files in os.walk(droot, topdown=False):
