@@ -42,7 +42,12 @@ def _builtin_reason(vocab: int):
     return (
         F.when((F.col("op") != "DDL") & F.col("doc_id").isNull(), F.lit("null_doc_id"))
         .when(has_payload & F.col("tokens").isNull(), F.lit("null_tokens"))
-        .when(has_payload & (F.size("tokens") != F.col("n_tok")), F.lit("n_tok_mismatch"))
+        # null-safe: n_tok NULL with a non-null payload is a mismatch, not
+        # a three-valued-logic pass (must agree with arrow mode + oracle)
+        .when(
+            has_payload & ~F.col("n_tok").eqNullSafe(F.size("tokens")),
+            F.lit("n_tok_mismatch"),
+        )
         .when(
             has_payload
             & F.exists("tokens", lambda x: x.isNull() | (x < 0) | (x >= F.lit(vocab))),

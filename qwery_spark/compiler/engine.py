@@ -33,14 +33,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 from qwery_spark.sources import read_source, write_sink
 
+# the hint block allows ONE level of nesting so the reference's
+# parenthesized forms parse: WITH (JSON PATH (a,b))
+# (core:SQLLanguageParser.scala hint tag %w)
+_HINTS = r"((?:[^()]|\([^()]*\))*)"
 _SOURCE_RE = re.compile(
-    r"\b(FROM|JOIN)\s+'([^']+)'(\s+WITH\s*\(([^()]*)\))?",
+    r"\b(FROM|JOIN)\s+'([^']+)'(\s+WITH\s*\(" + _HINTS + r"\))?",
     re.IGNORECASE,
 )
 _INTO_RE = re.compile(
-    r"\bINTO\s+'([^']+)'(\s+WITH\s*\(([^()]*)\))?",
+    r"\bINTO\s+'([^']+)'(\s+WITH\s*\(" + _HINTS + r"\))?",
     re.IGNORECASE,
 )
+
+
+def _is_word(ch: str) -> bool:
+    return ch.isalnum() or ch == "_"
 
 
 def split_statements(text: str) -> list[str]:
@@ -54,9 +62,20 @@ def split_statements(text: str) -> list[str]:
             in_q = not in_q
         if not in_q:
             up = text[i : i + 6].upper()
-            if up.startswith("BEGIN") and (i + 5 == n or not text[i + 5].isalnum()):
+            # both boundaries must be non-word: identifiers like
+            # 'trend', 'weekend' or 'end_time' are not block keywords
+            at_word_start = i == 0 or not _is_word(text[i - 1])
+            if (
+                up.startswith("BEGIN")
+                and at_word_start
+                and (i + 5 == n or not _is_word(text[i + 5]))
+            ):
                 depth += 1
-            elif up.startswith("END") and (i + 3 == n or not text[i + 3].isalnum()):
+            elif (
+                up.startswith("END")
+                and at_word_start
+                and (i + 3 == n or not _is_word(text[i + 3]))
+            ):
                 depth = max(depth - 1, 0)
         if ch == ";" and not in_q and depth == 0:
             stmt = "".join(buf).strip()
@@ -73,12 +92,17 @@ def split_statements(text: str) -> list[str]:
 
 
 def split_commas(raw: str) -> list[str]:
-    """Split on commas outside single quotes."""
-    parts, buf, in_q = [], [], False
+    """Split on commas outside single quotes and outside parentheses
+    (so hint values like JSON PATH (a,b) stay whole)."""
+    parts, buf, in_q, depth = [], [], False, 0
     for ch in raw:
         if ch == "'":
             in_q = not in_q
-        if ch == "," and not in_q:
+        elif not in_q and ch == "(":
+            depth += 1
+        elif not in_q and ch == ")":
+            depth = max(depth - 1, 0)
+        if ch == "," and not in_q and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
@@ -108,18 +132,22 @@ def parse_hints(raw: str | None) -> dict:
         elif up == "GZIP":
             pass  # transparent in Spark
         else:
+            # both value forms the reference accepts: KEY 'v' and KEY (v)
+            # (e.g. WITH (JSON PATH (a,b)) — core:SQLLanguageParser.scala)
             m = re.match(
-                r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH|PARTITIONED BY)\s+'?([^']*)'?$",
+                r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH|PARTITIONED BY|AVRO)"
+                r"\s*(?:'([^']*)'|\(([^()]*)\)|(\S+))\s*$",
                 p,
                 re.IGNORECASE,
             )
             if not m:
                 raise ValueError(f"unknown hint: {p}")
-            k = m.group(1).upper()
-            v = m.group(2)
+            k = re.sub(r"\s+", " ", m.group(1).upper())
+            v = next(g for g in m.groups()[1:] if g is not None)
             hints[{"DELIMITER": "delimiter", "FORMAT": "format",
                    "FIXED WIDTH": "fixed_width", "JSON PATH": "json_path",
-                   "PARTITIONED BY": "partitioned_by"}[k]] = v
+                   "PARTITIONED BY": "partitioned_by",
+                   "AVRO": "avro_schema"}[k]] = v
     return hints
 
 
@@ -152,7 +180,10 @@ class ScriptEngine:
     # ---------------- template + variable expansion ----------------
     def expand(self, text: str) -> str:
         """{{ var }} textual templating (core:sources/DataResource.scala:41
-        calls scope.expand) then @var -> SQL literal substitution."""
+        calls scope.expand — it applies INSIDE quoted paths, e.g.
+        FROM '{{work.file.path}}'), then @var -> SQL-literal substitution
+        OUTSIDE single-quoted strings only (the reference tokenizer is
+        quote-aware: 'bob@example.com' is a plain literal, not a var)."""
 
         def tmpl(m):
             name = m.group(1).strip()
@@ -168,7 +199,24 @@ class ScriptEngine:
                 raise KeyError(f"undefined variable: @{name}")
             return _sql_literal(self.variables[name])
 
-        return re.sub(r"@([A-Za-z_][\w.]*)", var, text)
+        out, i, n, start = [], 0, len(text), 0
+        while i < n:
+            if text[i] == "'":
+                out.append(re.sub(r"@([A-Za-z_][\w.]*)", var, text[start:i]))
+                j = i + 1
+                while j < n:
+                    if text[j] == "'":
+                        if j + 1 < n and text[j + 1] == "'":  # '' escape
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(text[i : min(j + 1, n)])
+                i = start = j + 1
+            else:
+                i += 1
+        out.append(re.sub(r"@([A-Za-z_][\w.]*)", var, text[start:]))
+        return "".join(out)
 
     # ---------------- source rewriting ----------------
     def _rewrite_sources(self, sql: str) -> str:
@@ -227,9 +275,17 @@ class ScriptEngine:
             )
             if not m:
                 raise ValueError(f"bad CREATE PROCEDURE: {raw[:120]}")
-            name, params = m.group(1), [
-                p.strip().lstrip("@") for p in (m.group(3) or "").split(",") if p.strip()
-            ]
+            name = m.group(1)
+            params: list[tuple[str, bool]] = []  # (name, is_out)
+            for p in (m.group(3) or "").split(","):
+                p = p.strip()
+                if not p:
+                    continue
+                # OUT @x params write back into the caller's scope
+                # (core:ops/sql/Procedure.scala:10-26)
+                is_out = bool(re.match(r"OUT\s+", p, re.IGNORECASE))
+                pname = re.sub(r"^OUT\s+", "", p, flags=re.IGNORECASE).lstrip("@")
+                params.append((pname, is_out))
             self.procedures[name] = (params, m.group(4))
             return None
 
@@ -245,13 +301,30 @@ class ScriptEngine:
             if len(args) != len(params):
                 raise ValueError(f"{name} expects {len(params)} args, got {len(args)}")
             saved = dict(self.variables)
+            out_vals: dict[str, object] | None = None
             try:
-                for p, a in zip(params, args):
-                    self.variables[p] = self.spark.sql(f"SELECT {self.expand(a)}").first()[0]
+                out_binds: list[tuple[str, str]] = []  # (param, caller var)
+                for (p, is_out), a in zip(params, args):
+                    if is_out:
+                        mo = re.match(r"@([\w.]+)$", a)
+                        if not mo:
+                            raise ValueError(
+                                f"OUT param {p} of {name} needs a @variable argument, got {a!r}"
+                            )
+                        out_binds.append((p, mo.group(1)))
+                        self.variables[p] = self.variables.get(mo.group(1))
+                    else:
+                        self.variables[p] = self.spark.sql(
+                            f"SELECT {self.expand(a)}"
+                        ).first()[0]
                 results = self.run_script(body)
+                out_vals = {cv: self.variables.get(p) for p, cv in out_binds}
                 return results[-1] if results else None
             finally:
                 self.variables = saved
+                if out_vals:
+                    # OUT params survive into the caller scope
+                    self.variables.update(out_vals)
 
         stmt = self.expand(raw)
         up = stmt.upper()
@@ -303,7 +376,10 @@ class ScriptEngine:
                 rows = [(f,) for f in self.functions]
                 return self.spark.createDataFrame(rows or [("",)], "name string")
             if what == "PROCEDURES":
-                rows = [(n, ", ".join(p)) for n, (p, _) in sorted(self.procedures.items())]
+                rows = [
+                    (n, ", ".join(("OUT " if o else "") + pn for pn, o in p))
+                    for n, (p, _) in sorted(self.procedures.items())
+                ]
                 return self.spark.createDataFrame(
                     rows or [("", "")], "name string, params string"
                 )
@@ -355,7 +431,7 @@ class ScriptEngine:
 
     def _insert(self, stmt: str):
         m = re.match(
-            r"INSERT\s+(INTO|OVERWRITE)\s+'([^']+)'(\s+WITH\s*\(([^()]*)\))?"
+            r"INSERT\s+(INTO|OVERWRITE)\s+'([^']+)'(\s+WITH\s*\(" + _HINTS + r"\))?"
             r"(\s*\(([^()]*)\))?\s+(SELECT|WITH|VALUES)(.*)$",
             stmt,
             re.IGNORECASE | re.DOTALL,

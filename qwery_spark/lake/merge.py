@@ -279,6 +279,7 @@ def merge_changes(
     max_records_per_file: int = 2_000_000,
     insert_missing: bool = True,
     broadcast_threshold: int = 4_000_000,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> MergeStats:
     """Apply a key-unique change batch to the table.
 
@@ -301,8 +302,12 @@ def merge_changes(
     src = _align_batch(batch, snap, key)
     src.persist()
     try:
-        # touched-bucket set: bounded by n_buckets, safe to collect
-        touched = {r[0] for r in src.select("_bucket").distinct().collect()}
+        # one driver job yields both the touched-bucket set (bounded by
+        # n_buckets, safe to collect) and the row count the broadcast
+        # decision needs
+        bucket_counts = src.groupBy("_bucket").count().collect()
+        touched = {r[0] for r in bucket_counts}
+        n_src = sum(r[1] for r in bucket_counts)
         if not touched:
             return MergeStats(skipped=True, snapshot_version=snap.version,
                               snapshot_id=snap.snapshot_id)
@@ -348,8 +353,22 @@ def merge_changes(
         )
         join_cond = F.col(f"t.`{key}`") == F.col(f"s.`{key}`")
 
-        n_src = src.count()  # persisted; the broadcast decision needs it
-        use_broadcast = insert_missing and n_src <= broadcast_threshold
+        # gate the broadcast on MEASURED bytes, not rows: wide token-array
+        # payloads can push a few million rows to multi-GB, far past safe
+        # driver-collect + per-executor-copy territory. The persisted
+        # InMemoryRelation stats are the actual cached size; if the stats
+        # call ever fails, fall back to the conservative row cap alone.
+        try:
+            src_bytes = int(
+                src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            src_bytes = None
+        use_broadcast = (
+            insert_missing
+            and n_src <= broadcast_threshold
+            and (src_bytes is None or src_bytes <= broadcast_max_bytes)
+        )
         if use_broadcast:
             # ---- BROADCAST MERGE: the target side NEVER shuffles ----
             # updates + carried rows: map-side broadcast left join

@@ -40,6 +40,10 @@ def _infer_format(path: str, hints: dict) -> str:
         return str(hints["format"]).lower()
     if "fixed_width" in hints:
         return "fixed_width"
+    if "avro_schema" in hints:
+        # WITH (AVRO 'schema.avsc') implies the format
+        # (core:SQLLanguageParser.scala:455-459)
+        return "avro"
     p = path[:-3] if path.endswith(".gz") else path
     ext = os.path.splitext(p)[1].lower()
     return {
@@ -126,7 +130,16 @@ def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> Da
                     df = df.select(f"{seg}.*")
         return df
     if fmt == "avro":
-        return spark.read.format("avro").load(path)
+        # needs the spark-avro jar on the classpath (absent in this
+        # sandbox; gated test in tests/test_compiler.py)
+        reader = spark.read.format("avro")
+        schema_file = hints.get("avro_schema")
+        if schema_file:
+            # WITH (AVRO 'schema.avsc') -> explicit reader schema
+            # (core:sources/AvroInputSource.scala:19-21)
+            with open(schema_file) as fh:
+                reader = reader.option("avroSchema", fh.read())
+        return reader.load(path)
     if fmt == "orc":
         return spark.read.orc(path)
     return spark.read.parquet(path)
@@ -136,21 +149,37 @@ def write_sink(
     df: DataFrame, path: str, hints: dict | None = None, mode: str = "overwrite"
 ) -> int:
     """Write a DataFrame to a sink; returns rows written (the reference
-    returns ROWS_INSERTED, core:ops/sql/Insert.scala:13-28)."""
+    returns ROWS_INSERTED, core:ops/sql/Insert.scala:13-28).
+
+    The count rides the write job itself via the Observation API — one
+    execution, and the reported ROWS_INSERTED are the rows ACTUALLY
+    written (a separate pre-count would re-run the plan and disagree
+    under non-deterministic expressions like QW_UUID/QW_NOW)."""
+    from pyspark.sql import Observation
+
     hints = dict(hints or {})
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def _written() -> int:
+        try:
+            return int(obs.get["n"])
+        except Exception:
+            # Spark's toPyRow chokes on observations over empty writes
+            # (see lake.merge.observed_or) — an empty write wrote 0 rows
+            return 0
+
     if path.startswith("jdbc:"):
         url, table = _parse_jdbc(path)
-        n = df.count()
         df.write.mode(mode).format("jdbc").option("url", url).option(
             "dbtable", table
         ).save()
-        return n
+        return _written()
     _, path = _strip_scheme(path)
     fmt = _infer_format(path, hints)
-    n = df.count()
     if fmt == "fixed_width":
         write_fixed_width(df, path, hints["fixed_width"], mode=mode)
-        return n
+        return _written()
     writer = df.write.mode(mode)
     # PARTITIONED BY hint -> hive-style directory partitioning (sink-side
     # partition pruning for downstream readers)
@@ -160,15 +189,17 @@ def write_sink(
     if fmt == "csv":
         sep = hints.get("delimiter") or delimiter_for_extension(path) or ","
         writer.option("header", bool(hints.get("headers", True))).option("sep", sep).csv(path)
-        return n
-    if fmt == "json":
+    elif fmt == "json":
         writer.json(path)
-        return n
-    if fmt == "avro":
-        writer.format("avro").save(path)
-        return n
-    if fmt == "orc":
+    elif fmt == "avro":
+        w = writer.format("avro")
+        schema_file = hints.get("avro_schema")
+        if schema_file:
+            with open(schema_file) as fh:
+                w = w.option("avroSchema", fh.read())
+        w.save(path)
+    elif fmt == "orc":
         writer.orc(path)
-        return n
-    writer.parquet(path)
-    return n
+    else:
+        writer.parquet(path)
+    return _written()
