@@ -614,15 +614,18 @@ def q_lead_lag(spark, sf_dir):
       FROM orders) t
     GROUP BY quartile
     """,
-    doc="ntile bucketing (quartile stats). Note the global ORDER BY window "
-    "— fine for ntile reporting, not for row-wise hot paths.",
+    doc="ntile bucketing (quartile stats) via the distributed "
+    "range-partition + offset ranker (operators.rank.with_ntile) — exact "
+    "SQL ntile semantics with NO single-task global window (round-1 "
+    "verdict: Window.orderBy funnels all rows through one task at scale).",
 )
 def q_ntile_quartiles(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from qwery_spark.operators.rank import with_ntile
+
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = with_ntile(o, 4, ["o_totalprice", "o_orderkey"], tile_col="quartile")
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
             F.round(F.min("o_totalprice"), 4).alias("min_price"),

@@ -18,6 +18,8 @@ Mapping (all SQL-expressible):
 
 from __future__ import annotations
 
+import hashlib
+import os
 import shutil
 import tempfile
 
@@ -86,7 +88,13 @@ def _engine_replay(spark, sf_dir, write_mode: str):
     lo, hi = bounds[0], bounds[1]
     step = (hi - lo + _N_BATCHES) // _N_BATCHES
 
-    d = tempfile.mkdtemp(prefix="qwery_engine_replay_")
+    # the final state lands in a kept, deterministic scratch dir and the
+    # entry returns a LAZY parquet scan — no driver-side collect of the
+    # result (round-1 verdict: .toPandas() funneled the whole table
+    # through the driver on the hot bench query)
+    tag = hashlib.md5(f"{sf_dir}|{write_mode}".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_replay_tbl_")
     try:
         tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode=write_mode)
         for b in range(_N_BATCHES):
@@ -94,7 +102,7 @@ def _engine_replay(spark, sf_dir, write_mode: str):
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
             )
             apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
-        out = (
+        (
             tbl.read(spark)
             .select(
                 "doc_id",
@@ -103,11 +111,12 @@ def _engine_replay(spark, sf_dir, write_mode: str):
                 F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
                 .alias("tokens_md5"),
             )
-            .toPandas()  # materialize before the temp dir is removed
+            .write.mode("overwrite")
+            .parquet(out_dir)
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(out)
+    return spark.read.parquet(out_dir)
 
 
 from qwery_spark.suite import REGISTRY  # noqa: E402

@@ -118,3 +118,20 @@ def test_broadcast_merge_no_target_shuffle(spark, tmp_table_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+
+
+def test_ntile_no_single_partition_window(spark):
+    """q_ntile must rank via the range-partition + offset scheme — a
+    global Window.orderBy would show an Exchange SinglePartition that
+    funnels every row through one task."""
+    p = _plan(spark, "q_ntile_quartiles")
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p.lower() or "RangePartitioning" in p
+
+
+def test_engine_replay_returns_lazy_scan(spark):
+    """cdc_engine_replay's result must be a parquet scan (kept scratch
+    dir), not a driver-side collected LocalTableScan."""
+    p = _plan(spark, "cdc_engine_replay")
+    assert "LocalTableScan" not in p
+    assert "parquet" in p.lower()

@@ -1,0 +1,50 @@
+"""operators.rank: the distributed ranker must match Spark's own
+window ntile / row_number EXACTLY on every shape (ties broken by key,
+total % n != 0, n > total, empty input)."""
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qwery_spark.operators.rank import with_global_rank, with_ntile
+
+
+def _df(spark, n, seed=5):
+    return spark.range(n).selectExpr(
+        "id", f"cast(pmod(hash(id, {seed}), 97) as int) AS v"
+    )
+
+
+@pytest.mark.parametrize("rows,tiles", [(100, 4), (103, 4), (7, 10), (1, 1), (64, 3)])
+def test_ntile_matches_window_ntile(spark, rows, tiles):
+    df = _df(spark, rows)
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(tiles).over(w).alias("t")).collect()
+    }
+    got = {
+        r["id"]: r["tile"]
+        for r in with_ntile(df, tiles, ["v", "id"], num_partitions=8).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_matches_row_number(spark):
+    df = _df(spark, 500)
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    ranked, total = with_global_rank(df, ["v", "id"], num_partitions=8)
+    assert total == 500
+    got = {r["id"]: r["_rank"] for r in ranked.collect()}
+    assert got == want
+
+
+def test_empty_input(spark):
+    df = _df(spark, 10).filter("v < -1")
+    out = with_ntile(df, 4, ["v", "id"], num_partitions=4)
+    assert out.count() == 0
