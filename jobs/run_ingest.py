@@ -40,6 +40,15 @@ def main(argv=None):
     p.add_argument("--compact-after", action="store_true",
                    help="compact MOR deltas after an availableNow drain")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--starting-offsets", default=None,
+                   help="kafka seek: 'earliest' | 'latest' | per-partition JSON "
+                        "(reference KafkaInputDevice.seek/rewind/fastForward); "
+                        "default earliest on first run, checkpoint thereafter")
+    p.add_argument("--from-ordinal", type=int, default=None,
+                   help="file-source seek: replay events with ordinal >= N")
+    p.add_argument("--resume-from-lineage", action="store_true",
+                   help="derive the seek position from --lineage (replay "
+                        "everything after the last committed ordinal/offset)")
     p.add_argument("--transform-sql",
                    help="qwery-style SELECT-transform over the view `events`, "
                         "applied per micro-batch before validation+merge")
@@ -64,15 +73,25 @@ def main(argv=None):
     table = LakeTable(args.table)
 
     if args.kafka:
+        from qwery_spark.streaming.stream import starting_offsets_from_lineage
+
+        offsets = args.starting_offsets
+        if args.resume_from_lineage and args.lineage and offsets is None:
+            offsets = starting_offsets_from_lineage(spark, args.lineage, args.topic)
         raw = stream_events(spark, "", source_format="kafka", kafka_options={
             "kafka.bootstrap.servers": args.kafka,
             "subscribe": args.topic,
-            "startingOffsets": "earliest",
-        })
+        }, starting_offsets=offsets or "earliest")
         events = parse_kafka_events(raw)
     else:
+        from qwery_spark.streaming.stream import resume_ordinal
+
+        min_ord = args.from_ordinal
+        if args.resume_from_lineage and args.lineage and min_ord is None:
+            min_ord = resume_ordinal(spark, args.lineage)
         events = stream_events(spark, args.events,
-                               max_files_per_trigger=args.max_files_per_trigger)
+                               max_files_per_trigger=args.max_files_per_trigger,
+                               min_ordinal=min_ord)
 
     def _batch(df, epoch_id):
         if args.transform_sql:

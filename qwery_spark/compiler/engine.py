@@ -466,6 +466,27 @@ class ScriptEngine:
         from qwery_spark.lake.merge import append_changes, merge_changes
         from qwery_spark.lake.table import LakeTable
 
+        # JDBC target: UPSERT INTO 'jdbc:...' KEYED ON k1[,k2] <select>
+        # — staged bulk write + one vendor merge statement (reference:
+        # core:sources/JDBCOutputSource.scala:62-80; jar-gated execute)
+        mj = re.match(
+            r"UPSERT\s+INTO\s+'(jdbc:[^']+)'\s+KEYED\s+ON\s+([\w,\s]+?)"
+            r"\s+(SELECT|WITH)(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if mj:
+            from qwery_spark.sources.jdbc_upsert import jdbc_upsert
+            from qwery_spark.sources.registry import _parse_jdbc
+
+            url, table = _parse_jdbc(mj.group(1))
+            keys = [k.strip() for k in mj.group(2).split(",") if k.strip()]
+            df = self._compile_select(f"{mj.group(3).upper()}{mj.group(4)}")
+            plan = jdbc_upsert(df, url, table, keys)
+            return self.spark.createDataFrame(
+                [(plan["dialect"], plan["merge_sql"])], "dialect string, merge_sql string"
+            )
+
         m = re.match(
             r"(?:UPSERT\s+INTO|UPDATE)\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
             r"(?:\s+ORDINAL\s+(\w+))?\s+(SELECT|WITH)(.*)$",

@@ -32,30 +32,109 @@ from qwery_spark.lake.table import LakeTable
 from qwery_spark.schema import EVENT_SCHEMA
 
 
+# Kafka's per-partition offset sentinels (startingOffsets JSON contract)
+OFFSET_EARLIEST = -2
+OFFSET_LATEST = -1
+
+
+def offsets_json(topic: str, partition_offsets: dict[int, int]) -> str:
+    """Build a Kafka ``startingOffsets`` JSON for random access by
+    (offset, partition) — the reference's seek(offset, partition)
+    surface (core:devices/KafkaInputDevice.scala:29-31)."""
+    import json
+
+    return json.dumps({topic: {str(p): int(o) for p, o in partition_offsets.items()}})
+
+
+def rewind(topic: str, partitions: list[int]) -> str:
+    """Seek every partition to the beginning — the reference's
+    ``rewind`` / seekToBeginning (core:devices/KafkaInputDevice.scala:67-69)."""
+    return offsets_json(topic, {p: OFFSET_EARLIEST for p in partitions})
+
+
+def fast_forward(topic: str, partitions: list[int]) -> str:
+    """Seek every partition to the end — the reference's
+    ``fastForward`` / seekToEnd (core:devices/KafkaInputDevice.scala:71-73)."""
+    return offsets_json(topic, {p: OFFSET_LATEST for p in partitions})
+
+
+def resume_ordinal(spark: SparkSession, lineage_dir: str) -> int | None:
+    """'Replay from where the last run stopped': next unprocessed
+    ordinal from the lineage table (max committed ordinal_max + 1), or
+    None when no lineage exists yet."""
+    from pyspark.sql import functions as F
+
+    try:
+        lin = spark.read.parquet(lineage_dir)
+    except Exception:
+        return None
+    row = lin.agg(F.max("ordinal_max").alias("m")).collect()[0]
+    return None if row["m"] is None else int(row["m"]) + 1
+
+
+def starting_offsets_from_lineage(
+    spark: SparkSession, lineage_dir: str, topic: str
+) -> str | None:
+    """Kafka resume helper: per-partition startingOffsets JSON built from
+    the lineage table's committed per-partition ordinal ranges (valid
+    when ordinal is the kafka offset — parse_kafka_events' fallback).
+    Partitions never seen resume from earliest."""
+    from pyspark.sql import functions as F
+
+    try:
+        lin = spark.read.parquet(lineage_dir)
+    except Exception:
+        return None
+    rows = (
+        lin.filter(F.col("partition") >= 0)
+        .groupBy("partition")
+        .agg(F.max("ordinal_max").alias("m"))
+        .collect()
+    )
+    if not rows:
+        return None
+    return offsets_json(topic, {int(r["partition"]): int(r["m"]) + 1 for r in rows})
+
+
 def stream_events(
     spark: SparkSession,
     events_dir: str,
     max_files_per_trigger: int = 1,
     source_format: str = "parquet",
     kafka_options: dict | None = None,
+    starting_offsets: str | None = None,
+    min_ordinal: int | None = None,
 ) -> DataFrame:
     """An unbounded DataFrame of change events.
 
     file mode: chunk files named so lexical order == ordinal order
     (datagen.write_event_chunks); latestFirst stays False so delivery
-    respects the WAL order batch-to-batch.
+    respects the WAL order batch-to-batch. ``min_ordinal`` is the
+    file-source seek: replay from WAL position X (kafka analogue:
+    ``starting_offsets``).
     kafka mode (cluster): value parsed elsewhere; needs kafka jars.
+    ``starting_offsets`` accepts 'earliest' | 'latest' | a per-partition
+    JSON from offsets_json/rewind/fast_forward/
+    starting_offsets_from_lineage (reference seek surface:
+    core:devices/KafkaInputDevice.scala:29-31,67-73).
     """
     if source_format == "kafka":
         reader = spark.readStream.format("kafka")
         for k, v in (kafka_options or {}).items():
             reader = reader.option(k, v)
+        if starting_offsets is not None:
+            reader = reader.option("startingOffsets", starting_offsets)
         return reader.load()
-    return (
+    df = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
+    if min_ordinal is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("ordinal") >= min_ordinal)
+    return df
 
 
 def parse_kafka_events(df: DataFrame) -> DataFrame:
@@ -104,6 +183,7 @@ def run_stream(
     collect_stats: bool = True,
     compact_every: int | None = None,
     transform_sql: str | None = None,
+    min_ordinal: int | None = None,
 ) -> StreamRun:
     """Start the CDC ingest stream. With available_now=True the query
     drains everything currently in events_dir and stops (the pattern for
@@ -117,7 +197,9 @@ def run_stream(
     view ``events``, compiled by Catalyst per micro-batch BEFORE
     validation + merge. It must preserve the change-event columns it
     doesn't transform (ordinal/op/doc_id at minimum)."""
-    events = stream_events(spark, events_dir, max_files_per_trigger)
+    events = stream_events(
+        spark, events_dir, max_files_per_trigger, min_ordinal=min_ordinal
+    )
     run = StreamRun(query=None)  # populated below
 
     def _batch(df: DataFrame, epoch_id: int) -> None:

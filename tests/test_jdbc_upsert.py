@@ -1,0 +1,96 @@
+"""JDBC keyed-upsert statement generation (the set-based restatement of
+core:sources/JDBCOutputSource.scala:62-80). Execution needs a vendor
+driver jar (absent here) — generation is pure and fully tested."""
+
+import pytest
+
+from qwery_spark.sources.jdbc_upsert import (
+    dialect_for_url,
+    upsert_plan,
+    upsert_statement,
+)
+
+COLS = ["doc_id", "n_tok", "source"]
+KEYS = ["doc_id"]
+
+
+def test_dialect_inference():
+    assert dialect_for_url("jdbc:postgresql://h/db") == "postgresql"
+    assert dialect_for_url("jdbc:mysql://h/db") == "mysql"
+    assert dialect_for_url("jdbc:sqlite:/tmp/x.db") == "sqlite"
+    assert dialect_for_url("jdbc:oracle:thin:@h") == "ansi"
+    assert dialect_for_url("jdbc:h2:mem:test") == "ansi"
+
+
+def test_ansi_merge_statement():
+    sql = upsert_statement("tok", "tok_stage", COLS, KEYS, "ansi")
+    assert sql == (
+        'MERGE INTO "tok" t USING "tok_stage" s ON t."doc_id" = s."doc_id" '
+        'WHEN MATCHED THEN UPDATE SET "n_tok" = s."n_tok", "source" = s."source" '
+        'WHEN NOT MATCHED THEN INSERT ("doc_id", "n_tok", "source") '
+        'VALUES (s."doc_id", s."n_tok", s."source")'
+    )
+
+
+def test_postgres_on_conflict():
+    sql = upsert_statement("tok", "st", COLS, KEYS, "postgresql")
+    assert 'ON CONFLICT ("doc_id") DO UPDATE SET' in sql
+    assert '"n_tok" = EXCLUDED."n_tok"' in sql
+    assert sql.startswith('INSERT INTO "tok" ("doc_id", "n_tok", "source")')
+
+
+def test_mysql_on_duplicate_key():
+    sql = upsert_statement("tok", "st", COLS, KEYS, "mysql")
+    assert "ON DUPLICATE KEY UPDATE" in sql
+    assert '"n_tok" = new."n_tok"' in sql
+
+
+def test_sqlite_on_conflict():
+    sql = upsert_statement("tok", "st", COLS, KEYS, "sqlite")
+    assert 'ON CONFLICT ("doc_id") DO UPDATE SET' in sql
+    assert "WHERE true" in sql  # sqlite parser ambiguity guard
+
+
+def test_composite_keys_and_keys_only():
+    sql = upsert_statement("t", "s", ["a", "b", "v"], ["a", "b"], "ansi")
+    assert 't."a" = s."a" AND t."b" = s."b"' in sql
+    assert 'UPDATE SET "v" = s."v"' in sql
+    # all columns are keys -> no UPDATE branch (nothing to set)
+    sql2 = upsert_statement("t", "s", ["a", "b"], ["a", "b"], "ansi")
+    assert "WHEN MATCHED" not in sql2
+    sql3 = upsert_statement("t", "s", ["a"], ["a"], "postgresql")
+    assert sql3.endswith("DO NOTHING")
+
+
+def test_key_must_be_in_columns():
+    with pytest.raises(ValueError, match="key columns"):
+        upsert_statement("t", "s", ["a"], ["missing"], "ansi")
+    with pytest.raises(ValueError, match="unknown dialect"):
+        upsert_statement("t", "s", ["a"], ["a"], "mssql")
+
+
+def test_plan_bundles_stage_and_cleanup():
+    plan = upsert_plan("jdbc:postgresql://h/db", "tok", COLS, KEYS)
+    assert plan["dialect"] == "postgresql"
+    assert plan["stage_table"].startswith("tok_stage_")
+    assert plan["stage_table"] in plan["merge_sql"]
+    assert plan["cleanup_sql"].startswith("DROP TABLE")
+
+
+def test_identifier_quoting():
+    sql = upsert_statement('we"ird', "s", ['k"1', "v"], ['k"1'], "ansi")
+    assert '"we""ird"' in sql and '"k""1"' in sql
+
+
+def test_engine_routes_jdbc_upsert_jar_gated(spark):
+    """The UPSERT verb routes jdbc: targets to the staged-merge path;
+    without a driver jar the failure is the JDBC layer complaining about
+    the driver, proving the route (not a parse error)."""
+    from qwery_spark.compiler import ScriptEngine
+
+    eng = ScriptEngine(spark)
+    with pytest.raises(Exception, match="(?i)driver|jdbc"):
+        eng.execute(
+            "UPSERT INTO 'jdbc:postgresql://localhost/db?table=tok' KEYED ON doc_id "
+            "SELECT * FROM VALUES ('a', 1, 'web') AS t(doc_id, n_tok, source)"
+        )
