@@ -135,18 +135,22 @@ def ann_lsh_buckets(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     emb = _as_double(F.col("embedding"))
-    bkt = e.select("vec_id", "label", "embedding", _lsh_bits(emb, _NPLANES).alias("bucket"))
-    q = bkt.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
-    )
-    df = bkt.crossJoin(F.broadcast(q)).filter(
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != _QUERY_VEC_ID)
-    )
+    bkt = e.select("vec_id", "embedding", _lsh_bits(emb, _NPLANES).alias("bucket"))
+    # probe resolved DRIVER-side: one pushdown-filtered scan computes the
+    # query's bucket for the matching row only. The corpus branch then
+    # evaluates the 8 hyperplane dot products exactly once per row —
+    # round-1 plan audit flagged the old crossJoin shape for computing
+    # buckets on BOTH branches.
+    qrow = bkt.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]
+    qbucket = int(qrow["bucket"])
+    # literal doubles == cast(float32 AS DOUBLE): cosine fold order stays
+    # bit-identical to the DuckDB oracle
+    qd = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     ed = _as_double(F.col("embedding"))
-    qd = _as_double(F.col("qvec"))
     cos = _dot(ed, qd) / (F.sqrt(_dot(ed, ed)) * F.sqrt(_dot(qd, qd)))
     return (
-        df.select("vec_id", cos.alias("_cos"))
+        bkt.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select("vec_id", cos.alias("_cos"))
         .orderBy(F.col("_cos").desc(), "vec_id")
         .limit(_TOPK)
         .select("vec_id", F.round("_cos", 6).alias("cosine"))

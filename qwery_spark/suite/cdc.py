@@ -244,3 +244,92 @@ def tok_array_stats(spark, sf_dir):
         F.array_min("tokens").alias("token_min"),
         F.array_max("tokens").alias("token_max"),
     )
+
+
+@register(
+    "tok_bigrams",
+    f"""
+    SELECT a % 100 AS a_bucket, b % 100 AS b_bucket, count(*) AS n
+    FROM (
+      SELECT p['a'] AS a, p['b'] AS b FROM (
+        SELECT unnest(list_transform(range(1, len(tokens)),
+                      i -> struct_pack(a := tokens[i], b := tokens[i + 1]))) AS p
+        FROM ({_TOKENS_SQL}) t WHERE len(tokens) >= 2
+      )
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Token bigram histogram: adjacent-pair extraction via a native "
+    "array transform (no self-join, no Python), then a bucketed count — "
+    "the n-gram statistics pass of a tokenizer-training pipeline. "
+    "Arrays explode to pairs inside the row; one shuffle on the "
+    "bounded bucket key.",
+)
+def tok_bigrams(spark, sf_dir):
+    t = _with_tokens(spark, sf_dir).filter(F.size("tokens") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(tokens[i - 1] AS a, tokens[i] AS b))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        (F.col("p.a") % 100).alias("a_bucket"), (F.col("p.b") % 100).alias("b_bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "tok_vocab_stats",
+    f"""
+    SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_used,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(min(token) AS INTEGER) AS min_token,
+           CAST(max(token) AS INTEGER) AS max_token
+    FROM (SELECT unnest(tokens) AS token FROM ({_TOKENS_SQL}) t) u
+    """,
+    doc="Global vocabulary coverage: distinct-token count + range over "
+    "the exploded corpus (partial-agg'd count-distinct; at 100TB the "
+    "approx_count_distinct sketch replaces the exact count, same shape).",
+)
+def tok_vocab_stats(spark, sf_dir):
+    t = _with_tokens(spark, sf_dir)
+    u = t.select(F.explode("tokens").alias("token"))
+    return u.agg(
+        F.countDistinct("token").alias("vocab_used"),
+        F.count("*").alias("total_tokens"),
+        F.min("token").alias("min_token"),
+        F.max("token").alias("max_token"),
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS INTEGER) AS version_seq,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD-Type-2 history build: every change event becomes a "
+    "versioned row with [valid_from, valid_to) effective range and an "
+    "is_current flag (lead over the per-key change order) — the other "
+    "canonical CDC materialization besides LWW current-state.",
+)
+def cdc_scd2_history(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("version_seq"),
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

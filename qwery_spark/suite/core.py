@@ -700,3 +700,100 @@ def q04_priority_with_lineitem(spark, sf_dir):
         "left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form behind ROLLUP/CUBE) — "
+    "one Expand + single aggregation shuffle, not one scan per set.",
+)
+def q_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n,
+               round(sum(l_quantity), 4) AS qty
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_first_last_value",
+    """
+    SELECT user_id, event_id,
+           round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS first_val,
+           round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS last_val,
+           round(value - first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS drift
+    FROM events WHERE user_id < 5
+    """,
+    doc="first_value/last_value window frames: per-entity baseline and "
+    "final reading plus drift-from-first (default frame vs explicit "
+    "unbounded-following frame).",
+)
+def q_first_last_value(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.first("value").over(w), 4).alias("first_val"),
+        F.round(F.last("value").over(wfull), 4).alias("last_val"),
+        F.round(F.col("value") - F.first("value").over(w), 4).alias("drift"),
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue per customer): 4-way "
+    "join with broadcast dims, date-range pushdown on orders, top-20 via "
+    "TakeOrderedAndProject.",
+)
+def q10_returned_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
