@@ -25,6 +25,7 @@ uses all keys, standard operator precedence.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import uuid
@@ -364,6 +365,35 @@ class ScriptEngine:
                 rows or [("", 0, False)], "name string, size long, is_dir boolean"
             )
 
+        if up.startswith("SHOW SNAPSHOTS"):
+            # lake ops surface (Iceberg's snapshots metadata table shape):
+            # one row per commit record in the delta log — version, epoch,
+            # operation, files added/buckets replaced by THAT commit
+            m = re.match(r"SHOW\s+SNAPSHOTS\s+'([^']+)'", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError("SHOW SNAPSHOTS needs a quoted table path")
+            from qwery_spark.lake.table import LakeTable
+
+            tbl = LakeTable(m.group(1))
+            rows = []
+            for v in range(tbl.current_version() + 1):
+                with open(tbl._manifest_path(v)) as fh:
+                    rec = json.load(fh)
+                summary = rec.get("summary", {})
+                rows.append((
+                    v,
+                    rec.get("snapshot_id", ""),
+                    rec.get("epoch_id"),
+                    summary.get("operation", "create" if "files" in rec else ""),
+                    len(rec.get("add_files", rec.get("files", []))),
+                    len(rec.get("replace_buckets", [])),
+                ))
+            return self.spark.createDataFrame(
+                rows,
+                "version int, snapshot_id string, epoch_id long, "
+                "operation string, files_added int, buckets_replaced int",
+            )
+
         if up.startswith("SHOW "):
             what = up.split()[1]
             if what == "VIEWS":
@@ -384,6 +414,22 @@ class ScriptEngine:
                     rows or [("", "")], "name string, params string"
                 )
             raise ValueError(f"unknown SHOW target: {what}")
+
+        if re.match(r"DESCRIBE\s+LAKE\b", up):
+            m = re.match(r"DESCRIBE\s+LAKE\s+'([^']+)'", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError("DESCRIBE LAKE needs a quoted table path")
+            from qwery_spark.lake.table import LakeTable
+
+            snap = LakeTable(m.group(1)).snapshot()
+            rows = [
+                (f["name"], f["type"], f["id"],
+                 f["name"] in ("last_ordinal", "_deleted"))
+                for f in snap.fields()
+            ]
+            return self.spark.createDataFrame(
+                rows, "column string, type string, field_id int, engine_col boolean"
+            )
 
         if up.startswith("DESCRIBE "):
             target = stmt[len("DESCRIBE "):].strip()

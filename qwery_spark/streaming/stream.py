@@ -238,3 +238,42 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     run.query = writer.start()
     return run
+
+
+def write_events_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str | None = None,
+    streaming: bool = False,
+):
+    """KafkaOutputDevice parity (core:devices/KafkaOutputDevice.scala:
+    138-155): publish change events to a topic — key = doc_id (keeps a
+    key's events in one partition => per-key order preserved, the LWW
+    precondition), value = the event as JSON. Jar-gated in this sandbox;
+    on a cluster add the spark-sql-kafka package.
+
+    streaming=False writes a batch DataFrame; True starts a writeStream
+    (checkpoint_dir required)."""
+    from pyspark.sql import functions as F
+
+    payload = df.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    if streaming:
+        if not checkpoint_dir:
+            raise ValueError("streaming kafka sink needs checkpoint_dir")
+        return (
+            payload.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+    (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )

@@ -172,3 +172,44 @@ def test_rows_inserted_zero_on_empty_write(eng, tmp_path):
     out = str(tmp_path / "out_empty.json")
     res = eng.execute(f"SELECT a INTO '{out}' FROM '{src}' WHERE CAST(a AS INT) > 99")
     assert res.collect()[0]["ROWS_INSERTED"] == 0
+
+
+# ---------------- lake introspection + kafka sink ----------------
+def test_show_snapshots_and_describe_lake(eng, spark, tmp_path):
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    path = str(tmp_path / "lake")
+    tbl = LakeTable.create(path, TARGET_SCHEMA, n_buckets=4, write_mode="mor")
+    ev = make_events(500, seed=3)
+    apply_changes(spark, tbl, spark.createDataFrame(ev.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=0)
+    tbl.add_column("lang", "string")
+
+    snaps = {r["version"]: r for r in eng.execute(f"SHOW SNAPSHOTS '{path}'").collect()}
+    assert snaps[0]["operation"] == "create"
+    assert snaps[1]["operation"] == "append-delta" and snaps[1]["epoch_id"] == 0
+    assert snaps[1]["files_added"] > 0
+    assert snaps[2]["operation"] == "add_column"
+
+    cols = {r["column"]: r for r in eng.execute(f"DESCRIBE LAKE '{path}'").collect()}
+    assert cols["doc_id"]["type"] == "string" and not cols["doc_id"]["engine_col"]
+    assert cols["lang"]["type"] == "string"
+    assert cols["last_ordinal"]["engine_col"] and cols["_deleted"]["engine_col"]
+
+
+def test_kafka_sink_shapes_payload_jar_gated(spark):
+    """write_events_kafka keys by doc_id and JSON-encodes the event; the
+    jar is absent so the failure must come from the kafka data source,
+    proving the route."""
+    import pytest as _pytest
+
+    from qwery_spark.streaming.stream import write_events_kafka
+
+    df = spark.createDataFrame([("d1", "U", 1)], "doc_id string, op string, ordinal long")
+    with _pytest.raises(Exception, match="(?i)kafka"):
+        write_events_kafka(df, "localhost:9092", "changes")
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        write_events_kafka(df, "localhost:9092", "changes", streaming=True)
