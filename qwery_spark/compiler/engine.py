@@ -454,6 +454,9 @@ class ScriptEngine:
         if re.match(r"DELETE\s+FROM\s+LAKE\b", up):
             return self._delete(stmt)
 
+        if re.match(r"ALTER\s+LAKE\b", up):
+            return self._alter_lake(stmt)
+
         if up.startswith("SELECT") or up.startswith("WITH"):
             # reference TOP n (core:SQLLanguageParser.scala:814) -> LIMIT n,
             # applied to OUTPUT rows (documented divergence: the reference
@@ -603,6 +606,39 @@ class ScriptEngine:
         return self.spark.createDataFrame(
             [(stats.rows_deleted, stats.rows_stale)],
             "ROWS_DELETED long, ROWS_STALE long",
+        )
+
+    def _alter_lake(self, stmt: str):
+        """Schema evolution verbs over the lake table (Iceberg
+        UpdateSchema shape; the streaming path applies the same ops from
+        DDL events — cdc/apply.py):
+
+          ALTER LAKE 'path' ADD COLUMN name type
+          ALTER LAKE 'path' RENAME COLUMN old TO new
+          ALTER LAKE 'path' WIDEN COLUMN name TO type
+        """
+        from qwery_spark.lake.table import LakeTable
+
+        m = re.match(
+            r"ALTER\s+LAKE\s+'([^']+)'\s+"
+            r"(?:ADD\s+COLUMN\s+(\w+)\s+([\w<>,\s]+)"
+            r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+            r"|WIDEN\s+COLUMN\s+(\w+)\s+TO\s+([\w<>,\s]+))\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"bad ALTER LAKE: {stmt}")
+        tbl = LakeTable(m.group(1))
+        if m.group(2):
+            snap = tbl.add_column(m.group(2), m.group(3).strip().lower())
+        elif m.group(4):
+            snap = tbl.rename_column(m.group(4), m.group(5))
+        else:
+            snap = tbl.widen_type(m.group(6), m.group(7).strip().lower())
+        return self.spark.createDataFrame(
+            [(snap.version, snap.schema_version, json.dumps(snap.m["summary"]))],
+            "version int, schema_version int, summary string",
         )
 
     def run_script(self, script: str) -> list:

@@ -1,0 +1,71 @@
+"""Distributed connected components (near-duplicate cluster formation).
+
+The dedup pipeline's final stage: LSH/cosine candidate PAIRS become
+duplicate CLUSTERS (choose one survivor per cluster). Implemented as
+min-label propagation — every node takes the smallest node id reachable
+from it:
+
+    label(v) <- min(label(v), min over neighbors' labels); repeat.
+
+Each iteration is one shuffle (join + partial-agg'd groupBy min); the
+loop converges in graph-diameter iterations. Near-dup graphs are
+diameter-bounded (clusters are small cliques/chains), so 3-6 rounds
+suffice in practice; ``max_iter`` caps adversarial chains. At true
+web-graph scale the O(log n) alternating large-star/small-star
+algorithm replaces the loop body — same (node, label) contract.
+
+No reference analogue (the reference has no graph ops at all); this
+serves the training-data dedup brief. DuckDB oracle: the equivalent
+recursive CTE (see suite/ann.py dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min
+    node id in the connected component. Edges are treated undirected."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym.persist()
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels.persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.alias("e")
+                .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
+                .groupBy(F.col("e.a").alias("node"))
+                .agg(F.min("l.label").alias("nlabel"))
+            )
+            new = (
+                labels.alias("o")
+                .join(nbr.alias("n"), "node", "left")
+                .select(
+                    F.col("node"),
+                    F.least(
+                        F.col("o.label"), F.coalesce(F.col("n.nlabel"), F.col("o.label"))
+                    ).alias("label"),
+                )
+            )
+            new.persist()
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels.select("node", F.col("label").alias("component"))
+    finally:
+        sym.unpersist()

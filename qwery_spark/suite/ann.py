@@ -340,3 +340,49 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
         .filter(F.col("_cos") > 0.15)
         .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "dedup_clusters",
+    None,  # real SQL assigned right below (it embeds the pairs SQL)
+    doc="Near-duplicate CLUSTER formation: LSH/cosine candidate pairs -> "
+    "connected components via distributed min-label propagation "
+    "(operators/graph.py; one shuffle per round, diameter-bounded "
+    "rounds) -> per-cluster summary. Oracle: DuckDB recursive CTE over "
+    "the identical pair set — even the iterative graph stage is "
+    "value-checked cross-engine.",
+)
+def dedup_clusters(spark, sf_dir):
+    from qwery_spark.operators.graph import connected_components
+
+    pairs = dedup_embedding_cosine_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    return cc.groupBy(F.col("component").cast("bigint").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+        F.max("node").cast("bigint").alias("max_member"),
+    )
+
+
+from qwery_spark.suite import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_clusters"].sql = f"""
+    WITH RECURSIVE pairs AS ({_REG["dedup_embedding_cosine_pairs"].sql}),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           count(*) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node) c
+    GROUP BY cluster_id
+"""

@@ -213,3 +213,30 @@ def test_kafka_sink_shapes_payload_jar_gated(spark):
         write_events_kafka(df, "localhost:9092", "changes")
     with _pytest.raises(ValueError, match="checkpoint_dir"):
         write_events_kafka(df, "localhost:9092", "changes", streaming=True)
+
+
+def test_alter_lake_schema_evolution(eng, spark, tmp_path):
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    path = str(tmp_path / "lake")
+    tbl = LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    apply_changes(
+        spark, tbl,
+        spark.createDataFrame(make_events(300, seed=41).to_pandas(), schema=EVENT_SCHEMA),
+        epoch_id=0,
+    )
+    eng.execute(f"ALTER LAKE '{path}' ADD COLUMN lang string")
+    eng.execute(f"ALTER LAKE '{path}' RENAME COLUMN lang TO language")
+    eng.execute(f"ALTER LAKE '{path}' WIDEN COLUMN n_tok TO bigint")
+    cols = {r["column"]: r["type"] for r in eng.execute(f"DESCRIBE LAKE '{path}'").collect()}
+    assert cols["language"] == "string" and "lang" not in cols
+    assert cols["n_tok"] == "bigint"
+    # old data reads through the evolved schema (null-fill + widen cast)
+    df = tbl.read(spark)
+    assert df.schema["n_tok"].dataType.simpleString() == "bigint"
+    assert df.filter("language IS NOT NULL").count() == 0 and df.count() > 0
+    with pytest.raises(ValueError, match="illegal widen"):
+        eng.execute(f"ALTER LAKE '{path}' WIDEN COLUMN source TO int")

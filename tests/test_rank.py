@@ -48,3 +48,28 @@ def test_empty_input(spark):
     df = _df(spark, 10).filter("v < -1")
     out = with_ntile(df, 4, ["v", "id"], num_partitions=4)
     assert out.count() == 0
+
+
+# ---------------- connected components (operators.graph) ----------------
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (needs >1 propagation round), a triangle, and an
+    isolated pair — labels must be the min node id per component."""
+    from qwery_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (12, 10),        # triangle
+         (20, 21)],                           # pair
+        "a long, b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_direction_irrelevant(spark):
+    from qwery_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(5, 1), (1, 3)], "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 3: 1, 5: 1}
