@@ -386,3 +386,27 @@ _REG["dedup_clusters"].sql = f"""
     FROM (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node) c
     GROUP BY cluster_id
 """
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    None,  # float mean fold-order differs across engines -> rows-only
+    doc="IVF with a REAL trained coarse quantizer: 2 Lloyd's iterations "
+    "(operators/kmeans.py — centroids are driver literals, assignment "
+    "is a shuffle-free codegen'd map, one k-row shuffle per iteration), "
+    "then n_probe=2 cell search. No SQL oracle: cross-engine float-mean "
+    "fold order diverges; correctness is pytest-verified instead "
+    "(monotone distortion, partition totals, recall vs brute force).",
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    from qwery_spark.operators.kmeans import ivf_topk, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(e, k=_IVF_K, iters=2)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+    return ivf_topk(
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID), cents, qvec, k=_TOPK, n_probe=2
+    )
