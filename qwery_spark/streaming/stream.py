@@ -184,6 +184,7 @@ def run_stream(
     compact_every: int | None = None,
     transform_sql: str | None = None,
     min_ordinal: int | None = None,
+    expire_keep: int | None = None,
 ) -> StreamRun:
     """Start the CDC ingest stream. With available_now=True the query
     drains everything currently in events_dir and stops (the pattern for
@@ -230,6 +231,14 @@ def run_stream(
             from qwery_spark.lake.merge import compact
 
             compact(spark, table)
+            # maintenance rides compaction: bound the commit-log length
+            # and reclaim files the expired log no longer references —
+            # 10^10-event runs keep a FLAT metadata + orphan footprint
+            # (single-writer stream, so expiry/vacuum cannot race a
+            # reader pinned to an expired snapshot)
+            if expire_keep:
+                table.expire_snapshots(keep_last=expire_keep)
+                table.vacuum()
 
     writer = events.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -125,3 +125,38 @@ def test_compaction_resets_live_file_count(logged_table):
     snap = logged_table.snapshot()
     assert len(snap.files()) == N_BUCKETS
     assert snap.unresolved_buckets == set()
+
+
+def test_fold_equals_full_recompute_random_sequences(tmp_path):
+    """Property: for a random mix of append / rewrite / schema commits,
+    the incrementally folded head equals a cold log replay, and every
+    historical version stays reconstructable."""
+    import random
+
+    from qwery_spark.lake import table as table_mod
+
+    rng = random.Random(7)
+    tbl = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4,
+                           write_mode="mor")
+    for e in range(60):
+        kind = rng.choice(["append", "rewrite", "schema"])
+        if kind == "schema":
+            tbl.add_column(f"c{e}", "string")
+        else:
+            buckets = set(rng.sample(range(4), rng.randint(1, 4)))
+            tbl.commit_rewrite(
+                base=tbl.snapshot(),
+                new_files=_fake_files(e, sorted(buckets)),
+                replaced_buckets=buckets if kind == "rewrite" else set(),
+                append_buckets=buckets if kind == "append" else None,
+                epoch_id=e,
+                summary={"operation": kind},
+            )
+    warm = tbl.snapshot().m
+    table_mod._STATE_CACHE.clear()
+    cold = LakeTable(tbl.path).snapshot().m
+    assert warm == cold
+    # spot-check historical reconstruction at a few versions
+    for v in (1, 17, 33, 59):
+        table_mod._STATE_CACHE.clear()
+        assert LakeTable(tbl.path).snapshot(v).version == v

@@ -132,3 +132,40 @@ def test_continuous_trigger_picks_up_late_files(spark, tmp_table_dir):
         run.query.stop()
     assert sum(r.rows_in for r in run.results) == 1200
     assert_state_equals_oracle(spark, tbl, events.to_pandas())
+
+
+def test_stream_maintenance_bounds_log_and_files(spark, tmp_table_dir):
+    """compact_every + expire_keep keeps the commit-log length and live
+    file count flat during a long tail (maintenance rides compaction)."""
+    import os
+
+    from qwery_spark.datagen import make_events, write_event_chunks
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+    from qwery_spark.streaming import run_stream
+
+    from tests.helpers import assert_state_equals_oracle
+
+    events = make_events(4000, seed=97)
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    write_event_chunks(events, ev_dir, 8)
+    tbl = LakeTable.create(os.path.join(tmp_table_dir, "t"), TARGET_SCHEMA,
+                           n_buckets=4, write_mode="mor")
+    run = run_stream(spark, tbl, ev_dir, os.path.join(tmp_table_dir, "ckpt"),
+                     compact_every=2, expire_keep=3)
+    run.query.awaitTermination(300)
+    mdir = os.path.join(tbl.path, "_manifests")
+    records = [n for n in os.listdir(mdir) if n.startswith("v")]
+    assert len(records) <= 6  # expired down, not 8 epochs + compactions
+    # vacuum reclaimed the files the expired log no longer references
+    live = {f["path"] for f in tbl.snapshot().files()}
+    on_disk = set()
+    for root, _d, files in os.walk(os.path.join(tbl.path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, f), tbl.path))
+    orphans = on_disk - {f["path"] for v in range(
+        min(int(n[1:9]) for n in records), tbl.current_version() + 1)
+        for f in tbl.snapshot(v).files()}
+    assert orphans == set()
+    assert_state_equals_oracle(spark, tbl, events.to_pandas())
