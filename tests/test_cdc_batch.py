@@ -177,3 +177,23 @@ def test_shuffle_merge_path_matches_oracle(spark, tmp_table_dir):
         valid, _ = split_valid(df.filter(F.col("op") != "DDL").drop("ddl"))
         merge_changes(spark, tbl, lww_dedup(valid), epoch_id=i, broadcast_threshold=0)
     assert_state_equals_oracle(spark, tbl, events.to_pandas())
+
+
+def test_bytes_gate_forces_shuffle_merge(spark, tmp_table_dir):
+    """broadcast_max_bytes=0 must route even a tiny batch through the
+    full-outer shuffle MERGE (the OOM guard for wide token payloads) —
+    and the result must stay semantically identical."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.dedup import lww_dedup
+    from qwery_spark.cdc.validate import split_valid
+    from qwery_spark.lake.merge import merge_changes
+
+    tbl = _mk_table(tmp_table_dir)
+    events = make_events(2000, seed=127)
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000)]):
+        df = _events_df(spark, events.slice(lo, hi - lo))
+        valid, _ = split_valid(df.filter(F.col("op") != "DDL").drop("ddl"))
+        merge_changes(spark, tbl, lww_dedup(valid), epoch_id=i,
+                      broadcast_max_bytes=0)
+    assert_state_equals_oracle(spark, tbl, events.to_pandas())
