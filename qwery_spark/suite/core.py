@@ -797,3 +797,35 @@ def q10_returned_revenue(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_range_frame_10min",
+    """
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_10min,
+           round(sum(value) OVER w, 4) AS sum_last_10min
+    FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based RANGE frame: per-entity rolling 10-minute count/sum "
+    "ordered by microsecond epoch (the streaming sliding-window "
+    "aggregation, batch form). RANGE (value-based) vs ROWS (count-based) "
+    "frames both covered.",
+)
+def q_range_frame_10min(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_10min"),
+    )

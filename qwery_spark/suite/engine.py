@@ -131,3 +131,68 @@ from qwery_spark.suite import REGISTRY  # noqa: E402
 )
 def cdc_engine_replay_mor(spark, sf_dir):
     return _engine_replay(spark, sf_dir, write_mode="mor")
+
+
+@register(
+    "cdc_engine_time_travel",
+    """
+    WITH bounds AS (
+      SELECT min(event_id) AS lo,
+             CAST(FLOOR((max(event_id) - min(event_id) + 4) / 4) AS BIGINT) AS step
+      FROM events
+    ),
+    replay AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+      FROM events e, bounds b
+      WHERE e.event_id < b.lo + 2 * b.step                     -- first 2 of 4 batches
+        AND NOT (e.event_id % 997 = 0 AND e.event_type <> 'error')  -- quarantined
+    )
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CAST((event_id % 5) + 1 AS INTEGER) AS n_tok,
+           event_type AS source,
+           md5(array_to_string(list_transform(range(0, CAST(event_id % 5 AS INTEGER) + 1),
+               i -> (event_id * 31 + i) % 50257), ',')) AS tokens_md5
+    FROM replay
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Snapshot isolation on the driver's correctness gate: replay ALL "
+    "4 epochs, then read PINNED at the snapshot committed after epoch 1 "
+    "— the pinned state must equal an oracle replay of only the first "
+    "two ordinal-range batches (time travel is value-checked, not just "
+    "version-checked).",
+)
+def cdc_engine_time_travel(spark, sf_dir):
+    events = _derived_events(spark, sf_dir)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+
+    tag = hashlib.md5(f"{sf_dir}|tt".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_tt_tbl_")
+    try:
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="cow")
+        pinned = None
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            if b == 1:
+                pinned = tbl.current_version()
+        (
+            tbl.read(spark, snapshot_version=pinned)
+            .select(
+                "doc_id",
+                "n_tok",
+                "source",
+                F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
+                .alias("tokens_md5"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
