@@ -152,7 +152,7 @@ def main():
             # +-30% run-to-run spread (round-1: a single recorded run landed
             # at 0.78 while repeats landed 0.88+); every run is listed so
             # the selection is auditable
-            reps = {1: 3, 4: 3, 8: 1, 32: 1}
+            reps = {1: 3, 4: 3, 8: 2, 32: 2}
             for cpus in (1, 4, 8, 32):
                 spark = _fresh_spark(cpus)
                 # full-pipeline warm on one chunk: JIT/codegen compile must

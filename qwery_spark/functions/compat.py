@@ -58,6 +58,16 @@ _DEFS = [
     # Uuid.scala); thin aliases
     "QW_NOW() RETURNS TIMESTAMP RETURN current_timestamp()",
     "QW_UUID() RETURNS STRING RETURN uuid()",
+    # RAND(): uniform double (reference Rand.scala); Spark's rand()
+    "QW_RAND() RETURNS DOUBLE RETURN rand()",
+    # DATE_FORMAT/DATE_PARSE (reference DateFormat.scala:9-17,
+    # DateParse.scala:9-17): Java SimpleDateFormat patterns — Spark's
+    # datetime patterns share yyyy/MM/dd/HH/mm/ss, the reference's
+    # documented usage surface
+    "QW_DATE_FORMAT(t TIMESTAMP, fmt STRING) RETURNS STRING "
+    "RETURN date_format(t, fmt)",
+    "QW_DATE_PARSE(s STRING, fmt STRING) RETURNS TIMESTAMP "
+    "RETURN to_timestamp(s, fmt)",
 ]
 
 NAMES = [re.match(r"(\w+)", d).group(1) for d in _DEFS]

@@ -46,3 +46,20 @@ def test_now_and_uuid_shapes(spark):
     row = spark.sql("SELECT QW_NOW() AS t, QW_UUID() AS u").collect()[0]
     assert row["t"] is not None
     assert len(row["u"]) == 36 and row["u"].count("-") == 4
+
+
+def test_qw_date_format_parse_roundtrip(spark):
+    row = spark.sql(
+        "SELECT QW_DATE_FORMAT(TIMESTAMP '1997-03-15 08:30:00', 'yyyy/MM/dd HH:mm') AS f, "
+        "QW_DATE_PARSE('2001-07-04 12:00:00', 'yyyy-MM-dd HH:mm:ss') AS p"
+    ).collect()[0]
+    assert row["f"] == "1997/03/15 08:30"
+    assert str(row["p"]) == "2001-07-04 12:00:00"
+
+
+def test_qw_rand_in_unit_interval(spark):
+    rows = spark.sql(
+        "SELECT QW_RAND() AS r FROM range(100)"
+    ).collect()
+    assert all(0.0 <= r["r"] < 1.0 for r in rows)
+    assert len({round(r["r"], 9) for r in rows}) > 50  # actually varies
