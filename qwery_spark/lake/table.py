@@ -276,6 +276,9 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode}")
+        # a deleted-and-recreated path must not serve the old table's
+        # folded state from the cache
+        _STATE_CACHE.pop(path, None)
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         fields = [

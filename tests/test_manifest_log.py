@@ -160,3 +160,19 @@ def test_fold_equals_full_recompute_random_sequences(tmp_path):
     for v in (1, 17, 33, 59):
         table_mod._STATE_CACHE.clear()
         assert LakeTable(tbl.path).snapshot(v).version == v
+
+
+def test_recreated_path_does_not_serve_stale_cache(tmp_path):
+    """rmtree + create at the same path must yield the fresh table, not
+    the previous table's cached folded state."""
+    import shutil
+
+    p = str(tmp_path / "t")
+    tbl = LakeTable.create(p, TARGET_SCHEMA, n_buckets=2)
+    tbl.commit_rewrite(base=tbl.snapshot(), new_files=_fake_files(0, [0]),
+                       replaced_buckets=set(), epoch_id=0)
+    assert len(tbl.snapshot().files()) == 1  # cache primed at v1
+    shutil.rmtree(p)
+    tbl2 = LakeTable.create(p, TARGET_SCHEMA, n_buckets=2)
+    snap = tbl2.snapshot()
+    assert snap.version == 0 and snap.files() == []
