@@ -200,14 +200,17 @@ class ScriptEngine:
                 raise KeyError(f"undefined variable: @{name}")
             return _sql_literal(self.variables[name])
 
+        # both quote kinds: Spark SQL's default treats "..." as a string
+        # literal too (spark.sql.ansi.doubleQuotedIdentifiers=false)
         out, i, n, start = [], 0, len(text), 0
         while i < n:
-            if text[i] == "'":
+            q = text[i]
+            if q in ("'", '"'):
                 out.append(re.sub(r"@([A-Za-z_][\w.]*)", var, text[start:i]))
                 j = i + 1
                 while j < n:
-                    if text[j] == "'":
-                        if j + 1 < n and text[j + 1] == "'":  # '' escape
+                    if text[j] == q:
+                        if j + 1 < n and text[j + 1] == q:  # doubled escape
                             j += 2
                             continue
                         break
@@ -376,7 +379,12 @@ class ScriptEngine:
 
             tbl = LakeTable(m.group(1))
             rows = []
-            for v in range(tbl.current_version() + 1):
+            mdir = tbl._mdir()
+            live = sorted(
+                int(n[1:9]) for n in os.listdir(mdir)
+                if n.startswith("v") and n.endswith(".json")
+            )  # expired log: only surviving records are listable
+            for v in live:
                 with open(tbl._manifest_path(v)) as fh:
                     rec = json.load(fh)
                 summary = rec.get("summary", {})

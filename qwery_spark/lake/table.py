@@ -53,8 +53,19 @@ CKPT_EVERY = 32
 
 # folded-state cache: records are immutable, so (version -> state) can
 # never go stale; keyed by table path, holding only the newest folded
-# version per table (the head advances incrementally, O(1) per commit)
-_STATE_CACHE: dict[str, tuple[int, dict]] = {}
+# version per table (the head advances incrementally, O(1) per commit).
+# LRU-bounded: a long-lived driver touching many tables (per-file
+# workflow tables, bench loops) must not accumulate a full file list
+# per path forever.
+_STATE_CACHE_MAX = 16
+_STATE_CACHE: "dict[str, tuple[int, dict]]" = {}
+
+
+def _cache_put(path: str, version: int, state: dict) -> None:
+    _STATE_CACHE.pop(path, None)
+    _STATE_CACHE[path] = (version, state)  # insertion order == recency
+    while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+        _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
 
 # widenings permitted by widen_type (Iceberg-compatible set)
 _ALLOWED_WIDEN = {
@@ -223,7 +234,7 @@ class LakeTable:
         v = head if version is None else version
         state = self._load_state(v)
         if v == head:
-            _STATE_CACHE[self.path] = (v, state)
+            _cache_put(self.path, v, state)
         return Snapshot(state, self.path)
 
     def _write_manifest(self, manifest: dict) -> Snapshot:
@@ -242,7 +253,7 @@ class LakeTable:
         """Write a delta record, advance the state cache, and drop a
         checkpoint every CKPT_EVERY commits (amortized O(files)/K)."""
         self._write_manifest(rec)
-        _STATE_CACHE[self.path] = (rec["version"], folded)
+        _cache_put(self.path, rec["version"], folded)
         if rec["version"] % CKPT_EVERY == 0:
             ck = self._ckpt_path(rec["version"])
             tmp = ck + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -37,6 +37,7 @@ def connected_components(
         "label", F.col("node")
     )
     labels.persist()
+    final_cached = None  # the winner stays cached only until returned
     try:
         for _ in range(max_iter):
             nbr = (
@@ -66,6 +67,14 @@ def connected_components(
             labels = new
             if changed == 0:
                 break
-        return labels.select("node", F.col("label").alias("component"))
+        # hand back an uncached plan: checkpoint the converged labels so
+        # the result survives unpersisting every loop intermediate (the
+        # blocks free when the returned DataFrame is garbage-collected)
+        final_cached = labels
+        return labels.localCheckpoint(eager=True).select(
+            "node", F.col("label").alias("component")
+        )
     finally:
         sym.unpersist()
+        if final_cached is not None:
+            final_cached.unpersist()

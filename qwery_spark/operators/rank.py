@@ -37,7 +37,13 @@ def with_global_rank(
     parted = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
-    parted.persist()
+    # eager localCheckpoint, not persist(): (a) both passes MUST see the
+    # same materialization (range-partition sampling reseeds per query
+    # execution, so a recompute could move partition boundaries), and
+    # (b) the blocks' lifetime is tied to the returned DataFrame — when
+    # it is garbage-collected the ContextCleaner frees them, instead of
+    # a session-lifetime cache entry leaking per call.
+    parted = parted.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

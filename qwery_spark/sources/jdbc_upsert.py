@@ -32,8 +32,22 @@ def dialect_for_url(url: str) -> str:
     return "ansi"
 
 
-def _q(ident: str) -> str:
-    return '"' + ident.replace('"', '""') + '"'
+def _quoter(dialect: str):
+    """Identifier quoting per vendor (MySQL's default sql_mode rejects
+    double-quoted identifiers — it needs backticks). Schema-qualified
+    names quote each dot segment separately so `public.users` stays a
+    schema reference, matching the table Spark's stage write created."""
+    if dialect == "mysql":
+        def q(ident: str) -> str:
+            return ".".join(
+                "`" + p.replace("`", "``") + "`" for p in ident.split(".")
+            )
+    else:
+        def q(ident: str) -> str:
+            return ".".join(
+                '"' + p.replace('"', '""') + '"' for p in ident.split(".")
+            )
+    return q
 
 
 def upsert_statement(
@@ -43,6 +57,7 @@ def upsert_statement(
     ``keys`` (insert-or-update, the reference's UPSERT KEYED ON)."""
     if dialect not in _DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; expected one of {_DIALECTS}")
+    _q = _quoter(dialect)
     missing = [k for k in keys if k not in columns]
     if missing:
         raise ValueError(f"key columns not in column list: {missing}")
@@ -98,7 +113,7 @@ def upsert_plan(
         "dialect": d,
         "stage_table": stage,
         "merge_sql": upsert_statement(table, stage, columns, keys, d),
-        "cleanup_sql": f"DROP TABLE {_q(stage)}",
+        "cleanup_sql": f"DROP TABLE {_quoter(d)(stage)}",
     }
 
 
@@ -114,14 +129,24 @@ def jdbc_upsert(
     props = dict(properties or {})
     # 1. parallel bulk stage write (executors, batched)
     df.write.mode("overwrite").jdbc(url, plan["stage_table"], properties=props)
-    # 2. one set-based merge + cleanup through the driver's JVM
+    # 2. one set-based merge through the driver's JVM — with the SAME
+    # credentials the stage write used, and the scratch table dropped
+    # even when the merge fails (no orphan stage tables on retries)
     jvm = spark.sparkContext._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(str(k), str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = conn.createStatement()
-        st.execute(plan["merge_sql"])
-        st.execute(plan["cleanup_sql"])
-        st.close()
+        try:
+            st.execute(plan["merge_sql"])
+        finally:
+            try:
+                st.execute(plan["cleanup_sql"])
+            except Exception:
+                pass  # cleanup is best-effort; the merge error wins
+            st.close()
     finally:
         conn.close()
     return plan

@@ -193,10 +193,14 @@ class Scheduler:
         self.fired: list[tuple[_dt.datetime, str, object]] = []
 
     def tick(self, now: _dt.datetime) -> list[str]:
-        """Fire everything due at ``now``; reschedule each firing for the
-        next day. Returns the names fired (in time order)."""
-        due = sorted((t, ev) for t, ev in self._pending if t <= now)
-        self._pending = [(t, ev) for t, ev in self._pending if t > now]
+        """Fire everything due at ``now``; reschedule each firing for its
+        next FUTURE occurrence (downtime longer than a day fires at most
+        once, like the reference's roll-forward getNextRunTime — no
+        once-per-missed-day catch-up storm). Returns names in time order."""
+        # key on the timestamp only: ScheduledEvent defines no ordering,
+        # and two events sharing a time must not crash the sort
+        due = sorted((p for p in self._pending if p[0] <= now), key=lambda p: p[0])
+        self._pending = [p for p in self._pending if p[0] > now]
         names = []
         for t, ev in due:
             try:
@@ -205,5 +209,8 @@ class Scheduler:
                 result = f"FAILED: {e}"
             self.fired.append((t, ev.name, result))
             names.append(ev.name)
-            self._pending.append((t + _dt.timedelta(days=1), ev))
+            nxt = t + _dt.timedelta(days=1)
+            while nxt <= now:
+                nxt += _dt.timedelta(days=1)
+            self._pending.append((nxt, ev))
         return names

@@ -73,12 +73,18 @@ def resume_ordinal(spark: SparkSession, lineage_dir: str) -> int | None:
 
 
 def starting_offsets_from_lineage(
-    spark: SparkSession, lineage_dir: str, topic: str
+    spark: SparkSession, lineage_dir: str, topic: str,
+    n_partitions: int | None = None,
 ) -> str | None:
     """Kafka resume helper: per-partition startingOffsets JSON built from
     the lineage table's committed per-partition ordinal ranges (valid
     when ordinal is the kafka offset — parse_kafka_events' fallback).
-    Partitions never seen resume from earliest."""
+
+    Spark's kafka source REQUIRES specific-offset JSON to cover every
+    topic partition: pass ``n_partitions`` (the topic's partition count)
+    and partitions absent from lineage are filled with -2 (earliest).
+    Without ``n_partitions`` the JSON covers only lineage-seen
+    partitions — valid only when that IS the full set."""
     from pyspark.sql import functions as F
 
     try:
@@ -93,7 +99,11 @@ def starting_offsets_from_lineage(
     )
     if not rows:
         return None
-    return offsets_json(topic, {int(r["partition"]): int(r["m"]) + 1 for r in rows})
+    offsets = {int(r["partition"]): int(r["m"]) + 1 for r in rows}
+    if n_partitions is not None:
+        for p in range(n_partitions):
+            offsets.setdefault(p, OFFSET_EARLIEST)
+    return offsets_json(topic, offsets)
 
 
 def stream_events(

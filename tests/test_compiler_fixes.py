@@ -240,3 +240,26 @@ def test_alter_lake_schema_evolution(eng, spark, tmp_path):
     assert df.filter("language IS NOT NULL").count() == 0 and df.count() > 0
     with pytest.raises(ValueError, match="illegal widen"):
         eng.execute(f"ALTER LAKE '{path}' WIDEN COLUMN source TO int")
+
+
+def test_double_quoted_literal_protects_at_sign(eng):
+    row = eng.execute('SELECT "amy@x.org" AS email').collect()[0]
+    assert row["email"] == "amy@x.org"
+
+
+def test_show_snapshots_survives_expired_log(eng, spark, tmp_path):
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    path = str(tmp_path / "lake")
+    tbl = LakeTable.create(path, TARGET_SCHEMA, n_buckets=2, write_mode="mor")
+    pdf = make_events(600, seed=5).to_pandas()
+    for e in range(3):
+        apply_changes(spark, tbl,
+                      spark.createDataFrame(pdf.iloc[e*200:(e+1)*200], schema=EVENT_SCHEMA),
+                      epoch_id=e)
+    tbl.expire_snapshots(keep_last=2)
+    snaps = eng.execute(f"SHOW SNAPSHOTS '{path}'").collect()
+    assert [r["version"] for r in snaps] == [2, 3]  # only surviving records

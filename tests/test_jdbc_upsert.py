@@ -42,7 +42,7 @@ def test_postgres_on_conflict():
 def test_mysql_on_duplicate_key():
     sql = upsert_statement("tok", "st", COLS, KEYS, "mysql")
     assert "ON DUPLICATE KEY UPDATE" in sql
-    assert '"n_tok" = new."n_tok"' in sql
+    assert "`n_tok` = new.`n_tok`" in sql
 
 
 def test_sqlite_on_conflict():
@@ -94,3 +94,17 @@ def test_engine_routes_jdbc_upsert_jar_gated(spark):
             "UPSERT INTO 'jdbc:postgresql://localhost/db?table=tok' KEYED ON doc_id "
             "SELECT * FROM VALUES ('a', 1, 'web') AS t(doc_id, n_tok, source)"
         )
+
+
+def test_mysql_uses_backticks():
+    sql = upsert_statement("tok", "st", COLS, KEYS, "mysql")
+    assert "`tok`" in sql and "`doc_id`" in sql and '"' not in sql
+
+
+def test_schema_qualified_names_quote_per_segment():
+    sql = upsert_statement("public.users", "public.users_stage", ["id", "v"], ["id"], "ansi")
+    assert '"public"."users"' in sql and '"public"."users_stage"' in sql
+    sql2 = upsert_statement("db.users", "db.users_stage", ["id", "v"], ["id"], "mysql")
+    assert "`db`.`users`" in sql2
+    plan = upsert_plan("jdbc:mysql://h/db", "db.t", ["id"], ["id"])
+    assert plan["cleanup_sql"].startswith("DROP TABLE `db`.")

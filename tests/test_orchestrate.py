@@ -209,3 +209,57 @@ def test_starting_offsets_from_lineage(spark, tmp_path):
     )
     got = json.loads(starting_offsets_from_lineage(spark, lineage, "changes"))
     assert got == {"changes": {"0": 399, "1": 400}}  # max ordinal per part + 1
+
+
+# ---------------- review-fix regressions ----------------
+def test_scheduler_two_events_same_time(spark):
+    """Two events sharing a firing time must both fire (sort must not
+    compare ScheduledEvent objects)."""
+    eng = ScriptEngine(spark)
+    eng.execute("SET @a = 0")
+    eng.execute("SET @b = 0")
+    evs = [
+        ScheduledEvent("ev-a", ["8:15"], "SET @a = @a + 1"),
+        ScheduledEvent("ev-b", ["8:15"], "SET @b = @b + 1"),
+    ]
+    sched = Scheduler(eng, evs, start=dt.datetime(2026, 8, 16, 7, 0))
+    fired = sched.tick(dt.datetime(2026, 8, 16, 8, 16))
+    assert sorted(fired) == ["ev-a", "ev-b"]
+    assert eng.variables["a"] == 1 and eng.variables["b"] == 1
+
+
+def test_scheduler_no_catch_up_storm_after_downtime(spark):
+    """5 days of downtime fires the daily event ONCE, then resumes the
+    normal cadence (reference rolls forward to the next future time)."""
+    eng = ScriptEngine(spark)
+    eng.execute("SET @n = 0")
+    sched = Scheduler(
+        eng, [ScheduledEvent("daily", ["8:15"], "SET @n = @n + 1")],
+        start=dt.datetime(2026, 8, 16, 7, 0),
+    )
+    assert sched.tick(dt.datetime(2026, 8, 21, 9, 0)) == ["daily"]
+    assert eng.variables["n"] == 1
+    assert sched.tick(dt.datetime(2026, 8, 21, 23, 0)) == []  # not again today
+    assert sched.tick(dt.datetime(2026, 8, 22, 8, 15)) == ["daily"]
+    assert eng.variables["n"] == 2
+
+
+def test_offsets_from_lineage_fills_unseen_partitions(spark, tmp_path):
+    """Spark's kafka source requires specific-offset JSON to cover ALL
+    partitions: unseen ones fill with -2 (earliest)."""
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+    from qwery_spark.streaming.stream import starting_offsets_from_lineage
+
+    lineage = str(tmp_path / "lineage")
+    tbl = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    ev = make_events(100, seed=31).to_pandas()
+    ev["_partition"] = 1  # only partition 1 ever seen
+    apply_changes(spark, tbl, spark.createDataFrame(ev), epoch_id=0,
+                  lineage_dir=lineage)
+    got = json.loads(
+        starting_offsets_from_lineage(spark, lineage, "t", n_partitions=4)
+    )
+    assert got == {"t": {"1": 100, "0": -2, "2": -2, "3": -2}}

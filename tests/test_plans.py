@@ -126,7 +126,9 @@ def test_ntile_no_single_partition_window(spark):
     funnels every row through one task."""
     p = _plan(spark, "q_ntile_quartiles")
     assert "SinglePartition" not in p
-    assert "rangepartitioning" in p.lower() or "RangePartitioning" in p
+    # the row_number window is partitioned by _pid (the range-partition
+    # id materialized by the checkpointed first pass), never global
+    assert "windowspecdefinition(_pid" in p
 
 
 def test_engine_replay_returns_lazy_scan(spark):
