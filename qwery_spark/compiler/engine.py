@@ -53,32 +53,47 @@ def _is_word(ch: str) -> bool:
 
 
 def split_statements(text: str) -> list[str]:
-    """Split on ';' outside single-quoted strings and outside
-    BEGIN...END blocks (so procedure bodies stay intact)."""
-    out, buf, in_q, depth = [], [], False, 0
+    """Split on ';' outside string literals (single- OR double-quoted,
+    with doubled-quote escapes — Spark treats both as literals by
+    default) and outside BEGIN...END blocks (procedure bodies stay
+    intact)."""
+    out, buf, depth = [], [], 0
+    q: str | None = None  # current quote char
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if ch == "'":
-            in_q = not in_q
-        if not in_q:
-            up = text[i : i + 6].upper()
-            # both boundaries must be non-word: identifiers like
-            # 'trend', 'weekend' or 'end_time' are not block keywords
-            at_word_start = i == 0 or not _is_word(text[i - 1])
-            if (
-                up.startswith("BEGIN")
-                and at_word_start
-                and (i + 5 == n or not _is_word(text[i + 5]))
-            ):
-                depth += 1
-            elif (
-                up.startswith("END")
-                and at_word_start
-                and (i + 3 == n or not _is_word(text[i + 3]))
-            ):
-                depth = max(depth - 1, 0)
-        if ch == ";" and not in_q and depth == 0:
+        if q is not None:
+            buf.append(ch)
+            if ch == q:
+                if i + 1 < n and text[i + 1] == q:  # doubled escape
+                    buf.append(text[i + 1])
+                    i += 2
+                    continue
+                q = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+            i += 1
+            continue
+        up = text[i : i + 6].upper()
+        # both boundaries must be non-word: identifiers like
+        # 'trend', 'weekend' or 'end_time' are not block keywords
+        at_word_start = i == 0 or not _is_word(text[i - 1])
+        if (
+            up.startswith("BEGIN")
+            and at_word_start
+            and (i + 5 == n or not _is_word(text[i + 5]))
+        ):
+            depth += 1
+        elif (
+            up.startswith("END")
+            and at_word_start
+            and (i + 3 == n or not _is_word(text[i + 3]))
+        ):
+            depth = max(depth - 1, 0)
+        if ch == ";" and depth == 0:
             stmt = "".join(buf).strip()
             if stmt:
                 out.append(stmt)
@@ -93,17 +108,21 @@ def split_statements(text: str) -> list[str]:
 
 
 def split_commas(raw: str) -> list[str]:
-    """Split on commas outside single quotes and outside parentheses
-    (so hint values like JSON PATH (a,b) stay whole)."""
-    parts, buf, in_q, depth = [], [], False, 0
+    """Split on commas outside string literals (either quote kind) and
+    outside parentheses (so hint values like JSON PATH (a,b) stay whole)."""
+    parts, buf, depth = [], [], 0
+    q: str | None = None
     for ch in raw:
-        if ch == "'":
-            in_q = not in_q
-        elif not in_q and ch == "(":
+        if q is not None:
+            if ch == q:
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
             depth += 1
-        elif not in_q and ch == ")":
+        elif ch == ")":
             depth = max(depth - 1, 0)
-        if ch == "," and not in_q and depth == 0:
+        if ch == "," and q is None and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
