@@ -189,6 +189,7 @@ class ScriptEngine:
     def __init__(self, spark: SparkSession, import_env: bool = True):
         self.spark = spark
         self.variables: dict[str, object] = {}
+        self.variable_types: dict[str, str] = {}  # DECLAREd types, cast on SET
         self.views: list[str] = []
         self.functions: list[str] = []
         self.procedures: dict[str, tuple[list[str], str]] = {}  # name -> (params, body)
@@ -264,12 +265,33 @@ class ScriptEngine:
         raw = statement.strip().rstrip(";").strip()
         up_raw = raw.upper()
 
+        # anonymous BEGIN ... END block: sequential execution, result of
+        # the last statement (core:ops/CodeBlock.scala:7-14)
+        if up_raw.startswith("BEGIN"):
+            m = re.match(r"BEGIN\s+(.*?)\s*END\s*$", raw, re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise ValueError(f"bad BEGIN block: {raw[:120]}")
+            results = self.run_script(m.group(1))
+            return results[-1] if results else None
+
         # DECLARE/SET bind the @name itself — expand only the RHS
         if up_raw.startswith("DECLARE "):
+            # typed declare (core:ops/sql/Declare.scala:11-16): the type
+            # is enforced on assignment (SET casts to it)
             m = re.match(r"DECLARE\s+@?([\w.]+)\s+(\w+)", raw, re.IGNORECASE)
             if not m:
                 raise ValueError(f"bad DECLARE: {raw}")
-            self.variables.setdefault(m.group(1), None)
+            name, type_name = m.group(1), m.group(2).lower()
+            _TYPES = {
+                "boolean": "boolean", "byte": "tinyint", "date": "date",
+                "double": "double", "float": "float", "int": "int",
+                "integer": "int", "long": "bigint", "short": "smallint",
+                "string": "string", "uuid": "string",
+            }
+            if type_name not in _TYPES:
+                raise ValueError(f"unknown DECLARE type: {type_name}")
+            self.variable_types[name] = _TYPES[type_name]
+            self.variables.setdefault(name, None)
             return None
 
         if up_raw.startswith("SET "):
@@ -282,9 +304,16 @@ class ScriptEngine:
                 # (core:ops/Executable.scala:29-34 toExpression)
                 df = self._compile_select(expr[1:-1])
                 row = df.first()
-                self.variables[name] = None if row is None else row[0]
+                value = None if row is None else row[0]
             else:
-                self.variables[name] = self.spark.sql(f"SELECT {expr}").first()[0]
+                value = self.spark.sql(f"SELECT {expr}").first()[0]
+            declared = self.variable_types.get(name)
+            if declared is not None and value is not None:
+                # lenient cast (reference Cast.scala: Try -> None)
+                value = self.spark.sql(
+                    f"SELECT try_cast({_sql_literal(value)} AS {declared})"
+                ).first()[0]
+            self.variables[name] = value
             return self.variables[name]
 
         # PROCEDURE/CALL handle expansion themselves (the body's @params

@@ -263,3 +263,29 @@ def test_show_snapshots_survives_expired_log(eng, spark, tmp_path):
     tbl.expire_snapshots(keep_last=2)
     snaps = eng.execute(f"SHOW SNAPSHOTS '{path}'").collect()
     assert [r["version"] for r in snaps] == [2, 3]  # only surviving records
+
+
+# ---------------- anonymous blocks + typed DECLARE ----------------
+def test_anonymous_begin_end_block(eng):
+    out = eng.execute("BEGIN SET @x = 2; SET @y = 3; SELECT @x * @y AS p; END")
+    assert out.collect()[0]["p"] == 6
+    assert eng.variables["x"] == 2  # block shares the session scope
+
+
+def test_declare_type_enforced_on_set(eng):
+    eng.execute("DECLARE @d Double")
+    eng.execute("SET @d = 3")
+    assert eng.variables["d"] == 3.0 and isinstance(eng.variables["d"], float)
+    eng.execute("DECLARE @i Integer")
+    eng.execute("SET @i = '42'")
+    assert eng.variables["i"] == 42
+    # lenient cast: unparseable -> NULL (reference Cast.scala Try->None)
+    eng.execute("SET @i = 'nope'")
+    assert eng.variables["i"] is None
+    with pytest.raises(ValueError, match="unknown DECLARE type"):
+        eng.execute("DECLARE @z Decimal")
+
+
+def test_undeclared_set_keeps_native_type(eng):
+    eng.execute("SET @free = 7")
+    assert eng.variables["free"] == 7 and isinstance(eng.variables["free"], int)
