@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "text_quality",
     "mm_binary_features",
+    "q10_returned_revenue",
+    "tok_bigrams",
 ]
 
 

@@ -72,7 +72,15 @@ def split_statements(text: str) -> list[str]:
                 q = None
             i += 1
             continue
-        if ch in ("'", '"'):
+        if ch == "-" and text[i : i + 2] == "--":
+            # -- comment to end-of-line: opaque (a lone quote inside a
+            # comment must not swallow the rest of the script)
+            j = text.find("\n", i)
+            j = n if j == -1 else j
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch in ("'", '"', "`"):
             q = ch
             buf.append(ch)
             i += 1
@@ -224,6 +232,15 @@ class ScriptEngine:
         # literal too (spark.sql.ansi.doubleQuotedIdentifiers=false)
         out, i, n, start = [], 0, len(text), 0
         while i < n:
+            if text[i] == "-" and text[i : i + 2] == "--":
+                # comments are opaque to @var substitution too ('@' in a
+                # comment must not raise undefined-variable)
+                out.append(re.sub(r"@([A-Za-z_][\w.]*)", var, text[start:i]))
+                j = text.find("\n", i)
+                j = n if j == -1 else j
+                out.append(text[i:j])
+                i = start = j
+                continue
             q = text[i]
             if q in ("'", '"'):
                 out.append(re.sub(r"@([A-Za-z_][\w.]*)", var, text[start:i]))
@@ -266,11 +283,15 @@ class ScriptEngine:
         up_raw = raw.upper()
 
         # anonymous BEGIN ... END block: sequential execution, result of
-        # the last statement (core:ops/CodeBlock.scala:7-14)
-        if up_raw.startswith("BEGIN"):
-            m = re.match(r"BEGIN\s+(.*?)\s*END\s*$", raw, re.IGNORECASE | re.DOTALL)
+        # the last statement (core:ops/CodeBlock.scala:7-14). Word
+        # boundaries on both keywords: BEGINNER isn't a block, and a
+        # body ending in 'weekend' must not be truncated at its 'end'.
+        if re.match(r"BEGIN\b", up_raw):
+            m = re.match(
+                r"BEGIN\s+(.*?)\s*(?<![\w])END\s*$", raw, re.IGNORECASE | re.DOTALL
+            )
             if not m:
-                raise ValueError(f"bad BEGIN block: {raw[:120]}")
+                raise ValueError(f"bad BEGIN block (missing END?): {raw[:120]}")
             results = self.run_script(m.group(1))
             return results[-1] if results else None
 
@@ -299,20 +320,23 @@ class ScriptEngine:
             if not m:
                 raise ValueError(f"bad SET: {raw}")
             name, expr = m.group(1), self.expand(m.group(2).strip())
+            declared = self.variable_types.get(name)
             if expr.startswith("(") and re.search(r"^\(\s*SELECT\b", expr, re.IGNORECASE):
                 # scalar subquery: first row, first column
                 # (core:ops/Executable.scala:29-34 toExpression)
                 df = self._compile_select(expr[1:-1])
+                if declared is not None:
+                    # lenient declared-type cast inside the same query —
+                    # no literal round-trip (escapes/NaN stay intact)
+                    df = df.select(df[df.columns[0]].try_cast(declared))
                 row = df.first()
                 value = None if row is None else row[0]
+            elif declared is not None:
+                value = self.spark.sql(
+                    f"SELECT try_cast(({expr}) AS {declared})"
+                ).first()[0]
             else:
                 value = self.spark.sql(f"SELECT {expr}").first()[0]
-            declared = self.variable_types.get(name)
-            if declared is not None and value is not None:
-                # lenient cast (reference Cast.scala: Try -> None)
-                value = self.spark.sql(
-                    f"SELECT try_cast({_sql_literal(value)} AS {declared})"
-                ).first()[0]
             self.variables[name] = value
             return self.variables[name]
 
@@ -353,6 +377,7 @@ class ScriptEngine:
             if len(args) != len(params):
                 raise ValueError(f"{name} expects {len(params)} args, got {len(args)}")
             saved = dict(self.variables)
+            saved_types = dict(self.variable_types)
             out_vals: dict[str, object] | None = None
             try:
                 out_binds: list[tuple[str, str]] = []  # (param, caller var)
@@ -374,6 +399,7 @@ class ScriptEngine:
                 return results[-1] if results else None
             finally:
                 self.variables = saved
+                self.variable_types = saved_types  # DECLAREs don't leak
                 if out_vals:
                     # OUT params survive into the caller scope
                     self.variables.update(out_vals)

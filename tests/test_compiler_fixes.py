@@ -289,3 +289,42 @@ def test_declare_type_enforced_on_set(eng):
 def test_undeclared_set_keeps_native_type(eng):
     eng.execute("SET @free = 7")
     assert eng.variables["free"] == 7 and isinstance(eng.variables["free"], int)
+
+
+# ---------------- second review-pass regressions ----------------
+def test_comment_with_lone_quote_does_not_merge_statements():
+    from qwery_spark.compiler.engine import split_statements
+
+    stmts = split_statements('SELECT 1 AS a -- inches: 6"\n; SELECT 2 AS b')
+    assert len(stmts) == 2
+
+
+def test_at_sign_in_comment_does_not_expand(eng):
+    row = eng.execute("SELECT 1 AS v -- ping @nobody\n").collect()[0]
+    assert row["v"] == 1
+
+
+def test_begin_block_missing_end_raises(eng):
+    with pytest.raises(ValueError, match="missing END"):
+        eng.execute("BEGIN SET @x = 1; SELECT weekend")
+    # and BEGINNER is not a block statement
+    with pytest.raises(Exception):
+        eng.execute("BEGINNER")  # falls through to spark.sql -> parse error
+
+
+def test_declare_inside_procedure_does_not_leak_type(eng):
+    eng.execute(
+        "CREATE PROCEDURE dp() AS BEGIN DECLARE @tmp Integer; SET @tmp = 1; END"
+    )
+    eng.execute("CALL dp()")
+    eng.execute("SET @tmp = 'hello'")  # no lingering int cast
+    assert eng.variables["tmp"] == "hello"
+
+
+def test_typed_set_preserves_backslashes(eng):
+    """The declared-type cast must not round-trip the value through a
+    second SQL literal (which would re-interpret backslash escapes)."""
+    eng.execute("DECLARE @s String")
+    # Spark SQL escape: '\\n' in the literal yields a real backslash-n
+    eng.execute("SET @s = (SELECT 'C:\\\\new' AS p)")
+    assert eng.variables["s"] == "C:\\new"

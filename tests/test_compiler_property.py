@@ -2,8 +2,6 @@
 splitter and the quote-aware expander — the two compiler functions whose
 round-1 bugs came from hand-rolled text scanning."""
 
-import re
-
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")

@@ -25,6 +25,8 @@ def main():
 
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     per_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    if epochs < 4:
+        raise SystemExit("epochs must be >= 4 (first/second-half medians need data)")
 
     spark = get_spark("flatcost-bench", cpus=32, shuffle_partitions=32)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
