@@ -61,8 +61,14 @@ def minhash_candidates(
     df: DataFrame, key: str, text_col: str, n_bands: int = DEFAULT_NBANDS, n: int = 3
 ) -> DataFrame:
     """LSH candidate pairs: keys whose minhash collides in >=1 band.
-    The join key is (band, minhash) — a bucket join, O(collisions)."""
-    sig = minhash_signatures(df, key, text_col, n_bands, n)
+    The join key is (band, minhash) — a bucket join, O(collisions).
+
+    The signature stage (shingle explosion + banded min) materializes
+    once (eager localCheckpoint): Spark's ReuseExchange does NOT fire
+    across the self-join's aliased branches, so without this the
+    expensive subplan runs twice — measured 1.7x slower at sf0.1. On a
+    cluster the signatures are a persisted index table anyway."""
+    sig = minhash_signatures(df, key, text_col, n_bands, n).localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
