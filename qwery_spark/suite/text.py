@@ -308,3 +308,76 @@ def text_bpe_token_count(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_bpe_tokens"),
         F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
     )
+
+
+@register(
+    "dedup_pipeline_survivors",
+    f"""
+    WITH RECURSIVE
+    sig AS (
+      SELECT doc_id, band, min(h) AS minhash
+      FROM ({_SHINGLE_SQL}) b GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))) AS gs
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+            FROM ({_CORPUS_SQL}) c) w
+      WHERE len(ws) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b
+      WHERE round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+                  len(list_distinct(list_concat(ga.gs, gb.gs))), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           count(*) AS n_members,
+           CAST(min(node) AS BIGINT) AS keeper,
+           count(*) - 1 AS n_dropped
+    FROM (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node) c
+    GROUP BY cluster_id
+    """,
+    doc="THE dedup pipeline end-to-end in one query: banded MinHash-LSH "
+    "candidates (bucket join) -> exact n-gram Jaccard verification on "
+    "candidates only (>= 0.5) -> connected components (min-label "
+    "propagation) -> per-cluster survivor choice (keeper = min doc_id, "
+    "the rest dropped). Every stage value-checked against DuckDB, the "
+    "iterative one via a RECURSIVE CTE.",
+)
+def dedup_pipeline_survivors(spark, sf_dir):
+    from qwery_spark.operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    cand = minhash_candidates(corpus, "doc_id", "text", _NBANDS).select(
+        "doc_a", "doc_b"
+    )
+    verified = ngram_jaccard(cand, corpus, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    cc = connected_components(verified, src="doc_a", dst="doc_b")
+    return cc.groupBy(F.col("component").cast("bigint").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").cast("bigint").alias("keeper"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
