@@ -333,3 +333,46 @@ def cdc_scd2_history(spark, sf_dir):
         F.lead(us).over(w).alias("valid_to_us"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "tok_packing",
+    f"""
+    SELECT pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           CAST(min(ordinal) AS BIGINT) AS first_doc
+    FROM (
+      SELECT ordinal, len(tokens) AS n_tok,
+             CAST(FLOOR(CAST((sum(len(tokens)) OVER (ORDER BY ordinal
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - len(tokens)) AS DOUBLE) / 64) AS BIGINT) AS pack_id
+      FROM ({_TOKENS_SQL}) t
+    ) p
+    GROUP BY pack_id
+    """,
+    doc="Sequence packing: greedy assignment of token sequences into "
+    "fixed-budget context windows (budget 64 here) via a running-sum "
+    "window over the WAL order — pack_id = floor(prefix_tokens/budget). "
+    "The packing pass every pre-training data pipeline runs; one "
+    "range-ordered window, no Python. (A global ORDER BY window is "
+    "acceptable here only because packing is order-DEFINED; at scale "
+    "the order key is (shard, position) so the window partitions by "
+    "shard — same expression with a partitionBy added.)",
+)
+def tok_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = _with_tokens(spark, sf_dir)
+    w = Window.orderBy("ordinal").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tok = F.size("tokens")
+    pack = F.floor(((F.sum(n_tok).over(w) - n_tok).cast("double")) / 64).cast("bigint")
+    return (
+        t.select("ordinal", n_tok.alias("n_tok"), pack.alias("pack_id"))
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+            F.min("ordinal").cast("bigint").alias("first_doc"),
+        )
+    )

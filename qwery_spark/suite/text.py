@@ -381,3 +381,91 @@ def dedup_pipeline_survivors(spark, sf_dir):
         F.min("node").cast("bigint").alias("keeper"),
         (F.count("*") - 1).alias("n_dropped"),
     )
+
+
+# ---------------- deterministic sampling / splits (training-data ops) ---
+# Hash-threshold sampling: md5(doc_id) is uniform and engine-portable,
+# so sample membership is a pure projection — reproducible across runs,
+# engines, and cluster sizes (no RNG state, no shuffle). At 100 TB this
+# beats .sample(): zero planning constraints, pushdown-friendly, and
+# the same row always lands in the same split (leak-proof train/test).
+_HASH_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+
+
+@register(
+    "split_assignment",
+    f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_HASH_BUCKET_SQL} < 800 THEN 'train'
+                  WHEN {_HASH_BUCKET_SQL} < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) s
+    GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by md5 hash band — "
+    "membership is a projection (no RNG, no shuffle), the same doc lands "
+    "in the same split on any engine or cluster size: leak-proof by "
+    "construction.",
+)
+def split_assignment(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT source, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM (
+      SELECT doc_id, source, {_HASH_BUCKET_SQL} AS hb,
+             CASE source WHEN 'web' THEN 500 WHEN 'books' THEN 900
+                         ELSE 250 END AS rate_permille
+      FROM documents
+    ) s
+    WHERE hb < rate_permille
+    GROUP BY source
+    """,
+    doc="Stratified sampling with per-source rates (web 50%, books 90%, "
+    "rest 25%) via the same hash-threshold trick — the data-mixing "
+    "primitive of a training pipeline, expressed as a pushdown-friendly "
+    "filter with zero RNG state.",
+)
+def sample_stratified(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    hb = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+    rate = (
+        F.when(F.col("source") == "web", 500)
+        .when(F.col("source") == "books", 900)
+        .otherwise(250)
+    )
+    return (
+        d.filter(hb < rate)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+    )
