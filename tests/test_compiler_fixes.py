@@ -328,3 +328,14 @@ def test_typed_set_preserves_backslashes(eng):
     # Spark SQL escape: '\\n' in the literal yields a real backslash-n
     eng.execute("SET @s = (SELECT 'C:\\\\new' AS p)")
     assert eng.variables["s"] == "C:\\new"
+
+
+def test_alter_lake_widens_array_types(eng, spark, tmp_path):
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake_arr")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=2)
+    eng.execute(f"ALTER LAKE '{path}' WIDEN COLUMN tokens TO array<bigint>")
+    cols = {r["column"]: r["type"] for r in eng.execute(f"DESCRIBE LAKE '{path}'").collect()}
+    assert cols["tokens"] == "array<bigint>"
