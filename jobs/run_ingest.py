@@ -93,6 +93,14 @@ def main(argv=None):
                                max_files_per_trigger=args.max_files_per_trigger,
                                min_ordinal=min_ord)
 
+    # exactly-once token namespaced by checkpoint identity (fresh
+    # checkpoints restart batch ids at 0 — bare epoch ids would collide
+    # with a previous run's applied epochs and silently skip batches)
+    import hashlib
+    import os
+
+    run_id = hashlib.md5(os.path.abspath(args.checkpoint).encode()).hexdigest()[:8]
+
     def _batch(df, epoch_id):
         if args.transform_sql:
             df.createOrReplaceTempView("events")
@@ -100,6 +108,7 @@ def main(argv=None):
         apply_changes(
             spark, table, df, epoch_id=epoch_id,
             lineage_dir=args.lineage, quarantine_dir=args.quarantine,
+            run_id=run_id,
         )
 
     writer = events.writeStream.foreachBatch(_batch).option(

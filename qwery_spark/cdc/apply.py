@@ -78,17 +78,33 @@ def apply_changes(
     lineage_dir: str | None = None,
     collect_stats: bool = True,
     scan_ddl: bool = True,
+    run_id: str | None = None,
 ) -> ApplyResult:
     """Apply one micro-batch of ordered change events to the table.
 
     scan_ddl=False skips the DDL-event scan job for streams known to
-    carry data-only events (one less fixed-latency job per batch)."""
+    carry data-only events (one less fixed-latency job per batch).
+
+    ``run_id`` namespaces the exactly-once token: Structured Streaming
+    batch ids restart at 0 for every NEW checkpoint, so two different
+    checkpoints feeding one table would false-collide on bare epoch
+    ids and silently skip batches. With run_id (derived from the
+    checkpoint identity — stable across restarts of the same query),
+    the applied-epoch key is 'run:epoch', matching how Iceberg sinks
+    stamp (queryId, epochId) into snapshot properties."""
     t0 = time.monotonic()
     res = ApplyResult(epoch_id=epoch_id)
+    epoch_key = (
+        epoch_id if run_id is None or epoch_id is None else f"{run_id}:{epoch_id}"
+    )
+    epoch_tag = (
+        "batch" if epoch_id is None
+        else (f"{run_id}-{epoch_id}" if run_id is not None else str(epoch_id))
+    )
 
     # idempotency fast path: whole batch already committed
     snap = table.snapshot()
-    if epoch_id is not None and epoch_id in snap.applied_epochs:
+    if epoch_key is not None and epoch_key in snap.applied_epochs:
         res.merge = MergeStats(skipped=True, snapshot_version=snap.version,
                                snapshot_id=snap.snapshot_id)
         res.wall_ms = int((time.monotonic() - t0) * 1000)
@@ -134,7 +150,7 @@ def apply_changes(
             "epoch_id", F.lit(epoch_id if epoch_id is not None else -1).cast("bigint")
         )
         # epoch-scoped overwrite => idempotent under re-delivery
-        epoch_path = os.path.join(quarantine_dir, f"epoch={epoch_id if epoch_id is not None else 'batch'}")
+        epoch_path = os.path.join(quarantine_dir, f"epoch={epoch_tag}")
         rejected.write.mode("overwrite").parquet(epoch_path)
 
     # per-source-partition lineage detail (kafka partition ordinals kept
@@ -162,12 +178,12 @@ def apply_changes(
     # mor = O(batch) delta append (dedup fused into its single shuffle)
     if table.snapshot().write_mode == "mor":
         res.merge = append_changes(
-            spark, table, valid, epoch_id=epoch_id, collect_stats=collect_stats
+            spark, table, valid, epoch_id=epoch_key, collect_stats=collect_stats
         )
     else:
         deduped = lww_dedup(valid, key="doc_id", ordinal="ordinal")
         res.merge = merge_changes(
-            spark, table, deduped, epoch_id=epoch_id, collect_stats=collect_stats
+            spark, table, deduped, epoch_id=epoch_key, collect_stats=collect_stats
         )
 
     # read even when the merge was an empty-batch no-op: observed_or
@@ -192,12 +208,13 @@ def apply_changes(
 
     res.wall_ms = int((time.monotonic() - t0) * 1000)
     if lineage_dir is not None:
-        _write_lineage(spark, lineage_dir, res, part_details)
+        _write_lineage(spark, lineage_dir, res, part_details, epoch_tag)
     return res
 
 
 def _write_lineage(
-    spark: SparkSession, lineage_dir: str, res: ApplyResult, part_details=None
+    spark: SparkSession, lineage_dir: str, res: ApplyResult, part_details=None,
+    epoch_tag: str | None = None,
 ) -> None:
     from qwery_spark.schema import LINEAGE_SCHEMA
 
@@ -242,7 +259,10 @@ def _write_lineage(
         )
     )
     df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
-    epoch_path = os.path.join(lineage_dir, f"epoch={res.epoch_id if res.epoch_id is not None else 'batch'}")
+    tag = epoch_tag if epoch_tag is not None else (
+        res.epoch_id if res.epoch_id is not None else "batch"
+    )
+    epoch_path = os.path.join(lineage_dir, f"epoch={tag}")
     df.coalesce(1).write.mode("overwrite").parquet(epoch_path)
 
 

@@ -175,8 +175,10 @@ class LakeTable:
         s["snapshot_id"] = rec["snapshot_id"]
         s["epoch_id"] = rec.get("epoch_id")
         if rec.get("epoch_id") is not None:
+            # keys may mix bare ints (batch callers) and 'run:epoch'
+            # strings (streaming) — sort by str for a stable manifest
             s["applied_epochs"] = sorted(
-                set(s.get("applied_epochs", [])) | {rec["epoch_id"]}
+                set(s.get("applied_epochs", [])) | {rec["epoch_id"]}, key=str
             )
         rep = set(rec.get("replace_buckets", ()))
         if rep or rec.get("add_files"):

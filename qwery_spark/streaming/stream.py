@@ -174,6 +174,19 @@ def parse_kafka_events(df: DataFrame) -> DataFrame:
     )
 
 
+def run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Exactly-once token namespace: batch ids restart at 0 for every
+    NEW checkpoint, so the applied-epoch key carries the checkpoint
+    identity (stable across restarts of the same query — replays of
+    committed batches still no-op; a fresh checkpoint never collides
+    with a previous run's epochs). Iceberg sinks stamp (queryId, epoch)
+    the same way."""
+    import hashlib
+    import os as _os
+
+    return hashlib.md5(_os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+
 @dataclass
 class StreamRun:
     query: StreamingQuery
@@ -212,6 +225,7 @@ def run_stream(
         spark, events_dir, max_files_per_trigger, min_ordinal=min_ordinal
     )
     run = StreamRun(query=None)  # populated below
+    run_id = run_id_for_checkpoint(checkpoint_dir)
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         if transform_sql is not None:
@@ -228,6 +242,7 @@ def run_stream(
             quarantine_dir=quarantine_dir,
             lineage_dir=lineage_dir,
             collect_stats=collect_stats,
+            run_id=run_id,
         )
         run.results.append(res)
         # periodic MOR compaction keeps the delta-file count (and thus

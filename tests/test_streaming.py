@@ -70,10 +70,15 @@ def test_crash_after_commit_before_checkpoint(spark, tmp_table_dir):
     epoch-keyed commit must no-op and the final state stays correct."""
     events, ev_dir, paths, tbl = _setup(tmp_table_dir, n_events=2000, n_chunks=4, seed=23)
 
-    # pre-apply exactly what the stream will deliver as epoch 0
+    # pre-apply exactly what the stream will deliver as epoch 0 — with
+    # the SAME namespaced exactly-once key the stream will use (a crash
+    # re-delivery happens on the same checkpoint => same run_id)
+    from qwery_spark.streaming.stream import run_id_for_checkpoint
+
+    rid = run_id_for_checkpoint(os.path.join(tmp_table_dir, "ckpt"))
     first_file = sorted(paths)[0]
     df0 = spark.read.schema(EVENT_SCHEMA).parquet(first_file)
-    r0 = apply_changes(spark, tbl, df0, epoch_id=0)
+    r0 = apply_changes(spark, tbl, df0, epoch_id=0, run_id=rid)
     assert not r0.merge.skipped
     v_after_manual = tbl.snapshot().version
 
@@ -169,3 +174,29 @@ def test_stream_maintenance_bounds_log_and_files(spark, tmp_table_dir):
         for f in tbl.snapshot(v).files()}
     assert orphans == set()
     assert_state_equals_oracle(spark, tbl, events.to_pandas())
+
+
+def test_fresh_checkpoint_does_not_collide_with_old_epochs(spark, tmp_table_dir):
+    """Two different checkpoints feeding one table both start at batch 0;
+    bare epoch keys would make the second run silently skip its first
+    batch (round-2 CLI e2e caught this). run_id namespacing must keep
+    them distinct while same-checkpoint replays still dedupe."""
+    events, ev_dir, paths, tbl = _setup(tmp_table_dir, n_events=1000, n_chunks=2, seed=37)
+    run1 = run_stream(spark, tbl, ev_dir, os.path.join(tmp_table_dir, "ckptA"),
+                      max_files_per_trigger=2)
+    run1.query.awaitTermination(300)
+    n1 = tbl.read(spark).count()
+
+    # a second pipeline with a NEW checkpoint delivers a disjoint tail
+    ev2 = make_events(400, seed=38, start_ordinal=1000)
+    ev2_dir = os.path.join(tmp_table_dir, "events2")
+    write_event_chunks(ev2, ev2_dir, 1)
+    run2 = run_stream(spark, tbl, ev2_dir, os.path.join(tmp_table_dir, "ckptB"),
+                      max_files_per_trigger=1)
+    run2.query.awaitTermination(300)
+    # its batch 0 must have APPLIED (not been skipped as a dup of run1's)
+    assert not any(r.merge.skipped for r in run2.results if r.rows_in > 0)
+    import pandas as pd
+
+    combined = pd.concat([events.to_pandas(), ev2.to_pandas()], ignore_index=True)
+    assert_state_equals_oracle(spark, tbl, combined)
