@@ -93,22 +93,24 @@ def main(argv=None):
                                max_files_per_trigger=args.max_files_per_trigger,
                                min_ordinal=min_ord)
 
-    # exactly-once token namespaced by checkpoint identity (fresh
+    # exactly-once token namespaced by the persisted query id (fresh
     # checkpoints restart batch ids at 0 — bare epoch ids would collide
-    # with a previous run's applied epochs and silently skip batches)
-    import hashlib
-    import os
+    # with a previous run's applied epochs and silently skip batches);
+    # resolved inside the batch, once the checkpoint metadata exists
+    from qwery_spark.streaming.stream import run_id_for_checkpoint
 
-    run_id = hashlib.md5(os.path.abspath(args.checkpoint).encode()).hexdigest()[:8]
+    _rid = {}
 
     def _batch(df, epoch_id):
+        if "v" not in _rid:
+            _rid["v"] = run_id_for_checkpoint(args.checkpoint)
         if args.transform_sql:
             df.createOrReplaceTempView("events")
             df = df.sparkSession.sql(args.transform_sql)
         apply_changes(
             spark, table, df, epoch_id=epoch_id,
             lineage_dir=args.lineage, quarantine_dir=args.quarantine,
-            run_id=run_id,
+            run_id=_rid["v"],
         )
 
     writer = events.writeStream.foreachBatch(_batch).option(

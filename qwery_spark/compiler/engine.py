@@ -462,17 +462,20 @@ class ScriptEngine:
                 with open(tbl._manifest_path(v)) as fh:
                     rec = json.load(fh)
                 summary = rec.get("summary", {})
+                ek = rec.get("epoch_id")
                 rows.append((
                     v,
                     rec.get("snapshot_id", ""),
-                    rec.get("epoch_id"),
+                    # epoch keys are ints (batch callers) or
+                    # 'run:epoch' strings (streams) — expose as string
+                    None if ek is None else str(ek),
                     summary.get("operation", "create" if "files" in rec else ""),
                     len(rec.get("add_files", rec.get("files", []))),
                     len(rec.get("replace_buckets", [])),
                 ))
             return self.spark.createDataFrame(
                 rows,
-                "version int, snapshot_id string, epoch_id long, "
+                "version int, snapshot_id string, epoch_id string, "
                 "operation string, files_added int, buckets_replaced int",
             )
 

@@ -58,17 +58,24 @@ def minhash_signatures(
 
 
 def minhash_candidates(
-    df: DataFrame, key: str, text_col: str, n_bands: int = DEFAULT_NBANDS, n: int = 3
+    df: DataFrame, key: str, text_col: str, n_bands: int = DEFAULT_NBANDS, n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: keys whose minhash collides in >=1 band.
     The join key is (band, minhash) — a bucket join, O(collisions).
 
-    The signature stage (shingle explosion + banded min) materializes
-    once (eager localCheckpoint): Spark's ReuseExchange does NOT fire
-    across the self-join's aliased branches, so without this the
-    expensive subplan runs twice — measured 1.7x slower at sf0.1. On a
-    cluster the signatures are a persisted index table anyway."""
-    sig = minhash_signatures(df, key, text_col, n_bands, n).localCheckpoint(eager=True)
+    With materialize=True (default) the signature stage (shingle
+    explosion + banded min) runs ONCE via eager localCheckpoint:
+    Spark's ReuseExchange does not fire across the self-join's aliased
+    branches, so the expensive subplan would otherwise execute twice
+    (measured 1.4x slower at sf0.1). Trade-offs: construction becomes
+    eager and checkpoint blocks are not fault-tolerant — pass
+    materialize=False for lazy plans, or (the real cluster answer)
+    write minhash_signatures() to a persisted index table and self-join
+    that."""
+    sig = minhash_signatures(df, key, text_col, n_bands, n)
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

@@ -176,15 +176,25 @@ def parse_kafka_events(df: DataFrame) -> DataFrame:
 
 def run_id_for_checkpoint(checkpoint_dir: str) -> str:
     """Exactly-once token namespace: batch ids restart at 0 for every
-    NEW checkpoint, so the applied-epoch key carries the checkpoint
-    identity (stable across restarts of the same query — replays of
-    committed batches still no-op; a fresh checkpoint never collides
-    with a previous run's epochs). Iceberg sinks stamp (queryId, epoch)
-    the same way."""
+    NEW checkpoint, so the applied-epoch key carries the QUERY identity.
+
+    Source of truth is the streaming query id Spark persists in
+    ``<checkpoint>/metadata`` at query start: stable across restarts of
+    the same checkpoint (crash re-delivery still no-ops) and RE-MINTED
+    when a checkpoint is wiped and recreated at the same path — a path
+    hash would collide there and silently skip the new run's batches.
+    Iceberg sinks stamp (queryId, epochId) the same way. Falls back to
+    a path hash only when no metadata exists yet (the file cannot be
+    missing inside foreachBatch: Spark writes it before batch 0)."""
     import hashlib
+    import json as _json
     import os as _os
 
-    return hashlib.md5(_os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+    try:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return str(_json.load(fh)["id"])[:8]
+    except Exception:
+        return hashlib.md5(_os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
 
 @dataclass
@@ -225,9 +235,14 @@ def run_stream(
         spark, events_dir, max_files_per_trigger, min_ordinal=min_ordinal
     )
     run = StreamRun(query=None)  # populated below
-    run_id = run_id_for_checkpoint(checkpoint_dir)
+    # resolved lazily INSIDE the first batch: the checkpoint's metadata
+    # (and thus the query id) exists only once the query has started
+    _rid: dict = {}
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
+        if "v" not in _rid:
+            _rid["v"] = run_id_for_checkpoint(checkpoint_dir)
+        run_id = _rid["v"]
         if transform_sql is not None:
             # foreachBatch hands us a micro-batch-scoped session clone;
             # the view must be registered AND resolved on that clone

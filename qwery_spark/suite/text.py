@@ -392,6 +392,15 @@ def dedup_pipeline_survivors(spark, sf_dir):
 _HASH_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
 
 
+def _hash_bucket():
+    """Spark twin of _HASH_BUCKET_SQL — one definition each side; a
+    bucketing change must touch exactly these two lines."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+
+
 @register(
     "split_assignment",
     f"""
@@ -414,10 +423,7 @@ _HASH_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS
 )
 def split_assignment(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 1000
-    )
+    bucket = _hash_bucket()
     split = (
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )
@@ -452,10 +458,7 @@ def split_assignment(spark, sf_dir):
 )
 def sample_stratified(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    hb = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 1000
-    )
+    hb = _hash_bucket()
     rate = (
         F.when(F.col("source") == "web", 500)
         .when(F.col("source") == "books", 900)

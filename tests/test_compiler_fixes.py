@@ -190,7 +190,8 @@ def test_show_snapshots_and_describe_lake(eng, spark, tmp_path):
 
     snaps = {r["version"]: r for r in eng.execute(f"SHOW SNAPSHOTS '{path}'").collect()}
     assert snaps[0]["operation"] == "create"
-    assert snaps[1]["operation"] == "append-delta" and snaps[1]["epoch_id"] == 0
+    # epoch keys surface as strings (streams write 'run:epoch' keys)
+    assert snaps[1]["operation"] == "append-delta" and snaps[1]["epoch_id"] == "0"
     assert snaps[1]["files_added"] > 0
     assert snaps[2]["operation"] == "add_column"
 

@@ -65,27 +65,43 @@ def test_stream_resume_from_checkpoint(spark, tmp_table_dir):
 
 
 def test_crash_after_commit_before_checkpoint(spark, tmp_table_dir):
-    """Simulate: batch 0 committed to the lake, but the job died before
-    Spark checkpointed it. On restart Spark re-delivers batch 0; the
-    epoch-keyed commit must no-op and the final state stays correct."""
-    events, ev_dir, paths, tbl = _setup(tmp_table_dir, n_events=2000, n_chunks=4, seed=23)
+    """REAL crash surgery: run batch 0, then delete the checkpoint's
+    commit marker for it (the lake commit happened, Spark's checkpoint
+    commit did not — exactly the crash window). On restart Spark
+    re-delivers batch 0; the run-scoped epoch key must no-op it and the
+    final state stays correct."""
+    import shutil
 
-    # pre-apply exactly what the stream will deliver as epoch 0 — with
-    # the SAME namespaced exactly-once key the stream will use (a crash
-    # re-delivery happens on the same checkpoint => same run_id)
-    from qwery_spark.streaming.stream import run_id_for_checkpoint
+    events = make_events(2000, seed=23)
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    first, rest = events.slice(0, 500), events.slice(500, 1500)
+    write_event_chunks(first, ev_dir, 1)
+    tbl = LakeTable.create(os.path.join(tmp_table_dir, "tbl"), TARGET_SCHEMA, n_buckets=8)
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
 
-    rid = run_id_for_checkpoint(os.path.join(tmp_table_dir, "ckpt"))
-    first_file = sorted(paths)[0]
-    df0 = spark.read.schema(EVENT_SCHEMA).parquet(first_file)
-    r0 = apply_changes(spark, tbl, df0, epoch_id=0, run_id=rid)
-    assert not r0.merge.skipped
-    v_after_manual = tbl.snapshot().version
+    run1 = run_stream(spark, tbl, ev_dir, ckpt)
+    run1.query.awaitTermination(300)
+    assert sum(r.rows_in for r in run1.results) == 500
+    v_after = tbl.snapshot().version
 
-    run = run_stream(spark, tbl, ev_dir, os.path.join(tmp_table_dir, "ckpt"))
-    run.query.awaitTermination(300)
-    # stream's epoch 0 must have been skipped as already-applied
-    assert any(r.merge.skipped for r in run.results)
+    # crash window: lake committed batch 0, Spark checkpoint commit lost
+    # (the .crc checksum sidecar must go too or the local-fs checkpoint
+    # manager refuses to recreate the marker)
+    os.unlink(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    # rest of the log arrives; restart re-delivers batch 0 first
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        pq.write_table(rest.slice(i * 500, 500),
+                       os.path.join(ev_dir, f"chunk-1{i:04d}.parquet"))
+    run2 = run_stream(spark, tbl, ev_dir, ckpt)
+    run2.query.awaitTermination(300)
+    # the re-delivered batch 0 was skipped as already-applied
+    assert any(r.merge.skipped and r.epoch_id == 0 for r in run2.results)
     assert_state_equals_oracle(spark, tbl, events.to_pandas())
 
 
@@ -195,7 +211,7 @@ def test_fresh_checkpoint_does_not_collide_with_old_epochs(spark, tmp_table_dir)
                       max_files_per_trigger=1)
     run2.query.awaitTermination(300)
     # its batch 0 must have APPLIED (not been skipped as a dup of run1's)
-    assert not any(r.merge.skipped for r in run2.results if r.rows_in > 0)
+    assert not any(r.merge.skipped for r in run2.results)
     import pandas as pd
 
     combined = pd.concat([events.to_pandas(), ev2.to_pandas()], ignore_index=True)
