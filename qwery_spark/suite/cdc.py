@@ -361,18 +361,68 @@ def cdc_scd2_history(spark, sf_dir):
     "shard — same expression with a partitionBy added.)",
 )
 def tok_packing(spark, sf_dir):
-    from pyspark.sql import Window
+    from qwery_spark.operators.packing import with_packing
 
     t = _with_tokens(spark, sf_dir)
-    w = Window.orderBy("ordinal").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n_tok = F.size("tokens")
-    pack = F.floor(((F.sum(n_tok).over(w) - n_tok).cast("double")) / 64).cast("bigint")
-    return (
-        t.select("ordinal", n_tok.alias("n_tok"), pack.alias("pack_id"))
-        .groupBy("pack_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
-            F.min("ordinal").cast("bigint").alias("first_doc"),
-        )
+    base = t.select("ordinal", F.size("tokens").alias("n_tok"))
+    packed = with_packing(base, 64, "n_tok", ["ordinal"])
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        F.min("ordinal").cast("bigint").alias("first_doc"),
+    )
+
+
+@register(
+    "tok_packing_sharded",
+    f"""
+    WITH base AS (
+      SELECT ordinal, len(tokens) AS n_tok,
+             CAST(ordinal % 8 AS INTEGER) AS shard
+      FROM ({_TOKENS_SQL}) t
+    ),
+    p AS (
+      SELECT ordinal, n_tok, shard,
+             CAST(FLOOR(CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY ordinal
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok) AS DOUBLE) / 64) AS BIGINT) AS lp
+      FROM base
+    ),
+    offs AS (
+      SELECT shard,
+             CAST(COALESCE(sum(n_packs) OVER (ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM (SELECT shard, max(lp) + 1 AS n_packs FROM p GROUP BY shard) c
+    )
+    SELECT CAST(p.lp + o.off AS BIGINT) AS pack_id,
+           p.shard AS shard,
+           count(*) AS n_docs,
+           CAST(sum(p.n_tok) AS BIGINT) AS pack_tokens,
+           CAST(min(p.ordinal) AS BIGINT) AS first_doc
+    FROM p JOIN offs o ON p.shard = o.shard
+    GROUP BY 1, 2
+    """,
+    doc="SHARDED sequence packing — the 100-TB form of tok_packing: the "
+    "running-sum window partitions by shard (parallel across shards, no "
+    "Exchange SinglePartition anywhere — plan-asserted in "
+    "tests/test_plans.py), then per-shard pack ids are offset by the "
+    "pack counts of lower shards (operators/packing.py, the rank.py "
+    "offset scheme) so ids stay globally unique and dense. Pack order "
+    "is (shard, ordinal) — the order key a real pipeline packs by.",
+)
+def tok_packing_sharded(spark, sf_dir):
+    from qwery_spark.operators.packing import with_packing
+
+    t = _with_tokens(spark, sf_dir)
+    base = t.select(
+        "ordinal",
+        F.size("tokens").alias("n_tok"),
+        (F.col("ordinal") % 8).cast("int").alias("shard"),
+    )
+    packed = with_packing(base, 64, "n_tok", ["ordinal"], partition_col="shard")
+    return packed.groupBy("pack_id", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        F.min("ordinal").cast("bigint").alias("first_doc"),
     )

@@ -131,6 +131,33 @@ def test_ntile_no_single_partition_window(spark):
     assert "windowspecdefinition(_pid" in p
 
 
+def test_sharded_packing_no_single_partition(spark):
+    """tok_packing_sharded's running-sum window must partition by the
+    shard (parallel across shards) — never the global-order window's
+    Exchange SinglePartition (the round-2 verdict's last single-task
+    plan)."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.operators.packing import local_packs
+    from qwery_spark.suite.cdc import _with_tokens
+
+    base = _with_tokens(spark, SF).select(
+        "ordinal",
+        F.size("tokens").alias("n_tok"),
+        (F.col("ordinal") % 8).cast("int").alias("shard"),
+    )
+    p = (
+        local_packs(base, 64, "n_tok", ["ordinal"], "shard")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in p
+    assert "windowspecdefinition(shard" in p
+    # ...and the full suite query (offset join + rollup) stays clean too
+    assert "SinglePartition" not in _plan(spark, "tok_packing_sharded")
+
+
 def test_engine_replay_returns_lazy_scan(spark):
     """cdc_engine_replay's result must be a parquet scan (kept scratch
     dir), not a driver-side collected LocalTableScan."""
