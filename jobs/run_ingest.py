@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument("--resume-from-lineage", action="store_true",
                    help="derive the seek position from --lineage (replay "
                         "everything after the last committed ordinal/offset)")
+    p.add_argument("--topic-partitions", type=int, default=None,
+                   help="the kafka topic's partition count, required with "
+                        "--resume-from-lineage when lineage may not cover "
+                        "every partition: Spark rejects specific-offset "
+                        "JSON that misses a partition, so uncovered "
+                        "partitions are filled with earliest (-2)")
     p.add_argument("--transform-sql",
                    help="qwery-style SELECT-transform over the view `events`, "
                         "applied per micro-batch before validation+merge")
@@ -77,7 +83,10 @@ def main(argv=None):
 
         offsets = args.starting_offsets
         if args.resume_from_lineage and args.lineage and offsets is None:
-            offsets = starting_offsets_from_lineage(spark, args.lineage, args.topic)
+            offsets = starting_offsets_from_lineage(
+                spark, args.lineage, args.topic,
+                n_partitions=args.topic_partitions,
+            )
         raw = stream_events(spark, "", source_format="kafka", kafka_options={
             "kafka.bootstrap.servers": args.kafka,
             "subscribe": args.topic,

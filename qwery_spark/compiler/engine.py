@@ -64,6 +64,12 @@ def split_statements(text: str) -> list[str]:
         ch = text[i]
         if q is not None:
             buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                # backslash escape: Spark's default parser accepts \' and
+                # \" inside literals — the next char can't close the quote
+                buf.append(text[i + 1])
+                i += 2
+                continue
             if ch == q:
                 if i + 1 < n and text[i + 1] == q:  # doubled escape
                     buf.append(text[i + 1])
@@ -116,25 +122,40 @@ def split_statements(text: str) -> list[str]:
 
 
 def split_commas(raw: str) -> list[str]:
-    """Split on commas outside string literals (either quote kind) and
-    outside parentheses (so hint values like JSON PATH (a,b) stay whole)."""
+    """Split on commas outside string literals (either quote kind, with
+    backslash and doubled-quote escapes) and outside parentheses (so
+    hint values like JSON PATH (a,b) stay whole)."""
     parts, buf, depth = [], [], 0
     q: str | None = None
-    for ch in raw:
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
         if q is not None:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(raw[i + 1])
+                i += 2
+                continue
             if ch == q:
+                if i + 1 < n and raw[i + 1] == q:  # doubled escape
+                    buf.append(raw[i + 1])
+                    i += 2
+                    continue
                 q = None
-        elif ch in ("'", '"'):
+            i += 1
+            continue
+        if ch in ("'", '"'):
             q = ch
         elif ch == "(":
             depth += 1
         elif ch == ")":
             depth = max(depth - 1, 0)
-        if ch == "," and q is None and depth == 0:
+        if ch == "," and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     parts.append("".join(buf))
     return parts
 
@@ -186,7 +207,11 @@ def _sql_literal(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # escape backslashes FIRST (Spark's default parser treats \x as an
+    # escape sequence: a value ending in '\' would otherwise produce
+    # invalid SQL, and '\n' would round-trip as a newline), then double
+    # the quotes
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 class ScriptEngine:
@@ -246,6 +271,10 @@ class ScriptEngine:
                 out.append(re.sub(r"@([A-Za-z_][\w.]*)", var, text[start:i]))
                 j = i + 1
                 while j < n:
+                    if text[j] == "\\" and j + 1 < n:
+                        # \' / \" escapes don't close the literal
+                        j += 2
+                        continue
                     if text[j] == q:
                         if j + 1 < n and text[j + 1] == q:  # doubled escape
                             j += 2

@@ -26,10 +26,20 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id in the connected component. Edges are treated undirected."""
+    node id in the connected component. Edges are treated undirected.
+
+    If the propagation is still changing labels after ``max_iter``
+    rounds (component diameter > max_iter), the labels are WRONG — with
+    strict=True (default) that raises RuntimeError instead of silently
+    returning a partial result; strict=False downgrades to a warning
+    (for exploratory runs that tolerate over-segmented clusters)."""
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym.persist()
@@ -38,6 +48,7 @@ def connected_components(
     )
     labels.persist()
     final_cached = None  # the winner stays cached only until returned
+    converged = False
     try:
         for _ in range(max_iter):
             nbr = (
@@ -66,7 +77,20 @@ def connected_components(
             labels.unpersist()
             labels = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            msg = (
+                f"connected_components did not converge in {max_iter} "
+                "iterations (component diameter exceeds the cap); labels "
+                "would be over-segmented. Raise max_iter, or use the "
+                "large-star/small-star variant for high-diameter graphs."
+            )
+            if strict:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
         # hand back an uncached plan: checkpoint the converged labels so
         # the result survives unpersisting every loop intermediate (the
         # blocks free when the returned DataFrame is garbage-collected)

@@ -57,8 +57,22 @@ def kmeans_fit(
 
     distortion[i] = mean squared distance under the centroids BEFORE
     iteration i's update — monotone non-increasing by construction
-    (each update is the cell-wise mean, the L2 minimizer)."""
+    (each update is the cell-wise mean, the L2 minimizer).
+
+    An empty corpus raises ValueError; a corpus with fewer than k rows
+    trains with reduced k = n_rows (every vector its own centroid) and
+    warns — callers indexing cells 0..k-1 should read len(centroids)."""
     init_rows = df.orderBy(id_col).limit(k).select(emb_col).collect()
+    if not init_rows:
+        raise ValueError("kmeans_fit: input DataFrame has no rows")
+    if len(init_rows) < k:
+        import warnings
+
+        warnings.warn(
+            f"kmeans_fit: corpus has {len(init_rows)} rows < k={k}; "
+            f"training with k={len(init_rows)}",
+            stacklevel=2,
+        )
     cents = [[float(x) for x in r[emb_col]] for r in init_rows]
     dims = len(cents[0])
     distortion: list[float] = []

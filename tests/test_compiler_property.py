@@ -16,10 +16,12 @@ TRICKY_WORDS = st.sampled_from(
 )
 
 # string literals that must never split a statement, including quotes
-# escaped by doubling and ; / @ / keywords inside
+# escaped by doubling OR by backslash (Spark's default parser accepts
+# both) and ; / @ / keywords inside
 LITERALS = st.sampled_from(
     ["'a;b'", "\"x;y\"", "'it''s'", "'bob@example.com'", "'END'",
-     "'BEGIN; END'", "'semi ; colon'"]
+     "'BEGIN; END'", "'semi ; colon'",
+     "'don\\'t; split'", '"say \\"hi;\\" now"', "'tail\\\\'"]
 )
 
 
@@ -82,3 +84,34 @@ def spark_engine(spark):
     from qwery_spark.compiler import ScriptEngine
 
     return ScriptEngine(spark)
+
+
+def test_backslash_escaped_quote_does_not_split(spark_engine):
+    """Spark parses SELECT 'don\\'t' fine — the splitter and @var
+    expansion must treat the escaped quote as literal-interior."""
+    stmts = split_statements("SELECT 'don\\'t; really' AS s; SELECT 2 AS t")
+    assert len(stmts) == 2
+    assert stmts[0] == "SELECT 'don\\'t; really' AS s"
+    # @-patterns inside the backslash-escaped literal survive expand
+    eng = spark_engine
+    out = eng.expand("SELECT 'a\\'@notavar' AS s")
+    assert "@notavar" in out
+
+
+@settings(max_examples=60, derandomize=True, deadline=None)
+@given(st.text(alphabet="ab\\'\"\n\t%_ ;@", min_size=0, max_size=20))
+def test_sql_literal_roundtrips_through_spark(spark_engine, value):
+    """_sql_literal(v) must parse back to exactly v under Spark's default
+    string-literal rules (backslash escapes interpreted) — including
+    values ending in a backslash and containing \\n-like sequences."""
+    from qwery_spark.compiler.engine import _sql_literal
+
+    got = spark_engine.spark.sql(f"SELECT {_sql_literal(value)} AS v").first()["v"]
+    assert got == value
+
+
+def test_set_variable_with_backslash_value(spark_engine):
+    eng = spark_engine
+    eng.variables["p"] = "C:\\tmp\\new"
+    row = eng.execute("SELECT @p AS path").first()
+    assert row["path"] == "C:\\tmp\\new"

@@ -53,3 +53,26 @@ def test_ivf_topk_recall_against_brute_force(emb):
     for r in probed:
         if r["vec_id"] in brute_cos:
             assert abs(r["cosine"] - brute_cos[r["vec_id"]]) < 1e-6
+
+
+def test_kmeans_empty_input_raises(spark):
+    import pytest
+
+    from qwery_spark.operators.kmeans import kmeans_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fit(empty, k=4, iters=1)
+
+
+def test_kmeans_fewer_rows_than_k_warns_and_reduces(spark):
+    import pytest
+
+    from qwery_spark.operators.kmeans import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.warns(UserWarning, match="rows < k"):
+        cents, dist = kmeans_fit(df, k=5, iters=1)
+    assert len(cents) == 2

@@ -73,3 +73,20 @@ def test_connected_components_direction_irrelevant(spark):
     edges = spark.createDataFrame([(5, 1), (1, 3)], "a long, b long")
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 3: 1, 5: 1}
+
+
+def test_connected_components_iteration_cap_raises(spark):
+    """A chain longer than max_iter can't converge — strict mode must
+    raise rather than silently return over-segmented labels."""
+    import pytest
+
+    from qwery_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
+    # non-strict: warns, returns (possibly split) labels
+    with pytest.warns(UserWarning, match="did not converge"):
+        out = connected_components(edges, max_iter=2, strict=False).collect()
+    assert len(out) == 13
