@@ -370,18 +370,28 @@ def merge_changes(
             and (src_bytes is None or src_bytes <= broadcast_max_bytes)
         )
         if use_broadcast:
-            # ---- BROADCAST MERGE: the target side NEVER shuffles ----
-            # updates + carried rows: map-side broadcast left join
-            matched = tgt_b.join(F.broadcast(s), join_cond, "left").select(
-                *out_cols, act.alias("_act")
+            # ---- BROADCAST MERGE: the target side NEVER shuffles, and
+            # is scanned exactly ONCE (round-2 verdict: the old shape
+            # re-read the touched buckets for a left_semi matched-keys
+            # pass — at 100 TB the touched-bucket scan dominates a COW
+            # batch, so paying it twice halves merge throughput). The
+            # one broadcast left join carries the matched src key as a
+            # tag column and is materialized eagerly (localCheckpoint,
+            # MEMORY_AND_DISK, blocks freed on GC); both the matched-keys
+            # derivation and the final write read the blocks, never the
+            # parquet again (plan-asserted in tests/test_plans.py).
+            merged = tgt_b.join(F.broadcast(s), join_cond, "left").select(
+                *out_cols, act.alias("_act"), F.col(f"s.`{key}`").alias("_mk")
             )
+            merged = merged.localCheckpoint(eager=True)
+            matched = merged.drop("_mk")
             # inserts: src keys absent from the target. matched_keys is
-            # <= |src| rows (broadcast semi), so the anti join broadcasts
-            # too — the only shuffle left is the small inserts' bucket
-            # layout for the partitioned write.
+            # <= |src| rows, so the anti join broadcasts too — the only
+            # shuffle left is the small inserts' bucket layout for the
+            # partitioned write.
             matched_keys = (
-                tgt_b.join(F.broadcast(s), join_cond, "left_semi")
-                .select(F.col(f"t.`{key}`").alias(key))
+                merged.filter(F.col("_mk").isNotNull())
+                .select(F.col("_mk").alias(key))
             )
             ins_delete = F.col("op") == "D"
             inserts = (

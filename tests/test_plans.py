@@ -120,6 +120,46 @@ def test_broadcast_merge_no_target_shuffle(spark, tmp_table_dir):
     assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
 
 
+def test_broadcast_merge_single_target_scan(spark, tmp_table_dir, monkeypatch):
+    """The broadcast COW merge must scan the touched target buckets
+    exactly ONCE: the left join is checkpointed, and the write plan
+    (matched ∪ inserts) reads the checkpoint blocks — no parquet
+    FileScan of the target can appear in it (round-2 verdict #3)."""
+    from pyspark.sql import functions as F
+
+    import qwery_spark.lake.merge as M
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=8)
+    first = make_events(2000, seed=3)
+    apply_changes(spark, tbl, spark.createDataFrame(first.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=0)
+
+    plans = []
+    orig = M._stage_write
+
+    def spy(df, *a, **k):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(df, *a, **k)
+
+    monkeypatch.setattr(M, "_stage_write", spy)
+    more = make_events(500, seed=5, start_ordinal=2000)
+    apply_changes(spark, tbl, spark.createDataFrame(more.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=1)
+    assert plans, "merge never reached the write"
+    write_plan = plans[-1]
+    # the target's parquet never re-appears on the write side...
+    assert tmp_table_dir not in write_plan
+    assert "FileScan" not in write_plan
+    # ...because the matched branch reads the checkpointed join blocks
+    assert "ExistingRDD" in write_plan or "Scan ExistingRDD" in write_plan
+    # and the second epoch really merged (not skipped / appended)
+    assert tbl.snapshot().m["summary"]["operation"] == "merge"
+
+
 def test_ntile_no_single_partition_window(spark):
     """q_ntile must rank via the range-partition + offset scheme — a
     global Window.orderBy would show an Exchange SinglePartition that
