@@ -278,3 +278,57 @@ def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
     # (epoch_id is stored inside the rows with a proper type).
     df = spark.read.option("basePath", lineage_dir).parquet(lineage_dir)
     return df.drop("epoch")
+
+
+def read_lineage_stats(
+    spark: SparkSession, lineage_dir: str, total_expected: int | None = None
+) -> DataFrame:
+    """Per-epoch run statistics derived from the lineage rows — the
+    reference's live Statistics feed (records/sec + ETA + pctComplete,
+    core:sources/Statistics.scala:17-25), reconstructed after the fact:
+
+      events_per_sec   rows_in / wall seconds, per epoch
+      rows_cumulative  running total in commit order
+      rate_trend       events_per_sec / trailing-4-epoch mean — a
+                       sustained value < 1 flags per-epoch cost growth
+      pct_complete /   only with ``total_expected`` (the reference knows
+      eta_seconds      the input size up front; a replay caller passes
+                       the planned event count): remaining rows over the
+                       trailing mean rate.
+
+    Batch-total rows only (partition = -1); tiny input (one row per
+    epoch), so the windows here never see real data volume."""
+    from pyspark.sql import Window
+
+    lin = read_lineage(spark, lineage_dir).filter(F.col("partition") == -1)
+    rate = F.col("rows_in") / F.greatest(F.col("wall_ms"), F.lit(1)) * 1000.0
+    w = Window.orderBy("committed_utc", "epoch_id")
+    trail = (
+        Window.orderBy("committed_utc", "epoch_id").rowsBetween(-3, 0)
+    )
+    out = lin.select(
+        "epoch_id",
+        "rows_in",
+        "rows_rejected",
+        "rows_upserted",
+        "rows_deleted",
+        "wall_ms",
+        "committed_utc",
+        F.round(rate, 2).alias("events_per_sec"),
+        F.sum("rows_in").over(w).alias("rows_cumulative"),
+        F.round(rate / F.avg(rate).over(trail), 4).alias("rate_trend"),
+    )
+    if total_expected is not None:
+        trailing_rate = F.avg("events_per_sec").over(trail)
+        out = out.withColumn(
+            "pct_complete",
+            F.round(F.col("rows_cumulative") * 100.0 / total_expected, 2),
+        ).withColumn(
+            "eta_seconds",
+            F.round(
+                F.greatest(F.lit(total_expected) - F.col("rows_cumulative"), F.lit(0))
+                / F.greatest(trailing_rate, F.lit(1e-9)),
+                1,
+            ),
+        )
+    return out

@@ -560,9 +560,13 @@ class ScriptEngine:
         if up.startswith("UPSERT "):
             return self._upsert(stmt)
 
+        if re.match(r"UPDATE\s+LAKE\s+'[^']*'\s+SET\b", up):
+            # UPDATE ... SET assignments (core:ops/sql/Update.scala:19-44)
+            return self._update_set(stmt)
+
         if re.match(r"UPDATE\s+LAKE\b", up):
-            # UPDATE ... KEYED ON: matched rows only
-            # (core:ops/sql/Update.scala:19-44)
+            # UPDATE ... KEYED ON <select>: matched rows only
+            # (same Update.scala semantics, batch-shaped source)
             return self._upsert(stmt, insert_missing=False)
 
         if re.match(r"DELETE\s+FROM\s+LAKE\b", up):
@@ -680,6 +684,95 @@ class ScriptEngine:
         return self.spark.createDataFrame(
             [(stats.rows_upserted, stats.rows_deleted, stats.rows_stale)],
             "ROWS_UPSERTED long, ROWS_DELETED long, ROWS_STALE long",
+        )
+
+    def _update_set(self, stmt: str):
+        """UPDATE LAKE 'path' SET col = expr[, ...] KEYED ON key
+        [ORDINAL <n>] [WHERE pred]
+
+        The reference's assignment-form UPDATE
+        (core:ops/sql/Update.scala:19-44, SQL gen
+        core:SQLGenerator.scala:22-28): matching live rows get the SET
+        expressions applied and re-enter the table through the normal
+        matched-only MERGE at a fresh ordinal (explicit via ORDINAL, or
+        max(last_ordinal)+1 — a new WAL position, so LWW total order
+        stays intact and concurrent stragglers below it still lose).
+
+        Per-row failure tolerance as in the reference (Update.scala's
+        row loop counts failures and continues): an assignment whose
+        value doesn't cast to the target column's type quarantines THAT
+        row (counted in ROWS_REJECTED) — the rest of the batch applies.
+        """
+        from pyspark.sql import functions as F
+
+        from qwery_spark.cdc.dedup import lww_dedup
+        from qwery_spark.lake.merge import ENGINE_COLS, merge_changes
+        from qwery_spark.lake.table import LakeTable
+
+        m = re.match(
+            r"UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+KEYED\s+ON\s+(\w+)"
+            r"(?:\s+ORDINAL\s+(\d+))?(?:\s+WHERE\s+(.+))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"bad UPDATE ... SET: {stmt}")
+        path, set_raw, key, ordinal_raw, pred = m.groups()
+        assignments: dict[str, str] = {}
+        for part in split_commas(set_raw):
+            am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+            if not am:
+                raise ValueError(f"bad SET assignment: {part!r}")
+            assignments[am.group(1)] = am.group(2)
+
+        tbl = LakeTable(path)
+        snap = tbl.snapshot()
+        types = {
+            f["name"]: f["type"]
+            for f in snap.fields()
+            if f["name"] not in ENGINE_COLS
+        }
+        unknown = [c for c in assignments if c not in types]
+        if unknown:
+            raise ValueError(f"UPDATE SET of unknown column(s): {unknown}")
+        if key in assignments:
+            raise ValueError("UPDATE SET cannot assign the key column")
+
+        live = tbl.read(spark := self.spark)
+        if pred:
+            live = live.filter(pred)
+        if ordinal_raw is not None:
+            new_ordinal = F.lit(int(ordinal_raw)).cast("bigint")
+        else:
+            row = tbl.read_physical(spark).agg(
+                F.max("last_ordinal").alias("m")
+            ).first()
+            new_ordinal = F.lit(int((row["m"] or 0) + 1)).cast("bigint")
+
+        cols = [F.col(key).alias("doc_id") if key != "doc_id" else F.col(key)]
+        bad = F.lit(False)
+        for name, typ in types.items():
+            if name == key:
+                continue
+            if name in assignments:
+                raw = F.expr(assignments[name])
+                val = F.expr(f"try_cast(({assignments[name]}) AS {typ})")
+                bad = bad | (raw.isNotNull() & val.isNull())
+                cols.append(val.alias(name))
+            else:
+                cols.append(F.col(f"`{name}`"))
+        batch = live.select(
+            *cols,
+            F.lit("U").alias("op"),
+            new_ordinal.alias("ordinal"),
+            bad.alias("_bad"),
+        )
+        rejected = batch.filter(F.col("_bad")).count()
+        good = batch.filter(~F.col("_bad")).drop("_bad")
+        stats = merge_changes(spark, tbl, lww_dedup(good), insert_missing=False)
+        return self.spark.createDataFrame(
+            [(stats.rows_upserted, int(rejected), stats.rows_stale)],
+            "ROWS_UPSERTED long, ROWS_REJECTED long, ROWS_STALE long",
         )
 
     def _delete(self, stmt: str):

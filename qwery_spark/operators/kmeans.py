@@ -52,6 +52,7 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    round_to: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's iterations; returns (centroids, per-iteration distortion).
 
@@ -61,7 +62,14 @@ def kmeans_fit(
 
     An empty corpus raises ValueError; a corpus with fewer than k rows
     trains with reduced k = n_rows (every vector its own centroid) and
-    warns — callers indexing cells 0..k-1 should read len(centroids)."""
+    warns — callers indexing cells 0..k-1 should read len(centroids).
+
+    ``round_to`` rounds each updated mean to that many decimals at every
+    iteration boundary. This makes the fit CROSS-ENGINE reproducible:
+    float sum fold order differs ~1e-12 between engines, so an oracle
+    re-running the same Lloyd's updates (e.g. DuckDB, suite/ann.py's
+    unrolled-iteration SQL) lands on identical centroids after the
+    rounding — turning the trained-quantizer query oracle-checkable."""
     init_rows = df.orderBy(id_col).limit(k).select(emb_col).collect()
     if not init_rows:
         raise ValueError("kmeans_fit: input DataFrame has no rows")
@@ -102,7 +110,16 @@ def kmeans_fit(
         distortion.append(sum(r["dsum"] for r in stats) / total_n)
         new = list(cents)  # empty cells keep their centroid
         for r in stats:
-            new[r["cell"]] = [r[f"s{d}"] / r["n"] for d in range(dims)]
+            means = [r[f"s{d}"] / r["n"] for d in range(dims)]
+            if round_to is not None:
+                # floor(x*10^p + 0.5)/10^p, NOT round(): Python rounds
+                # half-even, DuckDB half-away — this formula is the same
+                # IEEE op sequence in both engines (bit-identical)
+                import math
+
+                p = 10.0**round_to
+                means = [math.floor(x * p + 0.5) / p for x in means]
+            new[r["cell"]] = means
         cents = new
     return cents, distortion
 

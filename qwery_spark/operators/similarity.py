@@ -78,17 +78,25 @@ def lsh_topk(
     id_col: str = "vec_id", emb_col: str = "embedding",
     n_planes: int = DEFAULT_NPLANES, dims: int = 64,
 ) -> DataFrame:
-    """ANN top-k: exact cosine only within the query's LSH bucket."""
-    bkt = embeddings.withColumn("_bucket", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims))
-    q = bkt.filter(F.col(id_col) == query_id).select(
-        F.col(emb_col).alias("qvec"), F.col("_bucket").alias("_qbucket")
+    """ANN top-k: exact cosine only within the query's LSH bucket.
+
+    The probe is resolved DRIVER-side (one pushdown-filtered scan finds
+    the query row's bucket + vector, injected back as literals), so the
+    corpus branch evaluates the n_planes hyperplane dot products exactly
+    once per row — the old crossJoin shape computed the bucket on BOTH
+    branches (round-2 verdict #5; the suite path was already fixed,
+    this aligns the reusable operator with the audited plan)."""
+    bkt = embeddings.withColumn(
+        "_bucket", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims)
     )
-    df = bkt.crossJoin(F.broadcast(q)).filter(
-        (F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_id)
-    )
-    cos = cosine(as_double(F.col(emb_col)), as_double(F.col("qvec")))
+    qrow = bkt.filter(F.col(id_col) == query_id).collect()[0]
+    qbucket = int(qrow["_bucket"])
+    qd = F.array(*[F.lit(float(x)) for x in qrow[emb_col]])
+    ed = as_double(F.col(emb_col))
+    cos = dot(ed, qd) / (F.sqrt(dot(ed, ed)) * F.sqrt(dot(qd, qd)))
     return (
-        df.select(id_col, cos.alias("_cos"))
+        bkt.filter((F.col("_bucket") == qbucket) & (F.col(id_col) != query_id))
+        .select(id_col, cos.alias("_cos"))
         .orderBy(F.col("_cos").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("_cos", 6).alias("cosine"))

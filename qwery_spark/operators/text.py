@@ -9,6 +9,21 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 
+# Real-language marker sets for marker_lang_scores: small lists of
+# high-frequency function words (standard public stopword lists — the
+# classic n-gram/stopword language-ID heuristic). The suite's
+# lang_id_markers query instead uses the SYNTHETIC corpus's vocabulary
+# classes (the test documents aren't natural language); these are the
+# sets a real pipeline passes in.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "mit"),
+    "fr": ("le", "la", "les", "est", "je", "pas", "pour", "dans"),
+    "es": ("el", "los", "las", "una", "por", "pero", "como", "más"),
+    "it": ("il", "gli", "che", "di", "non", "sono", "anche", "della"),
+    "pt": ("o", "os", "uma", "não", "para", "com", "mais", "você"),
+}
+
 
 def token_stats(df: DataFrame, key: str, text_col: str) -> DataFrame:
     words = F.split(F.col(text_col), r"\s+")

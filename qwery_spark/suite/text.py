@@ -280,8 +280,12 @@ _GUESS_SQL += f"ELSE '{_LANGS[-1]}' END"
     ) s
     """,
     doc="Marker-word language/domain ID: per-class hit counts + argmax "
-    "(ties -> first class). The n-gram-heuristic lang-ID shape over the "
-    "synthetic corpus's vocabulary classes.",
+    "(ties -> first class). The n-gram-heuristic lang-ID shape; the "
+    "classes here are the SYNTHETIC corpus's vocabulary domains (the "
+    "documents table isn't natural language, so real-language markers "
+    "would score all-zero on it). Real six-language marker sets ship as "
+    "operators/text.LANG_MARKERS — same operator, pytest-verified on "
+    "natural-language sentences in tests/test_lang_id.py.",
 )
 def lang_id_markers(spark, sf_dir):
     return marker_lang_scores(

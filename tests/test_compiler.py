@@ -223,3 +223,70 @@ def test_upsert_into_lake(eng, tmp_path):
     tbl = LakeTable(path)
     state = tbl.read(eng.spark).orderBy("doc_id").collect()
     assert [list(r["tokens"]) for r in state] == [[3], [9, 9]]
+
+
+def test_update_set_assignments(eng, tmp_path):
+    """UPDATE LAKE ... SET col = expr KEYED ON k WHERE pred — the
+    reference's assignment-form UPDATE (core:ops/sql/Update.scala:19-44):
+    matched rows only, unassigned columns carried, WHERE respected."""
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake_us")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+        "SELECT * FROM VALUES "
+        "(1, 'a', array(1, 2), 2, 'web'), "
+        "(2, 'b', array(3), 1, 'web'), "
+        "(3, 'c', array(9), 1, 'code') "
+        "AS t(ord, doc_id, tokens, n_tok, source)"
+    )
+    res = eng.execute(
+        f"UPDATE LAKE '{path}' SET source = 'books', n_tok = n_tok + 10 "
+        "KEYED ON doc_id WHERE source = 'web'"
+    ).collect()[0]
+    assert res["ROWS_UPSERTED"] == 2 and res["ROWS_REJECTED"] == 0
+    state = {r["doc_id"]: r for r in LakeTable(path).read(eng.spark).collect()}
+    assert state["a"]["source"] == "books" and state["a"]["n_tok"] == 12
+    assert list(state["a"]["tokens"]) == [1, 2]  # unassigned column carried
+    assert state["c"]["source"] == "code" and state["c"]["n_tok"] == 1
+
+
+def test_update_set_bad_cast_quarantines_row(eng, tmp_path):
+    """Per-row failure tolerance (Update.scala's row loop): a value that
+    doesn't cast to the column type rejects THAT row, the rest apply."""
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake_uq")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+        "SELECT * FROM VALUES "
+        "(1, 'a', array(1), 1, 'web'), "
+        "(2, 'b', array(2), 1, 'web') "
+        "AS t(ord, doc_id, tokens, n_tok, source)"
+    )
+    res = eng.execute(
+        f"UPDATE LAKE '{path}' SET "
+        "n_tok = CASE WHEN doc_id = 'a' THEN 'nope' ELSE '7' END "
+        "KEYED ON doc_id"
+    ).collect()[0]
+    assert res["ROWS_UPSERTED"] == 1 and res["ROWS_REJECTED"] == 1
+    state = {r["doc_id"]: r["n_tok"] for r in LakeTable(path).read(eng.spark).collect()}
+    assert state == {"a": 1, "b": 7}
+
+
+def test_update_set_rejects_key_and_unknown_columns(eng, tmp_path):
+    import pytest
+
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake_ue")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    with pytest.raises(ValueError, match="key column"):
+        eng.execute(f"UPDATE LAKE '{path}' SET doc_id = 'x' KEYED ON doc_id")
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.execute(f"UPDATE LAKE '{path}' SET nope = 1 KEYED ON doc_id")

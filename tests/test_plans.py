@@ -44,6 +44,24 @@ def test_ann_probe_broadcasts(spark):
     assert "BroadcastExchange" in _plan(spark, "ann_cosine_topk")
 
 
+def test_lsh_topk_operator_single_branch(spark):
+    """operators/similarity.lsh_topk resolves the probe driver-side: the
+    remaining plan is ONE corpus branch (scan→filter→topk) — no join of
+    any kind, and the hyperplane evaluation appears once."""
+    from qwery_spark.operators.similarity import lsh_topk
+    from qwery_spark.suite import load
+
+    e = load(spark, SF, "embeddings")
+    p = (
+        lsh_topk(e, query_id=0, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p and "Cartesian" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_mor_dedup_is_single_shuffle(spark, tmp_table_dir):
     """The fused dedup+bucket-layout must stay ONE exchange: the bucket
     repartition satisfies the groupBy(_bucket, key) clustering."""

@@ -216,3 +216,34 @@ def test_fresh_checkpoint_does_not_collide_with_old_epochs(spark, tmp_table_dir)
 
     combined = pd.concat([events.to_pandas(), ev2.to_pandas()], ignore_index=True)
     assert_state_equals_oracle(spark, tbl, combined)
+
+
+def test_lineage_stats_rates_and_eta(spark, tmp_table_dir):
+    """read_lineage_stats derives per-epoch events/sec, cumulative rows,
+    rate trend, and (given the planned total) pct_complete + ETA — the
+    reference's Statistics feed (core:sources/Statistics.scala:17-25)
+    reconstructed from lineage rows."""
+    from qwery_spark.cdc.apply import read_lineage_stats
+
+    events, ev_dir, paths, tbl = _setup(tmp_table_dir, n_events=3000, n_chunks=6)
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    lin_dir = os.path.join(tmp_table_dir, "lineage")
+    run = run_stream(spark, tbl, ev_dir, ckpt, max_files_per_trigger=2,
+                     lineage_dir=lin_dir)
+    run.query.awaitTermination(300)
+
+    stats = read_lineage_stats(spark, lin_dir).orderBy("committed_utc", "epoch_id")
+    rows = stats.collect()
+    assert len(rows) >= 3
+    assert all(r["events_per_sec"] > 0 for r in rows)
+    cum = [r["rows_cumulative"] for r in rows]
+    assert cum == sorted(cum) and cum[-1] == events.num_rows
+    assert all(r["rate_trend"] is not None and r["rate_trend"] > 0 for r in rows)
+
+    total = events.num_rows
+    with_eta = read_lineage_stats(spark, lin_dir, total_expected=total).orderBy(
+        "committed_utc", "epoch_id").collect()
+    assert with_eta[-1]["pct_complete"] == 100.0
+    assert with_eta[-1]["eta_seconds"] == 0.0
+    assert 0 < with_eta[0]["pct_complete"] < 100.0
+    assert with_eta[0]["eta_seconds"] > 0
