@@ -78,6 +78,26 @@ def _fresh_spark(cpus: int):
     return get_spark(f"qwery-bench-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 4))
 
 
+def _fresh_spark_cluster(n_exec: int, cores: int = 4, worker_mb: int = 3072):
+    """local-cluster[n,cores,mem]: SEPARATE executor JVMs — the closest
+    single-host stand-in for N real executors (isolates the engine from
+    the single shared heap / GC the local[N] rungs couple through)."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from qwery_spark.session import get_spark
+
+    return get_spark(
+        f"qwery-bench-lc{n_exec}",
+        cpus=n_exec * cores,
+        shuffle_partitions=n_exec * cores,
+        master=f"local-cluster[{n_exec},{cores},{worker_mb}]",
+        extra_conf={"spark.executor.memory": "2g"},
+    )
+
+
 def _replay(spark, files: list[str], n_buckets: int, n_batches: int,
             mode: str = "mor", compact_at_end: bool = False,
             tmp_dir: str | None = None) -> float:
@@ -188,6 +208,34 @@ def main():
                 "engine_vs_control": round(eff / raw_eff, 4) if raw_eff else None,
                 "eff_8_to_32": round(ladder["local32"] / (4 * ladder["local8"]), 4),
                 "raw_eff_8_to_32": round(raw["local32"] / (4 * raw["local8"]), 4),
+            }
+            # ---- local-cluster rung pair: N vs 4N EXECUTOR JVMs ----
+            # (r2 verdict #9: the better instrument for the two-cluster-
+            # size criterion — multi-process, per-executor heaps; still
+            # one host, so the SMT/disk ceiling above 8 physical cores
+            # applies to the 8x4 rung exactly as it does to local[32])
+            lc, lc_runs = {}, {}
+            for n_exec in (2, 8):
+                spark = _fresh_spark_cluster(n_exec)
+                _replay(spark, sfiles[:1], N_BUCKETS, 1, tmp_dir=FAST_TMP)  # warm
+                ts = [
+                    round(SCALING_EVENTS / _replay(spark, sfiles, N_BUCKETS, 4,
+                                                   tmp_dir=FAST_TMP), 1)
+                    for _ in range(2)
+                ]
+                lc_runs[f"execs{n_exec}x4"] = ts
+                lc[n_exec] = max(ts)
+                spark.stop()
+            scaling["local_cluster"] = {
+                "n_executors": 2,
+                "4n_executors": 8,
+                "cores_per_executor": 4,
+                "n_events_per_sec": lc[2],
+                "4n_events_per_sec": lc[8],
+                "efficiency_n_to_4n": round(lc[8] / (4 * lc[2]), 4),
+                "runs": lc_runs,
+                "note": "separate executor JVMs on one host; the 8x4 rung "
+                        "spans the same SMT region as local[32]",
             }
 
         spark = _fresh_spark(CPUS)

@@ -459,10 +459,12 @@ class ScriptEngine:
             return None
 
         if up.startswith("SHOW FILES"):
-            # reference: SHOW FILES lists the inbox dir, composable as a
-            # subquery (core:ops/sql/Show.scala:15-45)
+            # reference: SHOW FILES lists the INBOX dir (not the cwd),
+            # composable as a subquery (core:ops/sql/Show.scala:15-45).
+            # The inbox is the @inbox variable (file-trigger jobs set it,
+            # streaming/orchestrate.py); cwd is only the last resort.
             m = re.match(r"SHOW\s+FILES(?:\s+'([^']*)')?", stmt, re.IGNORECASE)
-            target = m.group(1) or os.getcwd()
+            target = m.group(1) or str(self.variables.get("inbox") or os.getcwd())
             rows = []
             for name in sorted(os.listdir(target)):
                 full = os.path.join(target, name)
@@ -574,6 +576,35 @@ class ScriptEngine:
 
         if re.match(r"ALTER\s+LAKE\b", up):
             return self._alter_lake(stmt)
+
+        if re.match(r"EXPIRE\s+SNAPSHOTS\b", up):
+            # lake maintenance (Iceberg expire_snapshots):
+            # EXPIRE SNAPSHOTS 'path' [KEEP n]
+            m = re.match(
+                r"EXPIRE\s+SNAPSHOTS\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$",
+                stmt, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"bad EXPIRE SNAPSHOTS: {stmt}")
+            from qwery_spark.lake.table import LakeTable
+
+            n = LakeTable(m.group(1)).expire_snapshots(
+                keep_last=int(m.group(2) or 3)
+            )
+            return self.spark.createDataFrame(
+                [(n,)], "SNAPSHOTS_EXPIRED long"
+            )
+
+        if re.match(r"VACUUM\s+LAKE\b", up):
+            # lake maintenance (Iceberg remove_orphan_files):
+            # VACUUM LAKE 'path'
+            m = re.match(r"VACUUM\s+LAKE\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"bad VACUUM LAKE: {stmt}")
+            from qwery_spark.lake.table import LakeTable
+
+            n = LakeTable(m.group(1)).vacuum()
+            return self.spark.createDataFrame([(n,)], "FILES_REMOVED long")
 
         if up.startswith("SELECT") or up.startswith("WITH"):
             # reference TOP n (core:SQLLanguageParser.scala:814) -> LIMIT n,

@@ -240,11 +240,19 @@ def compact(
     buckets: set[int] | None = None,
     drop_tombstones: bool = False,
     max_records_per_file: int = 2_000_000,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Fold MOR delta files back into one resolved file per bucket
     (Iceberg rewrite_data_files analogue). With drop_tombstones=True,
     delete markers are vacuumed too — only safe once no straggler below
-    the tombstone's ordinal can still arrive (retention watermark)."""
+    the tombstone's ordinal can still arrive (retention watermark).
+
+    ``sort_cols`` sorts rows WITHIN each bucket before writing (Iceberg
+    sort-order rewrite): parquet row-group min/max stats then prune
+    key-range predicates inside a bucket — at 100 TB a point lookup
+    reads bucket-pruned files AND skips all but one row group. Sorting
+    is per-partition (sortWithinPartitions after the bucket
+    repartition), never a global sort."""
     snap = table.snapshot()
     target = buckets if buckets is not None else (snap.unresolved_buckets or set(range(snap.n_buckets)))
     if not target:
@@ -256,7 +264,16 @@ def compact(
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
     )
-    new_files = _stage_write(df, table, snap.schema_version, len(target), max_records_per_file)
+    if sort_cols:
+        df = df.repartition(max(len(target), 1), "_bucket").sortWithinPartitions(
+            "_bucket", *sort_cols
+        )
+        new_files = _stage_write(
+            df, table, snap.schema_version, len(target), max_records_per_file,
+            repartition=False,
+        )
+    else:
+        new_files = _stage_write(df, table, snap.schema_version, len(target), max_records_per_file)
     newsnap = table.commit_rewrite(
         base=snap,
         new_files=new_files,

@@ -19,6 +19,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the CDC pipeline.
 
@@ -31,9 +32,15 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # master override: bench uses local-cluster[n,c,mem] (separate
+    # executor JVMs — the closest single-host stand-in for a real
+    # multi-executor cluster); pyspark workers there need the repo on
+    # PYTHONPATH to unpickle the pandas UDFs
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
+        .config("spark.executorEnv.PYTHONPATH", repo_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -67,3 +67,41 @@ def test_expire_and_vacuum(spark, tmp_table_dir):
     r = apply_changes(spark, tbl, spark.createDataFrame(
         ev.slice(0, 1000).to_pandas(), schema=EVENT_SCHEMA), epoch_id=0)
     assert r.merge.skipped
+
+
+def test_sorted_compaction_orders_rows_within_buckets(spark, tmp_table_dir):
+    """compact(sort_cols=['doc_id']) is the Iceberg sort-order rewrite:
+    each bucket's file comes out key-sorted (row-group min/max stats
+    then prune point lookups), and the resolved state is unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.merge import compact
+    from qwery_spark.lake.table import DATA_DIR, LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=8,
+                           write_mode="mor")
+    ev = make_events(3000, seed=23)
+    apply_changes(spark, tbl, spark.createDataFrame(ev.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=0)
+    before = sorted(
+        (r["doc_id"], list(r["tokens"] or []))
+        for r in tbl.read(spark).collect()
+    )
+    res = compact(spark, tbl, sort_cols=["doc_id"])
+    assert res["compacted_buckets"] == 8
+    after = sorted(
+        (r["doc_id"], list(r["tokens"] or []))
+        for r in tbl.read(spark).collect()
+    )
+    assert before == after  # state unchanged
+    # every post-compaction file is internally sorted by doc_id
+    snap = tbl.snapshot()
+    for f in snap.files():
+        rows = spark.read.parquet(os.path.join(tbl.path, f["path"])).select("doc_id").collect()
+        ids = [r["doc_id"] for r in rows]
+        assert ids == sorted(ids), f["path"]

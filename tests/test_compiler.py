@@ -290,3 +290,26 @@ def test_update_set_rejects_key_and_unknown_columns(eng, tmp_path):
         eng.execute(f"UPDATE LAKE '{path}' SET doc_id = 'x' KEYED ON doc_id")
     with pytest.raises(ValueError, match="unknown column"):
         eng.execute(f"UPDATE LAKE '{path}' SET nope = 1 KEYED ON doc_id")
+
+
+def test_expire_and_vacuum_statements(eng, tmp_path):
+    """EXPIRE SNAPSHOTS 'p' KEEP n + VACUUM LAKE 'p' — the Iceberg
+    maintenance verbs surfaced as statements; expired versions become
+    unreadable, live state survives, orphan files are removed."""
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    path = str(tmp_path / "lake_vac")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    for i in range(4):
+        eng.execute(
+            f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+            f"SELECT * FROM VALUES ({i}, 'd{i}', array({i}), 1, 'web') "
+            "AS t(ord, doc_id, tokens, n_tok, source)"
+        )
+    res = eng.execute(f"EXPIRE SNAPSHOTS '{path}' KEEP 2").collect()[0]
+    assert res["SNAPSHOTS_EXPIRED"] >= 1
+    vac = eng.execute(f"VACUUM LAKE '{path}'").collect()[0]
+    assert vac["FILES_REMOVED"] >= 0
+    state = LakeTable(path).read(eng.spark).count()
+    assert state == 4  # live state intact after maintenance
