@@ -221,6 +221,25 @@ class ScriptEngine:
 
     def __init__(self, spark: SparkSession, import_env: bool = True):
         self.spark = spark
+        # the quote scanners and _sql_literal assume Spark's DEFAULT
+        # string-literal rules (backslash escapes interpreted); the
+        # legacy Hive-migration conf flips that and would silently
+        # corrupt backslash-bearing literals — refuse to guess
+        try:
+            if spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ) == "true":
+                import warnings
+
+                warnings.warn(
+                    "ScriptEngine: spark.sql.parser.escapedStringLiterals="
+                    "true (legacy literal parsing); the statement scanners "
+                    "assume the default — backslash-bearing literals and "
+                    "@variables may mis-parse",
+                    stacklevel=2,
+                )
+        except Exception:
+            pass
         self.variables: dict[str, object] = {}
         self.variable_types: dict[str, str] = {}  # DECLAREd types, cast on SET
         self.views: list[str] = []
@@ -797,10 +816,16 @@ class ScriptEngine:
             F.lit("U").alias("op"),
             new_ordinal.alias("ordinal"),
             bad.alias("_bad"),
-        )
-        rejected = batch.filter(F.col("_bad")).count()
-        good = batch.filter(~F.col("_bad")).drop("_bad")
-        stats = merge_changes(spark, tbl, lww_dedup(good), insert_missing=False)
+        ).persist()  # one live-read: the reject count materializes the
+        # cache, the merge re-reads cached blocks (not the parquet)
+        try:
+            rejected = batch.filter(F.col("_bad")).count()
+            good = batch.filter(~F.col("_bad")).drop("_bad")
+            stats = merge_changes(
+                spark, tbl, lww_dedup(good), insert_missing=False
+            )
+        finally:
+            batch.unpersist()
         return self.spark.createDataFrame(
             [(stats.rows_upserted, int(rejected), stats.rows_stale)],
             "ROWS_UPSERTED long, ROWS_REJECTED long, ROWS_STALE long",

@@ -318,6 +318,7 @@ def merge_changes(
     payload_cols = [f["name"] for f in ufields if f["name"] != key]
     src = _align_batch(batch, snap, key)
     src.persist()
+    merged_cache = None
     try:
         # one driver job yields both the touched-bucket set (bounded by
         # n_buckets, safe to collect) and the row count the broadcast
@@ -393,14 +394,18 @@ def merge_changes(
             # pass — at 100 TB the touched-bucket scan dominates a COW
             # batch, so paying it twice halves merge throughput). The
             # one broadcast left join carries the matched src key as a
-            # tag column and is materialized eagerly (localCheckpoint,
-            # MEMORY_AND_DISK, blocks freed on GC); both the matched-keys
-            # derivation and the final write read the blocks, never the
-            # parquet again (plan-asserted in tests/test_plans.py).
+            # tag column and is persisted + eagerly materialized (count);
+            # both the matched-keys derivation and the final write read
+            # the cached blocks, never the parquet again (plan-asserted
+            # in tests/test_plans.py). persist, NOT localCheckpoint: on
+            # executor loss cached partitions recompute from the parquet
+            # lineage (a checkpoint would truncate it and fail the merge
+            # permanently); unpersisted in the finally below.
             merged = tgt_b.join(F.broadcast(s), join_cond, "left").select(
                 *out_cols, act.alias("_act"), F.col(f"s.`{key}`").alias("_mk")
             )
-            merged = merged.localCheckpoint(eager=True)
+            merged_cache = merged = merged.persist()
+            merged.count()  # the ONE scan of the touched target buckets
             matched = merged.drop("_mk")
             # inserts: src keys absent from the target. matched_keys is
             # <= |src| rows, so the anti join broadcasts too — the only
@@ -495,3 +500,5 @@ def merge_changes(
         return stats
     finally:
         src.unpersist()
+        if merged_cache is not None:
+            merged_cache.unpersist()

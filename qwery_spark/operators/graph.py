@@ -87,6 +87,7 @@ def connected_components(
                 "large-star/small-star variant for high-diameter graphs."
             )
             if strict:
+                labels.unpersist()  # the raise path must not leak the cache
                 raise RuntimeError(msg)
             import warnings
 

@@ -114,10 +114,25 @@ def kmeans_fit(
             if round_to is not None:
                 # floor(x*10^p + 0.5)/10^p, NOT round(): Python rounds
                 # half-even, DuckDB half-away — this formula is the same
-                # IEEE op sequence in both engines (bit-identical)
+                # IEEE op sequence in both engines (bit-identical given
+                # identical inputs). The INPUTS differ ~1e-12 between
+                # engines (sum fold order), so a mean landing essentially
+                # ON a rounding boundary could still quantize differently
+                # — warn when that razor's edge is hit (p ~ 1e-4 for a
+                # whole fit) so a flaky oracle diff is diagnosable.
                 import math
 
                 p = 10.0**round_to
+                for x in means:
+                    if abs((x * p + 0.5) - round(x * p + 0.5)) < 1e-9:
+                        import warnings
+
+                        warnings.warn(
+                            "kmeans_fit(round_to): a centroid mean sits on "
+                            "a quantization boundary; cross-engine oracle "
+                            "comparison may diverge for this fit",
+                            stacklevel=2,
+                        )
                 means = [math.floor(x * p + 0.5) / p for x in means]
             new[r["cell"]] = means
         cents = new

@@ -84,15 +84,21 @@ def with_packing(
     local = local.localCheckpoint(eager=True)
     per_shard = local.groupBy(partition_col).agg(F.max("_lp").alias("_mx")).collect()
     total, offsets = 0, []
-    for r in sorted(per_shard, key=lambda r: r[0]):
+    # NULL shard (nullable partition columns exist at real scale) is its
+    # own group: sort it first, join null-safely below
+    for r in sorted(per_shard, key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0)):
         offsets.append((r[0], total))
         total += int(r["_mx"]) + 1
     shard_type = dict(df.dtypes)[partition_col]
     off_df = spark.createDataFrame(
         offsets or [(None, 0)], f"`{partition_col}` {shard_type}, _off long"
     )
+    joined = local.join(
+        F.broadcast(off_df.withColumnRenamed(partition_col, "_off_key")),
+        local[partition_col].eqNullSafe(F.col("_off_key")),
+        "left",
+    )
     return (
-        local.join(F.broadcast(off_df), partition_col, "left")
-        .withColumn(pack_col, (F.col("_lp") + F.col("_off")).cast("bigint"))
-        .drop("_lp", "_off")
+        joined.withColumn(pack_col, (F.col("_lp") + F.col("_off")).cast("bigint"))
+        .drop("_lp", "_off", "_off_key")
     )

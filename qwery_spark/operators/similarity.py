@@ -89,7 +89,15 @@ def lsh_topk(
     bkt = embeddings.withColumn(
         "_bucket", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims)
     )
-    qrow = bkt.filter(F.col(id_col) == query_id).collect()[0]
+    qrows = bkt.filter(F.col(id_col) == query_id).limit(1).collect()
+    if not qrows:
+        # unknown probe id: empty top-k, same schema (the old crossJoin
+        # shape degraded to empty too — keep that contract)
+        return (
+            embeddings.select(id_col, F.lit(0.0).alias("cosine"))
+            .limit(0)
+        )
+    qrow = qrows[0]
     qbucket = int(qrow["_bucket"])
     qd = F.array(*[F.lit(float(x)) for x in qrow[emb_col]])
     ed = as_double(F.col(emb_col))

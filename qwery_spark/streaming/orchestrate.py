@@ -102,6 +102,9 @@ class FileWorkflow:
         os.makedirs(inbox, exist_ok=True)
         os.makedirs(work_dir, exist_ok=True)
         os.makedirs(archive_dir, exist_ok=True)
+        # SHOW FILES (no arg) lists the inbox, as the reference does
+        # (core:ops/sql/Show.scala:15-45) — bind it for trigger scripts
+        self.engine.variables["inbox"] = inbox
 
     def _archive_target(self, name: str) -> str:
         ts = self.clock()

@@ -87,3 +87,14 @@ def test_packing_budget_respected(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "ordinal long, n_tok int, shard int")
     assert with_packing(df, 64, "n_tok", ["ordinal"], partition_col="shard").count() == 0
+
+
+def test_sharded_packing_null_shard(spark):
+    """A NULL shard is its own pack group (nullable partition columns
+    exist at scale) — no crash, no silently-null pack ids."""
+    rows = [(0, 10, 0), (1, 10, 0), (2, 10, None), (3, 60, None)]
+    df = spark.createDataFrame(rows, "ordinal long, n_tok int, shard int")
+    out = with_packing(df, 64, "n_tok", ["ordinal"], partition_col="shard")
+    got = {r["ordinal"]: r["pack_id"] for r in out.collect()}
+    assert None not in got.values()
+    assert len(set(got.values())) >= 2  # null group offset from shard 0

@@ -169,11 +169,21 @@ def test_broadcast_merge_single_target_scan(spark, tmp_table_dir, monkeypatch):
                   epoch_id=1)
     assert plans, "merge never reached the write"
     write_plan = plans[-1]
-    # the target's parquet never re-appears on the write side...
-    assert tmp_table_dir not in write_plan
-    assert "FileScan" not in write_plan
-    # ...because the matched branch reads the checkpointed join blocks
-    assert "ExistingRDD" in write_plan or "Scan ExistingRDD" in write_plan
+    # the write side reads the target through the persisted join output:
+    # the FIRST scan node in the plan is an InMemoryTableScan (the
+    # matched branch — the target-volume branch), and the matched-keys
+    # derivation for the insert anti-join reads the same cache (_mk).
+    # FileScan strings appear only INSIDE InMemoryRelation dumps (the
+    # cached relation's stored lineage, kept for recompute-on-executor-
+    # loss — never executed as long as the cache lives).
+    assert "InMemoryTableScan" in write_plan
+    assert write_plan.index("InMemoryTableScan") < write_plan.index("FileScan")
+    assert "isnotnull(_mk" in write_plan
+    # every FileScan is a cached relation's stored plan: each occurrence
+    # is preceded by more InMemoryRelation markers than executed scans
+    # would allow (textual proxy; the persist+count in merge_changes is
+    # the mechanism)
+    assert write_plan.count("InMemoryRelation") >= write_plan.count("FileScan")
     # and the second epoch really merged (not skipped / appended)
     assert tbl.snapshot().m["summary"]["operation"] == "merge"
 

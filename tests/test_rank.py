@@ -90,3 +90,12 @@ def test_connected_components_iteration_cap_raises(spark):
     with pytest.warns(UserWarning, match="did not converge"):
         out = connected_components(edges, max_iter=2, strict=False).collect()
     assert len(out) == 13
+
+
+def test_lsh_topk_unknown_query_id_returns_empty(spark):
+    from qwery_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = lsh_topk(e, query_id=10**9, k=5)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cosine"]
