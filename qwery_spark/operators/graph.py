@@ -103,3 +103,79 @@ def connected_components(
         sym.unpersist()
         if final_cached is not None:
             final_cached.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 30
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale variant of :func:`connected_components`: converges in
+    O(log n) rounds regardless of component DIAMETER, where min-label
+    propagation needs diameter rounds (a 10^6-long chain takes ~20
+    star rounds vs 10^6 label rounds).
+
+      large-star(u): every neighbor v > u re-hangs onto
+                     m = min(Γ(u) ∪ {u})
+      small-star(u): every neighbor v < u (and u itself) hangs onto the
+                     minimum small neighbor
+
+    Each round is two groupBy+join passes over the edge set (partial-
+    agg'd min — skew-safe); the edge set only shrinks toward the star
+    fixed point (child → root edges). Convergence is detected by an
+    order-insensitive signature (count + xxhash sum) of the edge set.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # ---- large-star ----
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star ----
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        toward_small = sym.filter(F.col("v") < F.col("u"))
+        mins2 = toward_small.groupBy("u").agg(F.min("v").alias("mv"))
+        re_hung = (
+            toward_small.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        e = re_hung.union(mins2.select("u", F.col("mv").alias("v"))).distinct()
+
+        # eager localCheckpoint TRUNCATES the lineage: each round's plan
+        # references the previous round's e several times, so without the
+        # cut the logical plan doubles per round and analysis blows up
+        # around round ~10. Blocks free when the old e is GC'd.
+        e = e.localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_iter} rounds"
+        )
+    # fixed point: edges are (child, root). Roots label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return labels.unionByName(roots).distinct()

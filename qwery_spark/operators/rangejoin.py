@@ -1,0 +1,65 @@
+"""Range (interval) join: match points to intervals without the
+nested-loop trap.
+
+`left.point BETWEEN right.lo AND right.hi` has no equi-key, so Catalyst
+plans BroadcastNestedLoopJoin — O(|L|·|R|) comparisons, fatal beyond
+toy sizes. The standard fix (what Databricks' range-join optimization
+does under the hood) is BINNING:
+
+  1. pick a bin width W (>= typical interval length);
+  2. each interval [lo, hi] is exploded to ceil((hi-lo)/W)+1 bin ids;
+  3. each point maps to ONE bin id: floor(point / W);
+  4. equi-join on bin id (hash join, shuffles on the bin key),
+     then re-check the exact BETWEEN predicate.
+
+Cost: |R| × (avg interval/W + 1) replicated interval rows instead of
+the cross product — the classic time-series enrichment shape (event ↦
+containing session/maintenance window/rate period). The reference has
+no range join (SURVEY.md §2.3: nested-loop inner equi-join only); this
+serves the training-data/time-series brief. Oracle: plain BETWEEN join
+in DuckDB (suite/cdc.py cdc_range_join_rates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to the interval rows containing it
+    (inclusive bounds). Column sets must be disjoint. how='inner' or
+    'left' (unmatched points kept with null interval columns).
+
+    The plan is: explode intervals to covered bins (size amplification
+    ~ interval/bin_width), hash equi-join on the bin, exact BETWEEN
+    re-check — no BroadcastNestedLoopJoin at any size.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how must be inner|left, got {how!r}")
+    dup = set(points.columns) & set(intervals.columns)
+    if dup:
+        raise ValueError(f"range_join: overlapping column names {sorted(dup)}")
+
+    lo, hi, pt = F.col(lo_col), F.col(hi_col), F.col(point_col)
+    binned_r = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(lo / bin_width).cast("bigint"),
+                F.floor(hi / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    binned_l = points.withColumn("_bin", F.floor(pt / bin_width).cast("bigint"))
+    cond = (F.col("l._bin") == F.col("r._bin")) & pt.between(lo, hi)
+    joined = binned_l.alias("l").join(binned_r.alias("r"), cond, how)
+    return joined.drop("_bin")

@@ -70,7 +70,10 @@ _WINDOW_50 = [
     # core flagships named by the r2 verdict + headline TPC-H-ish
     "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",
     "q03_segment_revenue", "q05_nation_revenue", "q06_forecast_revenue",
-    "q_ntile_quartiles", "q_sessionize", "q_grouping_sets", "tok_packing",
+    "q_ntile_quartiles", "q_sessionize", "q_grouping_sets",
+    # range join is new in r3 (no prior driver row); tok_packing's green
+    # row is in CORRECTNESS_r02, so it yields its slot
+    "cdc_range_join_windows",
 ]
 
 

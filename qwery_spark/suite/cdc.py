@@ -426,3 +426,42 @@ def tok_packing_sharded(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("pack_tokens"),
         F.min("ordinal").cast("bigint").alias("first_doc"),
     )
+
+
+@register(
+    "cdc_range_join_windows",
+    """
+    SELECT i.err_id,
+           count(*) AS n_events,
+           round(sum(p.value), 4) AS window_value
+    FROM (SELECT event_id AS pt_id, value FROM events) p
+    JOIN (SELECT event_id AS err_id, event_id AS lo, event_id + 199 AS hi
+          FROM events WHERE event_type = 'error' AND user_id % 10 = 0) i
+      ON p.pt_id BETWEEN i.lo AND i.hi
+    GROUP BY i.err_id
+    """,
+    doc="Range (interval) join: every event joined to the 200-ordinal "
+    "window opened by each sampled error event. Spark has no native "
+    "range join (a BETWEEN join plans BroadcastNestedLoopJoin — "
+    "O(n*m)); operators/rangejoin.py bins intervals to bucket ids and "
+    "hash-equi-joins on the bin + exact re-check, the Databricks "
+    "range-join-optimization shape (plan-asserted: no nested loop). "
+    "Oracle: DuckDB's native BETWEEN join.",
+)
+def cdc_range_join_windows(spark, sf_dir):
+    from qwery_spark.operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_id").alias("pt_id"), F.col("value"))
+    iv = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("err_id"),
+        F.col("event_id").alias("lo"),
+        (F.col("event_id") + 199).alias("hi"),
+    )
+    j = range_join(pts, iv, "pt_id", "lo", "hi", bin_width=256)
+    return j.groupBy("err_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("window_value"),
+    )

@@ -1,0 +1,63 @@
+"""range_join: bin-bucketized interval join (no nested-loop plan)."""
+
+from pyspark.sql import functions as F
+
+from qwery_spark.operators.rangejoin import range_join
+
+
+def _fixtures(spark):
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100)], "pt long, val double"
+    )
+    iv = spark.createDataFrame(
+        [(0, 10, 19), (1, 15, 40), (2, 90, 99), (3, 200, 300)],
+        "iv_id long, lo long, hi long",
+    )
+    return pts, iv
+
+
+def test_range_join_matches_between_semantics(spark):
+    pts, iv = _fixtures(spark)
+    got = range_join(pts, iv, "pt", "lo", "hi", bin_width=16).collect()
+    # reference: brute-force BETWEEN
+    exp = {(p, i) for p in range(100) for i, (lo, hi) in
+           enumerate([(10, 19), (15, 40), (90, 99), (200, 300)]) if lo <= p <= hi}
+    assert {(r["pt"], r["iv_id"]) for r in got} == exp
+    # overlapping intervals yield one row per (point, interval) pair
+    assert len(got) == len(exp)
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    pts, iv = _fixtures(spark)
+    out = range_join(pts, iv, "pt", "lo", "hi", bin_width=16, how="left")
+    unmatched = out.filter(F.col("iv_id").isNull()).count()
+    matched_pts = {r["pt"] for r in out.filter(F.col("iv_id").isNotNull()).collect()}
+    exp_matched = {p for p in range(100) if 10 <= p <= 40 or 90 <= p <= 99}
+    assert matched_pts == exp_matched
+    assert unmatched == 100 - len(exp_matched)
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    pts, iv = _fixtures(spark)
+    p = (
+        range_join(pts, iv, "pt", "lo", "hi", bin_width=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "Join" in p
+
+
+def test_range_join_rejects_overlapping_columns(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, 2)], "pt long, lo long")
+    iv = spark.createDataFrame([(1, 2, 3)], "iv long, lo long, hi long")
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(pts, iv, "pt", "lo", "hi", bin_width=8)
+
+
+def test_range_join_negative_values(spark):
+    pts = spark.createDataFrame([(-10,), (-5,), (0,), (5,)], "pt long")
+    iv = spark.createDataFrame([(0, -7, 1)], "iv_id long, lo long, hi long")
+    got = {r["pt"] for r in range_join(pts, iv, "pt", "lo", "hi", bin_width=4).collect()}
+    assert got == {-5, 0}

@@ -99,3 +99,35 @@ def test_lsh_topk_unknown_query_id_returns_empty(spark):
     out = lsh_topk(e, query_id=10**9, k=5)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cosine"]
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star (O(log n) rounds) must produce identical
+    components to min-label propagation on random graphs."""
+    import random
+
+    from qwery_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    base = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    star = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert star == base
+
+
+def test_star_cc_long_chain_beats_diameter_bound(spark):
+    """A 150-node chain: label propagation needs 150 rounds (strict mode
+    raises at the default 50-round cap) — the star algorithm converges
+    in O(log n) rounds and labels the whole chain with its minimum."""
+    from qwery_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(150)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    out = connected_components_star(df, max_iter=12).collect()
+    assert len(out) == 151
+    assert {r["component"] for r in out} == {0}
