@@ -593,6 +593,41 @@ class ScriptEngine:
         if re.match(r"DELETE\s+FROM\s+LAKE\b", up):
             return self._delete(stmt)
 
+        if re.match(r"CREATE\s+LAKE\b", up):
+            # CREATE LAKE 'path' (col type, ...) KEYED ON k
+            #   [BUCKETS n] [MODE mor|cow]
+            # completes the script-only lifecycle: a user can create,
+            # load, evolve, maintain and drop a table without the API
+            m = re.match(
+                r"CREATE\s+LAKE\s+'([^']+)'\s*\(([^()]*)\)\s+KEYED\s+ON\s+(\w+)"
+                r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"bad CREATE LAKE: {stmt}")
+            from pyspark.sql.types import StructType
+
+            from qwery_spark.lake.table import LakeTable
+
+            path, cols_raw, key = m.group(1), m.group(2), m.group(3)
+            ddl = ", ".join(c.strip() for c in split_commas(cols_raw) if c.strip())
+            schema = StructType.fromDDL(ddl)
+            if key not in schema.fieldNames():
+                raise ValueError(f"CREATE LAKE: key column {key!r} not in schema")
+            tbl = LakeTable.create(
+                path,
+                schema,
+                key_col=key,
+                n_buckets=int(m.group(4) or 64),
+                write_mode=(m.group(5) or "cow").lower(),
+            )
+            snap = tbl.snapshot()
+            return self.spark.createDataFrame(
+                [(snap.version, snap.n_buckets, snap.write_mode)],
+                "version int, buckets int, mode string",
+            )
+
         if re.match(r"ALTER\s+LAKE\b", up):
             return self._alter_lake(stmt)
 

@@ -313,3 +313,29 @@ def test_expire_and_vacuum_statements(eng, tmp_path):
     assert vac["FILES_REMOVED"] >= 0
     state = LakeTable(path).read(eng.spark).count()
     assert state == 4  # live state intact after maintenance
+
+
+def test_create_lake_statement_full_lifecycle(eng, tmp_path):
+    """CREATE LAKE completes the script-only lifecycle: create -> upsert
+    -> evolve -> update -> maintain, no API calls anywhere."""
+    path = str(tmp_path / "lake_cl")
+    res = eng.execute(
+        f"CREATE LAKE '{path}' (doc_id string, tokens array<int>, "
+        "n_tok int, source string) KEYED ON doc_id BUCKETS 8 MODE mor"
+    ).collect()[0]
+    assert (res["version"], res["buckets"], res["mode"]) == (0, 8, "mor")
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id ORDINAL ord "
+        "SELECT * FROM VALUES (1, 'a', array(7), 1, 'web') "
+        "AS t(ord, doc_id, tokens, n_tok, source)"
+    )
+    eng.execute(f"ALTER LAKE '{path}' ADD COLUMN lang string")
+    from qwery_spark.lake.table import LakeTable
+
+    got = LakeTable(path).read(eng.spark).collect()
+    assert len(got) == 1 and got[0]["lang"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key column"):
+        eng.execute(f"CREATE LAKE '{tmp_path}/bad' (a int) KEYED ON nope")
