@@ -598,11 +598,13 @@ class ScriptEngine:
             #   [BUCKETS n] [MODE mor|cow]
             # completes the script-only lifecycle: a user can create,
             # load, evolve, maintain and drop a table without the API
+            # greedy (.*) pairs with the LAST ')' before KEYED ON, so
+            # paren-bearing types (decimal(12,2), varchar(8)) parse
             m = re.match(
-                r"CREATE\s+LAKE\s+'([^']+)'\s*\(([^()]*)\)\s+KEYED\s+ON\s+(\w+)"
+                r"CREATE\s+LAKE\s+'([^']+)'\s*\((.*)\)\s+KEYED\s+ON\s+(\w+)"
                 r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?\s*$",
                 stmt,
-                re.IGNORECASE,
+                re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"bad CREATE LAKE: {stmt}")
@@ -611,15 +613,22 @@ class ScriptEngine:
             from qwery_spark.lake.table import LakeTable
 
             path, cols_raw, key = m.group(1), m.group(2), m.group(3)
-            ddl = ", ".join(c.strip() for c in split_commas(cols_raw) if c.strip())
-            schema = StructType.fromDDL(ddl)
+            schema = StructType.fromDDL(cols_raw)
             if key not in schema.fieldNames():
                 raise ValueError(f"CREATE LAKE: key column {key!r} not in schema")
+            try:
+                LakeTable(path).snapshot()
+            except FileNotFoundError:
+                pass
+            else:
+                raise ValueError(f"CREATE LAKE: table already exists at {path!r}")
             tbl = LakeTable.create(
                 path,
                 schema,
                 key_col=key,
-                n_buckets=int(m.group(4) or 64),
+                # default matches LakeTable.create's (script and API
+                # creates must yield identical tables)
+                n_buckets=int(m.group(4) or 16),
                 write_mode=(m.group(5) or "cow").lower(),
             )
             snap = tbl.snapshot()

@@ -276,7 +276,8 @@ class LakeTable:
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the USER schema; engine
         columns are appended automatically. Partition spec is the hidden
-        transform bucket(n_buckets, key_col).
+        transform bucket(n_buckets, key_col). n_buckets must be >= 1
+        (pmod-by-zero would break the first write, not the create).
 
         write_mode (Iceberg's write.merge.mode analogue):
           'cow' — copy-on-write MERGE: each batch rewrites touched
@@ -289,6 +290,8 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode}")
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         # a deleted-and-recreated path must not serve the old table's
         # folded state from the cache
         _STATE_CACHE.pop(path, None)

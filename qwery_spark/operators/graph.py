@@ -125,11 +125,13 @@ def connected_components_star(
     fixed point (child → root edges). Convergence is detected by an
     order-insensitive signature (count + xxhash sum) of the edge set.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every endpoint must receive a label — including nodes whose only
+    # edge is a self-loop, which the u != v working set drops
+    all_nodes = raw.select(F.col("u").alias("node")).union(
+        raw.select(F.col("v").alias("node"))
+    ).distinct()
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
     prev_sig = None
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -173,9 +175,14 @@ def connected_components_star(
             f"connected_components_star did not reach a fixed point in "
             f"{max_iter} rounds"
         )
-    # fixed point: edges are (child, root). Roots label themselves.
+    # fixed point: edges are (child, root). Roots label themselves, and
+    # isolated/self-loop-only nodes fall back to their own id — min()
+    # keeps the edge-derived label where one exists (component = cluster
+    # min <= node id always).
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    selfs = all_nodes.withColumn("component", F.col("node"))
+    return (
+        labels.unionByName(selfs)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
     )
-    return labels.unionByName(roots).distinct()

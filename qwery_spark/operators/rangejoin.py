@@ -17,7 +17,7 @@ the cross product — the classic time-series enrichment shape (event ↦
 containing session/maintenance window/rate period). The reference has
 no range join (SURVEY.md §2.3: nested-loop inner equi-join only); this
 serves the training-data/time-series brief. Oracle: plain BETWEEN join
-in DuckDB (suite/cdc.py cdc_range_join_rates).
+in DuckDB (suite/cdc.py cdc_range_join_windows).
 """
 
 from __future__ import annotations
@@ -45,9 +45,13 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be inner|left, got {how!r}")
+    if bin_width <= 0:
+        raise ValueError(f"range_join: bin_width must be positive, got {bin_width}")
     dup = set(points.columns) & set(intervals.columns)
     if dup:
         raise ValueError(f"range_join: overlapping column names {sorted(dup)}")
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("range_join: '_bin' is reserved; rename that column")
 
     lo, hi, pt = F.col(lo_col), F.col(hi_col), F.col(point_col)
     binned_r = intervals.withColumn(

@@ -339,3 +339,22 @@ def test_create_lake_statement_full_lifecycle(eng, tmp_path):
 
     with pytest.raises(ValueError, match="key column"):
         eng.execute(f"CREATE LAKE '{tmp_path}/bad' (a int) KEYED ON nope")
+
+
+def test_create_lake_paren_types_and_guards(eng, tmp_path):
+    from qwery_spark.lake.table import LakeTable
+
+    path = str(tmp_path / "lake_dec")
+    eng.execute(
+        f"CREATE LAKE '{path}' (id string, price decimal(12,2)) KEYED ON id"
+    )
+    snap = LakeTable(path).snapshot()
+    assert {f["name"]: f["type"] for f in snap.fields()}["price"] == "decimal(12,2)"
+    assert snap.n_buckets == 16  # script default == API default
+
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute(f"CREATE LAKE '{path}' (id string) KEYED ON id")
+    with pytest.raises(ValueError, match="n_buckets"):
+        eng.execute(f"CREATE LAKE '{tmp_path}/z' (id string) KEYED ON id BUCKETS 0")

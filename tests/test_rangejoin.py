@@ -61,3 +61,15 @@ def test_range_join_negative_values(spark):
     iv = spark.createDataFrame([(0, -7, 1)], "iv_id long, lo long, hi long")
     got = {r["pt"] for r in range_join(pts, iv, "pt", "lo", "hi", bin_width=4).collect()}
     assert got == {-5, 0}
+
+
+def test_range_join_guards(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1,)], "pt long")
+    iv = spark.createDataFrame([(0, 0, 2)], "iv_id long, lo long, hi long")
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(pts, iv, "pt", "lo", "hi", bin_width=0)
+    pts_bin = spark.createDataFrame([(1, 9)], "pt long, _bin long")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(pts_bin, iv, "pt", "lo", "hi", bin_width=8)

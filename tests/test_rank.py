@@ -131,3 +131,11 @@ def test_star_cc_long_chain_beats_diameter_bound(spark):
     out = connected_components_star(df, max_iter=12).collect()
     assert len(out) == 151
     assert {r["component"] for r in out} == {0}
+
+
+def test_star_cc_self_loop_only_node(spark):
+    from qwery_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame([(1, 2), (5, 5)], "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 5: 5}
