@@ -640,6 +640,24 @@ class ScriptEngine:
         if re.match(r"ALTER\s+LAKE\b", up):
             return self._alter_lake(stmt)
 
+        if re.match(r"DROP\s+LAKE\b", up):
+            # DROP LAKE 'path': remove the table (manifests + data).
+            # Refuses paths that aren't lake tables (no manifest dir) so
+            # a typo can't delete arbitrary directories.
+            m = re.match(r"DROP\s+LAKE\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"bad DROP LAKE: {stmt}")
+            from qwery_spark.lake.table import LakeTable, _STATE_CACHE
+
+            path = m.group(1)
+            tbl = LakeTable(path)
+            tbl.snapshot()  # FileNotFoundError if not a lake table
+            import shutil
+
+            shutil.rmtree(path)
+            _STATE_CACHE.pop(path, None)
+            return self.spark.createDataFrame([(path,)], "DROPPED string")
+
         if re.match(r"EXPIRE\s+SNAPSHOTS\b", up):
             # lake maintenance (Iceberg expire_snapshots):
             # EXPIRE SNAPSHOTS 'path' [KEEP n]

@@ -358,3 +358,23 @@ def test_create_lake_paren_types_and_guards(eng, tmp_path):
         eng.execute(f"CREATE LAKE '{path}' (id string) KEYED ON id")
     with pytest.raises(ValueError, match="n_buckets"):
         eng.execute(f"CREATE LAKE '{tmp_path}/z' (id string) KEYED ON id BUCKETS 0")
+
+
+def test_drop_lake_statement(eng, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "lake_drop")
+    eng.execute(f"CREATE LAKE '{path}' (id string) KEYED ON id")
+    res = eng.execute(f"DROP LAKE '{path}'").collect()[0]
+    assert res["DROPPED"] == path
+    import os
+
+    assert not os.path.exists(path)
+    # re-create after drop works (cache invalidated)
+    eng.execute(f"CREATE LAKE '{path}' (id string) KEYED ON id")
+    # non-table paths are refused
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    with pytest.raises(FileNotFoundError):
+        eng.execute(f"DROP LAKE '{plain}'")
+    assert os.path.exists(plain)
