@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "mm_binary_features",
     "q10_returned_revenue",
     "tok_bigrams",
+    "tok_packing_sharded",
+    "cdc_range_join_windows",
 ]
 
 

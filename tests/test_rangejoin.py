@@ -73,3 +73,30 @@ def test_range_join_guards(spark):
     pts_bin = spark.createDataFrame([(1, 9)], "pt long, _bin long")
     with pytest.raises(ValueError, match="reserved"):
         range_join(pts_bin, iv, "pt", "lo", "hi", bin_width=8)
+
+
+def test_range_join_property_random(spark):
+    """Random intervals/points vs a brute-force python oracle across
+    several bin widths (boundaries, overlaps, empty intervals sets)."""
+    import random
+
+    rng = random.Random(99)
+    pts_rows = [(i, rng.randint(-50, 250)) for i in range(120)]
+    iv_rows = []
+    for j in range(25):
+        lo = rng.randint(-60, 240)
+        iv_rows.append((j, lo, lo + rng.randint(0, 70)))
+    pts = spark.createDataFrame(pts_rows, "pid long, pt long")
+    iv = spark.createDataFrame(iv_rows, "iv_id long, lo long, hi long")
+    exp = {
+        (pid, j)
+        for pid, p in pts_rows
+        for j, lo, hi in iv_rows
+        if lo <= p <= hi
+    }
+    for bw in (1, 7, 64, 1000):
+        got = {
+            (r["pid"], r["iv_id"])
+            for r in range_join(pts, iv, "pt", "lo", "hi", bin_width=bw).collect()
+        }
+        assert got == exp, f"bin_width={bw}"
