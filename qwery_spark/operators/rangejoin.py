@@ -67,3 +67,59 @@ def range_join(
     cond = (F.col("l._bin") == F.col("r._bin")) & pt.between(lo, hi)
     joined = binned_l.alias("l").join(binned_r.alias("r"), cond, how)
     return joined.drop("_bin")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-OVERLAP join: one row per (left, right) pair whose
+    closed intervals intersect (l.lo <= r.hi AND r.lo <= l.hi) — the
+    time-span alignment operator (Flink's interval join shape; e.g.
+    audio segments x transcript spans in a multimodal pipeline).
+
+    Both sides explode to covered bins and hash-equi-join on the bin.
+    A pair sharing K bins would emit K duplicates; instead of a
+    dedup shuffle, each pair is emitted ONLY from its canonical bin —
+    the bin of max(l.lo, r.lo), the first bin where both intervals are
+    live. One hash join, no distinct(), no nested loop.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"interval_join: bin_width must be positive, got {bin_width}")
+    dup = set(left.columns) & set(right.columns)
+    if dup:
+        raise ValueError(f"interval_join: overlapping column names {sorted(dup)}")
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError("interval_join: '_bin' is reserved; rename that column")
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bin_width).cast("bigint"),
+                    F.floor(F.col(hi) / bin_width).cast("bigint"),
+                )
+            ),
+        )
+
+    ll, lh = F.col(f"l.`{left_lo}`"), F.col(f"l.`{left_hi}`")
+    rl, rh = F.col(f"r.`{right_lo}`"), F.col(f"r.`{right_hi}`")
+    overlap = (ll <= rh) & (rl <= lh)
+    canonical = F.col("l._bin") == F.floor(F.greatest(ll, rl) / bin_width).cast(
+        "bigint"
+    )
+    joined = (
+        binned(left, left_lo, left_hi)
+        .alias("l")
+        .join(
+            binned(right, right_lo, right_hi).alias("r"),
+            (F.col("l._bin") == F.col("r._bin")) & overlap & canonical,
+        )
+    )
+    return joined.drop("_bin")

@@ -465,3 +465,41 @@ def cdc_range_join_windows(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("window_value"),
     )
+
+
+@register(
+    "cdc_interval_overlap_join",
+    """
+    SELECT a.l_id, count(*) AS n_overlaps, min(b.r_id) AS first_r
+    FROM (SELECT event_id AS l_id, event_id AS l_lo, event_id + 150 AS l_hi
+          FROM events WHERE event_id % 101 = 0) a
+    JOIN (SELECT event_id AS r_id, event_id AS r_lo, event_id + 80 AS r_hi
+          FROM events WHERE event_id % 97 = 0) b
+      ON a.l_lo <= b.r_hi AND b.r_lo <= a.l_hi
+    GROUP BY a.l_id
+    """,
+    doc="Interval-OVERLAP join (two interval sets — the time-span "
+    "alignment shape, e.g. audio segments x transcript spans): "
+    "operators/rangejoin.interval_join bins both sides and emits each "
+    "pair from its canonical bin only (one hash join, no distinct, no "
+    "nested loop). Oracle: DuckDB's native overlap-predicate join.",
+)
+def cdc_interval_overlap_join(spark, sf_dir):
+    from qwery_spark.operators.rangejoin import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("l_id"),
+        F.col("event_id").alias("l_lo"),
+        (F.col("event_id") + 150).alias("l_hi"),
+    )
+    b = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("r_id"),
+        F.col("event_id").alias("r_lo"),
+        (F.col("event_id") + 80).alias("r_hi"),
+    )
+    j = interval_join(a, b, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=256)
+    return j.groupBy("l_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.min("r_id").alias("first_r"),
+    )

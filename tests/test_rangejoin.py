@@ -100,3 +100,67 @@ def test_range_join_property_random(spark):
             for r in range_join(pts, iv, "pt", "lo", "hi", bin_width=bw).collect()
         }
         assert got == exp, f"bin_width={bw}"
+
+
+def test_interval_join_overlap_semantics_and_no_duplicates(spark):
+    """interval_join: exactly one row per overlapping pair, even when a
+    pair shares many bins (canonical-bin emission, no distinct)."""
+    from qwery_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(0, 0, 100), (1, 50, 60), (2, 200, 210), (3, 95, 105)],
+        "l_id long, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 300), (11, 0, 10), (12, 400, 500)],
+        "r_id long, r_lo long, r_hi long",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+                               bin_width=16).collect()
+    )
+    exp = sorted(
+        (l, r)
+        for l, llo, lhi in [(0, 0, 100), (1, 50, 60), (2, 200, 210), (3, 95, 105)]
+        for r, rlo, rhi in [(10, 90, 300), (11, 0, 10), (12, 400, 500)]
+        if llo <= rhi and rlo <= lhi
+    )
+    assert got == exp
+
+
+def test_interval_join_property_random(spark):
+    import random
+
+    from qwery_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(5)
+    lrows = [(i, lo := rng.randint(-40, 200), lo + rng.randint(0, 90)) for i in range(40)]
+    rrows = [(j, lo := rng.randint(-40, 200), lo + rng.randint(0, 90)) for j in range(35)]
+    left = spark.createDataFrame(lrows, "l_id long, l_lo long, l_hi long")
+    right = spark.createDataFrame(rrows, "r_id long, r_lo long, r_hi long")
+    exp = sorted(
+        (l, r)
+        for l, llo, lhi in lrows
+        for r, rlo, rhi in rrows
+        if llo <= rhi and rlo <= lhi
+    )
+    for bw in (3, 32, 512):
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+                                   bin_width=bw).collect()
+        )
+        assert got == exp, f"bin_width={bw}"
+
+
+def test_interval_join_plan_no_nested_loop(spark):
+    from qwery_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame([(0, 0, 10)], "l_id long, l_lo long, l_hi long")
+    right = spark.createDataFrame([(1, 5, 15)], "r_id long, r_lo long, r_hi long")
+    p = (
+        interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in p and "Cartesian" not in p
