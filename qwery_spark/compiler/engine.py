@@ -601,7 +601,8 @@ class ScriptEngine:
             # greedy (.*) pairs with the LAST ')' before KEYED ON, so
             # paren-bearing types (decimal(12,2), varchar(8)) parse
             m = re.match(
-                r"CREATE\s+LAKE\s+'([^']+)'\s*\((.*)\)\s+KEYED\s+ON\s+(\w+)"
+                r"CREATE\s+LAKE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*\((.*)\)"
+                r"\s+KEYED\s+ON\s+(\w+)"
                 r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?\s*$",
                 stmt,
                 re.IGNORECASE | re.DOTALL,
@@ -612,15 +613,21 @@ class ScriptEngine:
 
             from qwery_spark.lake.table import LakeTable
 
-            path, cols_raw, key = m.group(1), m.group(2), m.group(3)
+            if_not_exists = bool(m.group(1))
+            path, cols_raw, key = m.group(2), m.group(3), m.group(4)
             schema = StructType.fromDDL(cols_raw)
             if key not in schema.fieldNames():
                 raise ValueError(f"CREATE LAKE: key column {key!r} not in schema")
             try:
-                LakeTable(path).snapshot()
+                snap = LakeTable(path).snapshot()
             except FileNotFoundError:
                 pass
             else:
+                if if_not_exists:  # idempotent bootstrap for scripts
+                    return self.spark.createDataFrame(
+                        [(snap.version, snap.n_buckets, snap.write_mode)],
+                        "version int, buckets int, mode string",
+                    )
                 raise ValueError(f"CREATE LAKE: table already exists at {path!r}")
             tbl = LakeTable.create(
                 path,
@@ -628,8 +635,8 @@ class ScriptEngine:
                 key_col=key,
                 # default matches LakeTable.create's (script and API
                 # creates must yield identical tables)
-                n_buckets=int(m.group(4) or 16),
-                write_mode=(m.group(5) or "cow").lower(),
+                n_buckets=int(m.group(5) or 16),
+                write_mode=(m.group(6) or "cow").lower(),
             )
             snap = tbl.snapshot()
             return self.spark.createDataFrame(

@@ -378,3 +378,16 @@ def test_drop_lake_statement(eng, tmp_path):
     with pytest.raises(FileNotFoundError):
         eng.execute(f"DROP LAKE '{plain}'")
     assert os.path.exists(plain)
+
+
+def test_create_lake_if_not_exists(eng, tmp_path):
+    path = str(tmp_path / "lake_ine")
+    eng.execute(
+        f"CREATE LAKE IF NOT EXISTS '{path}' (id string) KEYED ON id BUCKETS 4"
+    )
+    # second run is a no-op returning the EXISTING table's shape
+    res = eng.execute(
+        f"CREATE LAKE IF NOT EXISTS '{path}' (id string, extra int) "
+        "KEYED ON id BUCKETS 99 MODE mor"
+    ).collect()[0]
+    assert (res["buckets"], res["mode"]) == (4, "cow")
