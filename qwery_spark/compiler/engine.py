@@ -648,22 +648,32 @@ class ScriptEngine:
             return self._alter_lake(stmt)
 
         if re.match(r"DROP\s+LAKE\b", up):
-            # DROP LAKE 'path': remove the table (manifests + data).
-            # Refuses paths that aren't lake tables (no manifest dir) so
-            # a typo can't delete arbitrary directories.
-            m = re.match(r"DROP\s+LAKE\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
+            # DROP LAKE [IF EXISTS] 'path': remove the table (manifests +
+            # data). Refuses paths that aren't lake tables (no manifest
+            # dir) so a typo can't delete arbitrary directories; IF
+            # EXISTS makes teardown-then-create scripts rerunnable.
+            m = re.match(
+                r"DROP\s+LAKE\s+(IF\s+EXISTS\s+)?'([^']+)'\s*$", stmt, re.IGNORECASE
+            )
             if not m:
                 raise ValueError(f"bad DROP LAKE: {stmt}")
             from qwery_spark.lake.table import LakeTable, _STATE_CACHE
 
-            path = m.group(1)
+            path = m.group(2)
             tbl = LakeTable(path)
-            tbl.snapshot()  # FileNotFoundError if not a lake table
+            try:
+                tbl.snapshot()  # FileNotFoundError if not a lake table
+            except FileNotFoundError:
+                if m.group(1):
+                    return self.spark.createDataFrame(
+                        [("",)], "DROPPED string"
+                    ).limit(0)
+                raise
             import shutil
 
-            shutil.rmtree(path)
-            _STATE_CACHE.pop(path, None)
-            return self.spark.createDataFrame([(path,)], "DROPPED string")
+            shutil.rmtree(tbl.path)
+            _STATE_CACHE.pop(tbl.path, None)
+            return self.spark.createDataFrame([(tbl.path,)], "DROPPED string")
 
         if re.match(r"EXPIRE\s+SNAPSHOTS\b", up):
             # lake maintenance (Iceberg expire_snapshots):

@@ -139,7 +139,10 @@ class LakeTable:
     """
 
     def __init__(self, path: str):
-        self.path = path
+        # normalized: the folded-state cache is keyed by this string, so
+        # '/x/t' and '/x/t/' must resolve to ONE cache entry (a drop +
+        # recreate via a different spelling must not serve stale state)
+        self.path = os.path.normpath(path)
 
     # ---------------- manifest plumbing (delta log + checkpoints) -------
     def _manifest_path(self, version: int) -> str:
@@ -292,6 +295,7 @@ class LakeTable:
             raise ValueError(f"write_mode must be cow|mor, got {write_mode}")
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        path = os.path.normpath(path)  # cache keys are normalized paths
         # a deleted-and-recreated path must not serve the old table's
         # folded state from the cache
         _STATE_CACHE.pop(path, None)

@@ -26,6 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _explode_bins(df: DataFrame, lo: str, hi: str, bin_width: int) -> DataFrame:
+    """df + one row per bin id in [floor(lo/W), floor(hi/W)] — the
+    interval-replication step both joins share."""
+    return df.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bin_width).cast("bigint"),
+                F.floor(F.col(hi) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -54,15 +68,7 @@ def range_join(
         raise ValueError("range_join: '_bin' is reserved; rename that column")
 
     lo, hi, pt = F.col(lo_col), F.col(hi_col), F.col(point_col)
-    binned_r = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(lo / bin_width).cast("bigint"),
-                F.floor(hi / bin_width).cast("bigint"),
-            )
-        ),
-    )
+    binned_r = _explode_bins(intervals, lo_col, hi_col, bin_width)
     binned_l = points.withColumn("_bin", F.floor(pt / bin_width).cast("bigint"))
     cond = (F.col("l._bin") == F.col("r._bin")) & pt.between(lo, hi)
     joined = binned_l.alias("l").join(binned_r.alias("r"), cond, how)
@@ -97,17 +103,6 @@ def interval_join(
     if "_bin" in left.columns or "_bin" in right.columns:
         raise ValueError("interval_join: '_bin' is reserved; rename that column")
 
-    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
-            "_bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(lo) / bin_width).cast("bigint"),
-                    F.floor(F.col(hi) / bin_width).cast("bigint"),
-                )
-            ),
-        )
-
     ll, lh = F.col(f"l.`{left_lo}`"), F.col(f"l.`{left_hi}`")
     rl, rh = F.col(f"r.`{right_lo}`"), F.col(f"r.`{right_hi}`")
     overlap = (ll <= rh) & (rl <= lh)
@@ -115,10 +110,10 @@ def interval_join(
         "bigint"
     )
     joined = (
-        binned(left, left_lo, left_hi)
+        _explode_bins(left, left_lo, left_hi, bin_width)
         .alias("l")
         .join(
-            binned(right, right_lo, right_hi).alias("r"),
+            _explode_bins(right, right_lo, right_hi, bin_width).alias("r"),
             (F.col("l._bin") == F.col("r._bin")) & overlap & canonical,
         )
     )

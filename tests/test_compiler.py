@@ -391,3 +391,22 @@ def test_create_lake_if_not_exists(eng, tmp_path):
         "KEYED ON id BUCKETS 99 MODE mor"
     ).collect()[0]
     assert (res["buckets"], res["mode"]) == (4, "cow")
+
+
+def test_drop_lake_if_exists_and_path_normalization(eng, tmp_path):
+    import os
+
+    path = str(tmp_path / "lake_ie")
+    # IF EXISTS on a missing table: no-op, no error
+    assert eng.execute(f"DROP LAKE IF EXISTS '{path}'").count() == 0
+    eng.execute(f"CREATE LAKE '{path}' (id string) KEYED ON id")
+    # read via a trailing-slash spelling populates the cache under the
+    # normalized key, so the drop invalidates it regardless of spelling
+    from qwery_spark.lake.table import LakeTable
+
+    LakeTable(path + "/").snapshot()
+    eng.execute(f"DROP LAKE IF EXISTS '{path}'")
+    assert not os.path.exists(path)
+    eng.execute(f"CREATE LAKE '{path}' (id string, v int) KEYED ON id")
+    cols = {f["name"] for f in LakeTable(path + "/").snapshot().fields()}
+    assert "v" in cols  # fresh schema, not the stale cached one

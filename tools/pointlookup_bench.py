@@ -45,7 +45,8 @@ def main():
     try:
         ev = make_events(n, seed=77)
         df = spark.createDataFrame(ev.to_pandas(), schema=EVENT_SCHEMA)
-        probe_ids = [f"doc-{i:012d}" for i in range(10, n // 3, max(n // 30, 1))][:12]
+        step = max(n // 30, 1)
+        probe_ids = [f"doc-{10 + k * step:012d}" for k in range(12)]
 
         results = {}
         for label, sort_cols in (("unsorted", None), ("sorted", ["doc_id"])):
@@ -60,16 +61,17 @@ def main():
                 live.filter(F.col("doc_id") == pid).count() for pid in probe_ids
             )
             results[label] = {
-                "lookup_sec_12_probes": round(time.monotonic() - t0, 3),
+                "lookup_sec": round(time.monotonic() - t0, 3),
                 "hits": hits,
             }
         out = {
             "n_events": n,
+            "n_probes": len(probe_ids),
             "unsorted": results["unsorted"],
             "sorted": results["sorted"],
             "speedup": round(
-                results["unsorted"]["lookup_sec_12_probes"]
-                / results["sorted"]["lookup_sec_12_probes"],
+                results["unsorted"]["lookup_sec"]
+                / results["sorted"]["lookup_sec"],
                 2,
             ),
         }
