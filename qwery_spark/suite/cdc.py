@@ -503,3 +503,48 @@ def cdc_interval_overlap_join(spark, sf_dir):
         F.count("*").alias("n_overlaps"),
         F.min("r_id").alias("first_r"),
     )
+
+
+_LONG_TOKENS_SQL = """
+      SELECT event_id AS ordinal,
+             list_transform(range(0, CAST(event_id % 37 AS INTEGER) + 1),
+                            i -> CAST((event_id * 41 + i * 7) % 50257 AS INTEGER)) AS tokens
+      FROM events
+"""
+
+
+@register(
+    "tok_chunking",
+    f"""
+    SELECT ordinal,
+           CAST(start // 8 AS INTEGER) AS chunk_id,
+           CAST(start AS INTEGER) AS start_pos,
+           CAST(len(tokens[start + 1 : start + 16]) AS INTEGER) AS chunk_len,
+           md5(array_to_string(tokens[start + 1 : start + 16], ',')) AS chunk_md5
+    FROM (
+      SELECT ordinal, tokens, unnest(range(0, len(tokens), 8)) AS start
+      FROM ({_LONG_TOKENS_SQL}) t
+    )
+    """,
+    doc="Context-length chunking (operators/chunk.py): variable-length "
+    "token arrays -> max_len=16 windows at stride 8 (overlapping LM "
+    "contexts, short tails kept) — a zero-shuffle map-only generate+slice "
+    "stage; per-chunk content value-checked via md5.",
+)
+def tok_chunking(spark, sf_dir):
+    from qwery_spark.operators.chunk import chunk_tokens
+
+    ev = load(spark, sf_dir, "events")
+    tokens = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 37).cast("int")),
+        lambda i: ((F.col("event_id") * 41 + i * 7) % 50257).cast("int"),
+    )
+    docs = ev.select(F.col("event_id").alias("ordinal"), tokens.alias("tokens"))
+    return chunk_tokens(docs, max_len=16, stride=8).select(
+        "ordinal",
+        "chunk_id",
+        "start_pos",
+        "chunk_len",
+        F.md5(F.array_join(F.transform("chunk", lambda x: x.cast("string")), ","))
+        .alias("chunk_md5"),
+    )

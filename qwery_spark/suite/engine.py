@@ -196,3 +196,114 @@ def cdc_engine_time_travel(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+_DIFF_CASE = """
+      CASE
+        WHEN c.event_type <> 'error'
+             AND (p.user_id IS NULL OR p.event_type = 'error') THEN 'insert'
+        WHEN c.event_type = 'error' AND p.event_type <> 'error' THEN 'delete'
+        WHEN c.event_type <> 'error' AND p.event_type <> 'error'
+             AND c.event_id <> p.event_id THEN 'update_postimage'
+      END
+"""
+
+# one snapshot-diff SELECT: cumulative full-state c vs p (c ⊇ p keys),
+# delete rows carry the PREIMAGE payload + the tombstone's ordinal
+_DIFF_SQL = """
+    SELECT CAST(c.user_id AS VARCHAR) AS doc_id,
+           CAST(((CASE WHEN c.event_type = 'error' THEN p.event_id
+                       ELSE c.event_id END) % 5) + 1 AS INTEGER) AS n_tok,
+           CASE WHEN c.event_type = 'error' THEN p.event_type
+                ELSE c.event_type END AS source,
+           md5(array_to_string(list_transform(
+               range(0, CAST((CASE WHEN c.event_type = 'error' THEN p.event_id
+                              ELSE c.event_id END) % 5 AS INTEGER) + 1),
+               i -> ((CASE WHEN c.event_type = 'error' THEN p.event_id
+                      ELSE c.event_id END) * 31 + i) % 50257), ',')) AS tokens_md5,
+           {case} AS _change_type,
+           CAST({v} AS INTEGER) AS _commit_version,
+           c.event_id AS _ordinal
+    FROM {cur} c LEFT JOIN {prev} p ON c.user_id = p.user_id
+"""
+
+
+def _feed_oracle_sql() -> str:
+    state = """
+  f{k} AS (
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM valid WHERE event_id < lo + {n} * step
+    ) WHERE rn = 1)"""
+    diffs = " UNION ALL ".join(
+        "SELECT * FROM (" + _DIFF_SQL.format(case=_DIFF_CASE, v=v, cur=c, prev=p)
+        + ") WHERE _change_type IS NOT NULL"
+        for v, p, c in ((3, "f1", "f2"), (4, "f2", "f3"))
+    )
+    return (
+        """
+    WITH bounds AS (
+      SELECT min(event_id) AS lo,
+             CAST(FLOOR((max(event_id) - min(event_id) + 4) / 4) AS BIGINT) AS step
+      FROM events
+    ),
+    valid AS (
+      SELECT e.event_id, e.user_id, e.event_type, b.lo, b.step
+      FROM events e, bounds b
+      WHERE NOT (e.event_id % 997 = 0 AND e.event_type <> 'error')
+    ),"""
+        + ",".join(state.format(k=k, n=k + 1) for k in (1, 2, 3))
+        + diffs
+    )
+
+
+@register(
+    "cdc_change_feed",
+    _feed_oracle_sql(),
+    doc="CDC-OUT on the correctness gate: replay all 4 epochs, then read "
+    "the CHANGELOG of commits 3-4 via snapshot-diffing (lake/changes.py, "
+    "the Iceberg create_changelog_view design) — insert/update_postimage/"
+    "delete rows incl. delete preimages and per-change ordinals, vs a "
+    "pure-SQL cumulative-LWW-state diff oracle.",
+)
+def cdc_change_feed(spark, sf_dir):
+    from qwery_spark.lake.changes import read_changes
+
+    events = _derived_events(spark, sf_dir)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+
+    tag = hashlib.md5(f"{sf_dir}|feed".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_feed_tbl_")
+    try:
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="cow")
+        from_v = None
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            if b == 1:
+                from_v = tbl.current_version()
+        assert from_v == 2, f"unexpected commit numbering: {from_v}"
+        (
+            read_changes(spark, tbl, from_v, tbl.current_version())
+            .select(
+                "doc_id",
+                "n_tok",
+                "source",
+                F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
+                .alias("tokens_md5"),
+                "_change_type",
+                "_commit_version",
+                "_ordinal",
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,108 @@
+"""Changelog (CDC-out) semantics: read_changes must emit exactly the
+visible-state transitions between two snapshot versions — inserts,
+update postimages, deletes with preimage payload — and nothing for
+stale drops, tombstone re-deletes, deletes of absent keys, untouched
+rows, or state-preserving commits (compaction)."""
+
+import pandas as pd
+import pytest
+
+from qwery_spark.cdc.apply import apply_changes
+from qwery_spark.lake.changes import read_changes
+from qwery_spark.lake.merge import compact
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+
+def _hand_events(rows):
+    cols = ["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _apply(spark, tbl, rows, epoch):
+    df = spark.createDataFrame(_hand_events(rows), schema=EVENT_SCHEMA)
+    apply_changes(spark, tbl, df, epoch_id=epoch, collect_stats=False)
+
+
+def _feed(spark, tbl, lo, hi=None):
+    rows = read_changes(spark, tbl, lo, hi).collect()
+    return {
+        (r["doc_id"], r["_commit_version"]): (
+            r["_change_type"],
+            r["_ordinal"],
+            None if r["tokens"] is None else list(r["tokens"]),
+        )
+        for r in rows
+    }, rows
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_change_feed_transitions(spark, tmp_table_dir, mode):
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=4, write_mode=mode
+    )
+    # v1: three inserts
+    _apply(spark, tbl, [
+        (1, "I", "a", [1], 1, "web", None),
+        (2, "I", "b", [2], 1, "web", None),
+        (3, "I", "c", [3], 1, "web", None),
+    ], 0)
+    # v2: update a, delete b, stale straggler on c, delete absent key d
+    _apply(spark, tbl, [
+        (10, "U", "a", [1, 1], 2, "web", None),
+        (11, "D", "b", None, None, "web", None),
+        (2, "U", "c", [9], 1, "web", None),   # stale: ordinal 2 < 3
+        (12, "D", "d", None, None, "web", None),  # delete of absent key
+    ], 1)
+    # v3: re-delete b (tombstone on tombstone), reinsert d
+    _apply(spark, tbl, [
+        (20, "D", "b", None, None, "web", None),
+        (21, "I", "d", [4, 4], 2, "code", None),
+    ], 2)
+
+    feed, rows = _feed(spark, tbl, 0, 3)
+    assert feed == {
+        ("a", 1): ("insert", 1, [1]),
+        ("b", 1): ("insert", 2, [2]),
+        ("c", 1): ("insert", 3, [3]),
+        ("a", 2): ("update_postimage", 10, [1, 1]),
+        ("b", 2): ("delete", 11, [2]),  # preimage payload, delete ordinal
+        ("d", 3): ("insert", 21, [4, 4]),
+    }
+    # the (from, to] window restricts correctly
+    sub, _ = _feed(spark, tbl, 1, 2)
+    assert set(sub) == {("a", 2), ("b", 2)}
+
+    # compaction commits are state-preserving: no change rows, and the
+    # pre-compaction diffs still read their pinned snapshots correctly
+    compact(spark, tbl)
+    v = tbl.current_version()
+    assert read_changes(spark, tbl, 3, v).count() == 0
+    again, _ = _feed(spark, tbl, 0, 3)
+    assert again == feed
+
+
+def test_change_feed_empty_range_schema(spark, tmp_table_dir):
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2)
+    df = read_changes(spark, tbl, 0, 0)
+    assert df.count() == 0
+    assert {"_change_type", "_commit_version", "_ordinal", "doc_id"} <= set(
+        df.columns
+    )
+    with pytest.raises(ValueError):
+        read_changes(spark, tbl, 1, 0)
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_table_dir):
+    """A DDL commit inside the range is skipped scan-free; rows from
+    commits before the DDL null-fill the added column."""
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2)
+    _apply(spark, tbl, [(1, "I", "a", [1], 1, "web", None)], 0)       # v1
+    tbl.add_column("quality", "double")                                # v2 (ddl)
+    _apply(spark, tbl, [(2, "U", "a", [1, 2], 2, "web", None)], 1)     # v3
+    rows = read_changes(spark, tbl, 0, 3).collect()
+    by_v = {r["_commit_version"]: r for r in rows}
+    assert set(by_v) == {1, 3}
+    assert by_v[1]["quality"] is None
+    assert by_v[1]["_change_type"] == "insert"
+    assert by_v[3]["_change_type"] == "update_postimage"
