@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "tok_bigrams",
     "tok_packing_sharded",
     "cdc_range_join_windows",
+    "cdc_change_feed",
+    "tok_chunking",
 ]
 
 

@@ -184,7 +184,8 @@ def parse_hints(raw: str | None) -> dict:
             # both value forms the reference accepts: KEY 'v' and KEY (v)
             # (e.g. WITH (JSON PATH (a,b)) — core:SQLLanguageParser.scala)
             m = re.match(
-                r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH|PARTITIONED BY|AVRO)"
+                r"(DELIMITER|FORMAT|FIXED WIDTH|JSON PATH|PARTITIONED BY|AVRO"
+                r"|VERSION)"
                 r"\s*(?:'([^']*)'|\(([^()]*)\)|(\S+))\s*$",
                 p,
                 re.IGNORECASE,
@@ -196,7 +197,9 @@ def parse_hints(raw: str | None) -> dict:
             hints[{"DELIMITER": "delimiter", "FORMAT": "format",
                    "FIXED WIDTH": "fixed_width", "JSON PATH": "json_path",
                    "PARTITIONED BY": "partitioned_by",
-                   "AVRO": "avro_schema"}[k]] = v
+                   "AVRO": "avro_schema",
+                   # WITH (VERSION n) on a lake-table FROM: time travel
+                   "VERSION": "version"}[k]] = v
     return hints
 
 
@@ -527,6 +530,33 @@ class ScriptEngine:
                 rows,
                 "version int, snapshot_id string, epoch_id string, "
                 "operation string, files_added int, buckets_replaced int",
+            )
+
+        if up.startswith("SHOW CHANGES"):
+            # CDC-out script surface over lake/changes.py: the changelog
+            # of commits in (FROM, TO] (FROM defaults to 0 = since
+            # creation, TO to the current head) — downstream consumers
+            # read incremental change rows instead of re-scanning the
+            # table. Beyond-reference (the reference has no change feed).
+            m = re.match(
+                r"SHOW\s+CHANGES\s+'([^']+)'"
+                r"(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    f"bad SHOW CHANGES (want SHOW CHANGES 'path' [FROM n] [TO n]): {stmt}"
+                )
+            from qwery_spark.lake.changes import read_changes
+            from qwery_spark.lake.table import LakeTable
+
+            tbl = LakeTable(m.group(1))
+            return read_changes(
+                self.spark,
+                tbl,
+                int(m.group(2)) if m.group(2) else 0,
+                int(m.group(3)) if m.group(3) else None,
             )
 
         if up.startswith("SHOW "):

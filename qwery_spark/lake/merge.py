@@ -96,11 +96,14 @@ def _stage_write(
     n_partitions: int,
     max_records_per_file: int,
     repartition: bool = True,
+    stats_col: str | None = None,
 ) -> list[dict]:
     """Write ``df`` (carrying _bucket) as bucket-partitioned parquet under
     a fresh staging dir; return manifest file entries. Pass
     repartition=False when df is already bucket-partitioned (avoids a
-    second shuffle)."""
+    second shuffle). With ``stats_col``, each entry also records that
+    column's min/max (from the parquet footers — metadata only, no data
+    read), enabling manifest-level file skipping on key predicates."""
     stage = f"snap-{uuid.uuid4().hex[:12]}"
     stage_dir = os.path.join(table.path, DATA_DIR, stage)
     if repartition:
@@ -117,14 +120,58 @@ def _stage_write(
         b = int(bdir.split("=")[1])
         for fn in os.listdir(os.path.join(stage_dir, bdir)):
             if fn.endswith(".parquet"):
-                new_files.append(
-                    {
-                        "path": os.path.join(DATA_DIR, stage, bdir, fn),
-                        "bucket": b,
-                        "schema_version": schema_version,
-                    }
-                )
+                entry = {
+                    "path": os.path.join(DATA_DIR, stage, bdir, fn),
+                    "bucket": b,
+                    "schema_version": schema_version,
+                }
+                if stats_col is not None:
+                    mm = _footer_min_max(
+                        os.path.join(table.path, entry["path"]), stats_col
+                    )
+                    if mm is not None:
+                        entry["key_min"], entry["key_max"] = mm
+                new_files.append(entry)
     return new_files
+
+
+def _footer_min_max(path: str, col: str):
+    """(min, max) of a top-level column across the file's row groups,
+    read from the parquet footer only. Returns None when any row group
+    lacks statistics (the file then simply isn't skippable — pruning
+    stays conservative). This is the local stand-in for Iceberg's
+    per-data-file column bounds, which write tasks report on a real
+    cluster; here the driver reads footers of the files it just staged
+    (O(files) metadata reads, no data)."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        idx = next(
+            (
+                i
+                for i in range(pf.metadata.num_columns)
+                if pf.schema.column(i).path == col
+            ),
+            None,
+        )
+        if idx is None:
+            return None
+        lo = hi = None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        # manifest is JSON: only store plainly serializable stat types
+        if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
+            return None
+        return lo, hi
+    except Exception:
+        return None  # stats are an optimization; never fail a write
 
 
 def append_changes(
@@ -195,7 +242,7 @@ def append_changes(
     )
     new_files = _stage_write(
         rows, table, snap.schema_version, snap.n_buckets, max_records_per_file,
-        repartition=False,
+        repartition=False, stats_col=key,
     )
     touched = {f["bucket"] for f in new_files}
 
@@ -270,10 +317,13 @@ def compact(
         )
         new_files = _stage_write(
             df, table, snap.schema_version, len(target), max_records_per_file,
-            repartition=False,
+            repartition=False, stats_col=key,
         )
     else:
-        new_files = _stage_write(df, table, snap.schema_version, len(target), max_records_per_file)
+        new_files = _stage_write(
+            df, table, snap.schema_version, len(target), max_records_per_file,
+            stats_col=key,
+        )
     newsnap = table.commit_rewrite(
         base=snap,
         new_files=new_files,
@@ -461,7 +511,7 @@ def merge_changes(
         # rows to the right bucket dirs).
         new_files = _stage_write(
             result, table, snap.schema_version, len(touched), max_records_per_file,
-            repartition=not use_broadcast,
+            repartition=not use_broadcast, stats_col=key,
         )
         stats = MergeStats(touched_buckets=len(touched))
         if obs is not None:

@@ -119,11 +119,31 @@ class Snapshot:
         sv = self.schema_version if schema_version is None else schema_version
         return self.m["schemas"][str(sv)]
 
-    def files(self, buckets: set[int] | None = None) -> list[dict]:
+    def files(
+        self,
+        buckets: set[int] | None = None,
+        key_range: tuple | None = None,
+    ) -> list[dict]:
+        """Live file entries, optionally pruned to a bucket subset and —
+        when the entries carry key_min/key_max footer stats (written by
+        merge._stage_write) — to files whose key range overlaps
+        ``key_range`` (lo, hi), either bound None = unbounded. Entries
+        without stats are never pruned (conservative)."""
         fs = self.m["files"]
-        if buckets is None:
+        if buckets is not None:
+            fs = [f for f in fs if f["bucket"] in buckets]
+        if key_range is None:
             return fs
-        return [f for f in fs if f["bucket"] in buckets]
+        lo, hi = key_range
+        return [
+            f
+            for f in fs
+            if "key_min" not in f
+            or not (
+                (hi is not None and f["key_min"] > hi)
+                or (lo is not None and f["key_max"] < lo)
+            )
+        ]
 
     def spark_schema(self) -> T.StructType:
         return T.StructType.fromDDL(
@@ -329,13 +349,17 @@ class LakeTable:
 
     # ---------------- reads ----------------
     def _aligned_scan(
-        self, spark: SparkSession, snap: Snapshot, buckets: set[int] | None
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        buckets: set[int] | None,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """Read live data files, aligning every historical schema version
         to the current one by field id (rename: metadata-only; widen:
         cast-on-read; added column: null-fill)."""
         cur = snap.fields()
-        files = snap.files(buckets)
+        files = snap.files(buckets, key_range)
         if not files:
             empty = T.StructType.fromDDL(
                 ", ".join(f"`{f['name']}` {f['type']}" for f in cur)
@@ -387,9 +411,13 @@ class LakeTable:
         buckets: set[int] | None = None,
         snapshot_version: int | None = None,
         resolve: bool = True,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """All physical rows (tombstones + engine columns included),
-        optionally pruned to a bucket subset (the MERGE fast path).
+        optionally pruned to a bucket subset (the MERGE fast path)
+        and/or a key range (manifest file skipping — all rows for a key
+        live in files whose stats cover it, so dropping non-overlapping
+        files loses nothing, including under MOR resolution).
 
         With resolve=True (default), buckets carrying unresolved MOR
         deltas are LWW-resolved; already-resolved buckets pass through
@@ -399,13 +427,17 @@ class LakeTable:
         if buckets is not None:
             unresolved = unresolved & buckets
         if not resolve or not unresolved:
-            return self._aligned_scan(spark, snap, buckets)
+            return self._aligned_scan(spark, snap, buckets, key_range)
         clean = (buckets if buckets is not None else set(range(snap.n_buckets))) - unresolved
         key = snap.m["key_col"]
         parts = []
         if clean:
-            parts.append(self._aligned_scan(spark, snap, clean))
-        parts.append(self._resolve_lww(self._aligned_scan(spark, snap, unresolved), key))
+            parts.append(self._aligned_scan(spark, snap, clean, key_range))
+        parts.append(
+            self._resolve_lww(
+                self._aligned_scan(spark, snap, unresolved, key_range), key
+            )
+        )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -420,6 +452,47 @@ class LakeTable:
             f["name"] for f in snap.fields() if f["name"] not in ("_deleted", "last_ordinal")
         ]
         return df.filter(~F.col("_deleted")).select(*[f"`{c}`" for c in user_cols])
+
+    def lookup(self, spark: SparkSession, key_value) -> DataFrame:
+        """Point read of one key with the full pruning stack: hash to
+        ONE bucket, manifest key_min/key_max stats skip that bucket's
+        non-overlapping files (written per-file at merge/compact time),
+        and the pushed-down equality filter lets parquet row-group
+        min/max skip pages inside what's left (maximal after a
+        compact(sort_cols=[key])). At 100 TB this touches one file's
+        worth of metadata + one row group, not a bucket scan.
+
+        The bucket id is computed driver-side with lake/xxh64.py (pure
+        Python, property-pinned to Spark's xxhash64 in tests/test_xxh64
+        — a divergence would silently read the wrong bucket, hence the
+        pin) so a probe launches ZERO extra jobs; key types the pin
+        doesn't cover fall back to a 1-row Spark job."""
+        snap = self.snapshot()
+        key = snap.m["key_col"]
+        ktype = next(f["type"] for f in snap.fields() if f["name"] == key)
+        from qwery_spark.lake.xxh64 import spark_bucket
+
+        b = spark_bucket(key_value, snap.n_buckets, ktype)
+        if b is None:
+            b = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(key_value).cast(ktype)), F.lit(snap.n_buckets)
+                    ).cast("int")
+                )
+                .first()[0]
+            )
+        user_cols = [
+            f["name"] for f in snap.fields() if f["name"] not in ("_deleted", "last_ordinal")
+        ]
+        return (
+            self.read_physical(
+                spark, buckets={b}, key_range=(key_value, key_value)
+            )
+            .filter((F.col(f"`{key}`") == key_value) & ~F.col("_deleted"))
+            .select(*[f"`{c}`" for c in user_cols])
+        )
 
     # ---------------- commit ----------------
     def bucket_expr(self, col: str | None = None):

@@ -70,6 +70,20 @@ def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> Da
         url, table = _parse_jdbc(path)
         return spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
     scheme, path = _strip_scheme(path)
+    if scheme == "file" and os.path.isdir(
+        os.path.join(path.split("://", 1)[-1], "_manifests")
+    ):
+        # the path IS a lake table: route through the snapshot read
+        # (live rows, MOR resolution, schema alignment) — a raw parquet
+        # scan of the data dir would see every historical snapshot's
+        # files plus tombstones and engine columns. WITH (VERSION n)
+        # time-travels.
+        from qwery_spark.lake.table import LakeTable
+
+        v = hints.get("version")
+        return LakeTable(path.split("://", 1)[-1]).read(
+            spark, snapshot_version=None if v is None else int(v)
+        )
     if scheme in ("s3", "s3a"):
         # s3a:// paths work as-is once Hadoop S3 jars + creds are on the
         # cluster; nothing engine-side changes.

@@ -410,3 +410,49 @@ def test_drop_lake_if_exists_and_path_normalization(eng, tmp_path):
     eng.execute(f"CREATE LAKE '{path}' (id string, v int) KEYED ON id")
     cols = {f["name"] for f in LakeTable(path + "/").snapshot().fields()}
     assert "v" in cols  # fresh schema, not the stale cached one
+
+
+def test_show_changes_statement(eng, tmp_path):
+    p = str(tmp_path / "lk")
+    eng.execute(f"CREATE LAKE '{p}' (doc_id string, v int) KEYED ON doc_id BUCKETS 2")
+    eng.execute(
+        f"UPSERT INTO LAKE '{p}' KEYED ON doc_id "
+        "SELECT 'a' AS doc_id, 1 AS v, 'U' AS op, 1 AS ordinal"
+    )
+    eng.execute(
+        f"UPSERT INTO LAKE '{p}' KEYED ON doc_id "
+        "SELECT 'a' AS doc_id, 2 AS v, 'U' AS op, 2 AS ordinal"
+    )
+    rows = eng.execute(f"SHOW CHANGES '{p}'").collect()
+    assert {(r["_change_type"], r["_commit_version"], r["v"]) for r in rows} == {
+        ("insert", 1, 1),
+        ("update_postimage", 2, 2),
+    }
+    sub = eng.execute(f"SHOW CHANGES '{p}' FROM 1 TO 2").collect()
+    assert [r["_change_type"] for r in sub] == ["update_postimage"]
+    with pytest.raises(ValueError):
+        eng.execute(f"SHOW CHANGES '{p}' FROM x")
+
+
+def test_select_from_lake_table_path(eng, tmp_path):
+    """FROM 'lake-path' must read the SNAPSHOT (live rows, LWW-resolved,
+    engine columns hidden) — not the raw staged parquet, which contains
+    every historical snapshot plus tombstones. WITH (VERSION n) pins."""
+    p = str(tmp_path / "lk")
+    eng.execute(f"CREATE LAKE '{p}' (doc_id string, v int) KEYED ON doc_id BUCKETS 2")
+    eng.execute(
+        f"UPSERT INTO LAKE '{p}' KEYED ON doc_id "
+        "SELECT 'a' AS doc_id, 1 AS v, 'U' AS op, 1 AS ordinal"
+    )
+    eng.execute(
+        f"UPSERT INTO LAKE '{p}' KEYED ON doc_id SELECT * FROM VALUES "
+        "('a', 2, 'U', 2), ('b', 9, 'U', 3), ('gone', 0, 'D', 4) "
+        "AS t(doc_id, v, op, ordinal)"
+    )
+    rows = eng.execute(f"SELECT doc_id, v FROM '{p}' ORDER BY doc_id").collect()
+    assert [(r["doc_id"], r["v"]) for r in rows] == [("a", 2), ("b", 9)]
+    assert "last_ordinal" not in eng.execute(f"SELECT * FROM '{p}'").columns
+    old = eng.execute(
+        f"SELECT doc_id, v FROM '{p}' WITH (VERSION 1) ORDER BY doc_id"
+    ).collect()
+    assert [(r["doc_id"], r["v"]) for r in old] == [("a", 1)]

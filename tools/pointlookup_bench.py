@@ -49,11 +49,17 @@ def main():
         probe_ids = [f"doc-{10 + k * step:012d}" for k in range(12)]
 
         results = {}
+        sorted_tbl = None
+        # ~16 files/bucket so manifest key_min/key_max skipping (the
+        # third rung of the pruning stack) has real files to skip
+        per_file = max(n // 64, 1)
         for label, sort_cols in (("unsorted", None), ("sorted", ["doc_id"])):
             d = os.path.join(base, label)
             tbl = LakeTable.create(d, TARGET_SCHEMA, n_buckets=4, write_mode="mor")
             apply_changes(spark, tbl, df, epoch_id=0, collect_stats=False, scan_ddl=False)
-            compact(spark, tbl, sort_cols=sort_cols)
+            compact(spark, tbl, sort_cols=sort_cols, max_records_per_file=per_file)
+            if sort_cols:
+                sorted_tbl = tbl
             live = tbl.read(spark)
             live.filter(F.col("doc_id") == probe_ids[0]).count()  # warm
             t0 = time.monotonic()
@@ -64,14 +70,48 @@ def main():
                 "lookup_sec": round(time.monotonic() - t0, 3),
                 "hits": hits,
             }
+        # cold baseline: a FRESH plan per probe over all files — the
+        # fair comparison for lookup(), which also plans per probe.
+        # (the warm variants above amortize one FileIndex across all
+        # probes; lookup's win is scan pruning, not plan reuse)
+        t0 = time.monotonic()
+        hits = sum(
+            sorted_tbl.read(spark).filter(F.col("doc_id") == pid).count()
+            for pid in probe_ids
+        )
+        results["sorted_cold"] = {
+            "lookup_sec": round(time.monotonic() - t0, 3),
+            "hits": hits,
+        }
+        # full pruning stack: bucket hash + manifest file stats +
+        # parquet row-group stats (LakeTable.lookup)
+        sorted_tbl.lookup(spark, probe_ids[0]).count()  # warm
+        t0 = time.monotonic()
+        hits = sum(sorted_tbl.lookup(spark, pid).count() for pid in probe_ids)
+        results["stats_lookup"] = {
+            "lookup_sec": round(time.monotonic() - t0, 3),
+            "hits": hits,
+        }
+        snap = sorted_tbl.snapshot()
         out = {
             "n_events": n,
             "n_probes": len(probe_ids),
+            "files_total": len(snap.files()),
+            "files_after_stats_prune": len(
+                snap.files(key_range=(probe_ids[0], probe_ids[0]))
+            ),
             "unsorted": results["unsorted"],
             "sorted": results["sorted"],
-            "speedup": round(
+            "sorted_cold": results["sorted_cold"],
+            "stats_lookup": results["stats_lookup"],
+            "speedup_sorted": round(
                 results["unsorted"]["lookup_sec"]
                 / results["sorted"]["lookup_sec"],
+                2,
+            ),
+            "speedup_stats_vs_cold": round(
+                results["sorted_cold"]["lookup_sec"]
+                / results["stats_lookup"]["lookup_sec"],
                 2,
             ),
         }
