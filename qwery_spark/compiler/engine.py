@@ -988,8 +988,21 @@ class ScriptEngine:
           ALTER LAKE 'path' ADD COLUMN name type
           ALTER LAKE 'path' RENAME COLUMN old TO new
           ALTER LAKE 'path' WIDEN COLUMN name TO type
+          ALTER LAKE 'path' REBUCKET n        (partition-spec evolution)
         """
         from qwery_spark.lake.table import LakeTable
+
+        mrb = re.match(
+            r"ALTER\s+LAKE\s+'([^']+)'\s+REBUCKET\s+(\d+)\s*$", stmt, re.IGNORECASE
+        )
+        if mrb:
+            from qwery_spark.lake.merge import rebucket
+
+            res = rebucket(self.spark, LakeTable(mrb.group(1)), int(mrb.group(2)))
+            return self.spark.createDataFrame(
+                [(res["from_buckets"], res["to_buckets"], res["files_written"])],
+                "from_buckets int, to_buckets int, files_written int",
+            )
 
         m = re.match(
             r"ALTER\s+LAKE\s+'([^']+)'\s+"

@@ -151,3 +151,57 @@ def read_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def replicate(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    from_version: int = 0,
+    to_version: int | None = None,
+    epoch_id=None,
+):
+    """Apply ``src``'s changelog over ``(from_version, to_version]`` to
+    ``dst`` as one merge batch — CDC replication built purely on the
+    change feed, which doubles as the feed's completeness contract: a
+    replica fed only change rows converges to the source state
+    (tests/test_changes.py asserts byte equality).
+
+    The feed may carry several rows per key (one per commit), so it is
+    LWW-reduced on the change ordinal first — the same max_by partial
+    aggregation the ingest path uses; deletes become 'D' events carrying
+    the tombstone's ordinal, so the replica's straggler guard keeps
+    working across replication boundaries. Incremental feeds applied in
+    order and a single full-range feed produce the same replica."""
+    feed = read_changes(spark, src, from_version, to_version)
+    key = dst.snapshot().m["key_col"]
+    payload = [
+        c
+        for c in feed.columns
+        if c not in (key, CHANGE_TYPE_COL, COMMIT_VERSION_COL, ORDINAL_COL)
+    ]
+    events = feed.select(
+        F.col(f"`{key}`"),
+        *[F.col(f"`{c}`") for c in payload],
+        F.when(F.col(CHANGE_TYPE_COL) == "delete", "D").otherwise("U").alias("op"),
+        F.col(ORDINAL_COL).alias("ordinal"),
+    )
+    winners = (
+        events.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(f"`{c}`") for c in payload], F.col("op")),
+                F.col("ordinal"),
+            ).alias("w"),
+            F.max("ordinal").alias("ordinal"),
+        )
+        .select(
+            key,
+            *[F.col(f"w.`{c}`").alias(c) for c in payload],
+            F.col("w.op").alias("op"),
+            "ordinal",
+        )
+    )
+    from qwery_spark.lake.merge import merge_changes
+
+    return merge_changes(spark, dst, winners, epoch_id=epoch_id)

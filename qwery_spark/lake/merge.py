@@ -337,6 +337,63 @@ def compact(
     }
 
 
+def rebucket(
+    spark: SparkSession,
+    table: LakeTable,
+    new_n_buckets: int,
+    max_records_per_file: int = 2_000_000,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Partition-spec evolution (Iceberg analogue): rewrite the table
+    with a different bucket count in ONE commit. At 10^10 events the
+    bucket count chosen at creation stops fitting — buckets outgrow a
+    task's memory, or thousands of buckets fragment a small table — and
+    hash-bucketed layouts can't grow incrementally (every key moves), so
+    this is a full rewrite by design: one shuffle on the NEW bucket id,
+    cost O(table), amortized over the table's lifetime (run it like a
+    major compaction, e.g. at 4x growth: 64 -> 256 -> 1024 -> 4096).
+
+    Tombstones are preserved (the cross-batch straggler guard must
+    survive the move), MOR deltas are resolved on the way through, and
+    the bucket count stays per-snapshot state: time travel to an older
+    version keeps routing by the old count, and the next merge reads
+    the new count from its base snapshot automatically.
+    """
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    snap = table.snapshot()
+    key = snap.m["key_col"]
+    df = table.read_physical(spark, resolve=True).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(new_n_buckets)).cast("int")
+    )
+    n_parts = max(min(new_n_buckets, 256), 1)
+    df = df.repartition(n_parts, "_bucket")
+    if sort_cols:
+        df = df.sortWithinPartitions("_bucket", *sort_cols)
+    new_files = _stage_write(
+        df, table, snap.schema_version, n_parts, max_records_per_file,
+        repartition=False, stats_col=key,
+    )
+    newsnap = table.commit_rewrite(
+        base=snap,
+        new_files=new_files,
+        replaced_buckets=set(range(snap.n_buckets)),
+        epoch_id=None,
+        summary={
+            "operation": "rebucket",
+            "from_buckets": snap.n_buckets,
+            "to_buckets": new_n_buckets,
+        },
+        new_n_buckets=new_n_buckets,
+    )
+    return {
+        "from_buckets": snap.n_buckets,
+        "to_buckets": new_n_buckets,
+        "files_written": len(new_files),
+        "snapshot_version": newsnap.version if newsnap else None,
+    }
+
+
 def merge_changes(
     spark: SparkSession,
     table: LakeTable,

@@ -219,6 +219,11 @@ class LakeTable:
             schemas = dict(s["schemas"])
             schemas[str(sc["schema_version"])] = sc["fields"]
             s["schemas"] = schemas
+        if rec.get("n_buckets") is not None:
+            # partition-spec evolution (rebucket): the bucket count is
+            # per-snapshot state, so time travel before this commit
+            # keeps routing reads/merges by the OLD count
+            s["n_buckets"] = rec["n_buckets"]
         s["summary"] = rec.get("summary", {})
         return s
 
@@ -509,6 +514,7 @@ class LakeTable:
         summary: dict | None = None,
         new_schema: tuple[int, dict] | None = None,
         append_buckets: set[int] | None = None,
+        new_n_buckets: int | None = None,
     ) -> Snapshot | None:
         """Commit new files: a copy-on-write rewrite of
         ``replaced_buckets`` and/or a merge-on-read delta append to
@@ -537,6 +543,8 @@ class LakeTable:
             "add_files": new_files,
             "summary": summary or {},
         }
+        if new_n_buckets is not None:
+            rec["n_buckets"] = new_n_buckets
         if new_schema is not None:
             sv, fields = new_schema
             rec["schema_change"] = {"schema_version": sv, "fields": fields}

@@ -84,3 +84,76 @@ def marker_lang_scores(
     for lang in reversed(langs[:-1]):
         guess = F.when(F.col(f"score_{lang}") == best, lang).otherwise(guess)
     return scored.select(key, *[f"score_{l}" for l in langs], guess.alias("lang_guess"))
+
+
+# patterns shared by pii_scrub and its DuckDB oracle: RE2-compatible
+# (no lookaround), so Spark's Java regex and DuckDB's RE2 agree
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Redact PII spans (default: emails + NNN-NNN-NNNN phones) from
+    ``text_col``, appending ``<col>_scrubbed`` and per-pattern
+    ``n_<kind>`` match counts. Pure Catalyst regexp_replace /
+    regexp_extract_all — zero shuffle, map-only at any scale. Patterns
+    must stay RE2-compatible so the DuckDB oracle (suite
+    text_pii_scrub) sees identical semantics."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind}>")
+    return out.withColumn(f"{text_col}_scrubbed", scrubbed)
+
+
+def word_ngrams(text_col: str, n: int):
+    """array<string> column expression of space-joined word n-grams
+    (documents are whitespace-tokenized). Map-only; used by
+    decontaminate."""
+    words = F.split(F.col(text_col), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram with the benchmark set — (key, n_shared) per contaminated
+    doc, n_shared = distinct benchmark n-grams present.
+
+    Scale shape: the benchmark n-gram set is tiny next to the corpus
+    (that is the point of a benchmark), so the join side is
+    F.broadcast — the corpus explode streams map-side against the
+    hashed benchmark set, no corpus shuffle until the per-doc count
+    (partial-agg'd). At 100 TB this is one broadcast + one count
+    shuffle keyed by doc."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(text_col, n)).alias("g")
+        )
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    return (
+        corpus.select(F.col(key), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -476,3 +476,99 @@ def sample_stratified(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("min_doc"),
         )
     )
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# deterministic PII injection shared by both engines (the driver corpus
+# has no PII of its own): every 3rd doc gets an email, every 5th a phone
+_AUG_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' mail me at user' || doc_id || '@example.com ok'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g'),
+                              '{_PII_PHONE}', '<phone>', 'g')) AS scrubbed_md5
+    FROM ({_AUG_SQL}) t
+    """,
+    doc="PII redaction (operators/text.pii_scrub): RE2-compatible email/"
+    "phone patterns, per-kind match counts + scrubbed text value-checked "
+    "via md5 — map-only regexp_replace, zero shuffle at any scale.",
+)
+def text_pii_scrub(spark, sf_dir):
+    from qwery_spark.operators.text import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com ok"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scrub(aug, "text").select(
+        "doc_id", "n_email", "n_phone", F.md5("text_scrubbed").alias("scrubbed_md5")
+    )
+
+
+@register(
+    "text_decontaminate",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                    i -> array_to_string(w[i + 1 : i + 3], ' '))) AS g
+      FROM words
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0 AND g <> ''),
+    corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corp c JOIN bench b USING (g)
+    GROUP BY 1
+    """,
+    doc="Benchmark decontamination (operators/text.decontaminate): flag "
+    "corpus docs sharing any word 3-gram with a (deterministic) held-out "
+    "benchmark subset — broadcast benchmark-gram join, corpus stays "
+    "unshuffled until the per-doc count.",
+)
+def text_decontaminate(spark, sf_dir):
+    from qwery_spark.operators.text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=3,
+    )
