@@ -687,7 +687,7 @@ class ScriptEngine:
             )
             if not m:
                 raise ValueError(f"bad DROP LAKE: {stmt}")
-            from qwery_spark.lake.table import LakeTable, _STATE_CACHE
+            from qwery_spark.lake.table import LakeTable, _invalidate
 
             path = m.group(2)
             tbl = LakeTable(path)
@@ -702,7 +702,7 @@ class ScriptEngine:
             import shutil
 
             shutil.rmtree(tbl.path)
-            _STATE_CACHE.pop(tbl.path, None)
+            _invalidate(tbl.path)
             return self.spark.createDataFrame([(tbl.path,)], "DROPPED string")
 
         if re.match(r"EXPIRE\s+SNAPSHOTS\b", up):

@@ -174,7 +174,12 @@ def replicate(
     working across replication boundaries. Incremental feeds applied in
     order and a single full-range feed produce the same replica."""
     feed = read_changes(spark, src, from_version, to_version)
-    key = dst.snapshot().m["key_col"]
+    key = src.snapshot().m["key_col"]
+    dst_key = dst.snapshot().m["key_col"]
+    if key != dst_key:
+        raise ValueError(
+            f"replicate: source key {key!r} != destination key {dst_key!r}"
+        )
     payload = [
         c
         for c in feed.columns

@@ -67,6 +67,30 @@ def _cache_put(path: str, version: int, state: dict) -> None:
     while len(_STATE_CACHE) > _STATE_CACHE_MAX:
         _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
 
+
+# historical-version memo for snapshot-walking readers (the change feed
+# folds states for EVERY version in its range; without this each
+# _load_state(v<head) replays up to CKPT_EVERY manifest JSONs, an
+# O(range x K) driver cost). Same immutability argument as above —
+# except a DROP + recreate reuses the path with fresh version numbers,
+# so both caches must be purged together (_invalidate).
+_HIST_CACHE_MAX = 64
+_HIST_CACHE: "dict[tuple[str, int], dict]" = {}
+
+
+def _hist_put(path: str, version: int, state: dict) -> None:
+    _HIST_CACHE.pop((path, version), None)
+    _HIST_CACHE[(path, version)] = state
+    while len(_HIST_CACHE) > _HIST_CACHE_MAX:
+        _HIST_CACHE.pop(next(iter(_HIST_CACHE)))
+
+
+def _invalidate(path: str) -> None:
+    """Purge all cached state for a table path (DROP / recreate)."""
+    _STATE_CACHE.pop(path, None)
+    for k in [k for k in _HIST_CACHE if k[0] == path]:
+        _HIST_CACHE.pop(k, None)
+
 # widenings permitted by widen_type (Iceberg-compatible set)
 _ALLOWED_WIDEN = {
     ("int", "bigint"),
@@ -234,6 +258,9 @@ class LakeTable:
         cached = _STATE_CACHE.get(self.path)
         if cached is not None and cached[0] == v:
             return cached[1]
+        hist = _HIST_CACHE.get((self.path, v))
+        if hist is not None:
+            return hist
         mdir = self._mdir()
         names = os.listdir(mdir)
         ckpts = [
@@ -242,6 +269,12 @@ class LakeTable:
         base_v, state = -1, None
         if cached is not None and cached[0] < v:
             base_v, state = cached
+        best_hist = max(
+            (hv for (p, hv) in _HIST_CACHE if p == self.path and base_v < hv <= v),
+            default=None,
+        )
+        if best_hist is not None:
+            base_v, state = best_hist, _HIST_CACHE[(self.path, best_hist)]
         best_ckpt = max((c for c in ckpts if base_v < c <= v), default=None)
         if best_ckpt is not None:
             with open(self._ckpt_path(best_ckpt)) as fh:
@@ -257,6 +290,7 @@ class LakeTable:
             state = self._fold(state or {}, rec)
         if state is None:
             raise FileNotFoundError(f"no manifest v{v} in {mdir}")
+        _hist_put(self.path, v, state)
         return state
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -322,8 +356,8 @@ class LakeTable:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         path = os.path.normpath(path)  # cache keys are normalized paths
         # a deleted-and-recreated path must not serve the old table's
-        # folded state from the cache
-        _STATE_CACHE.pop(path, None)
+        # folded state from either cache
+        _invalidate(path)
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         fields = [
@@ -593,6 +627,10 @@ class LakeTable:
         for n in names:
             if n.startswith("ckpt-") and n.endswith(".json") and int(n[5:13]) < oldest_kept:
                 os.unlink(os.path.join(mdir, n))
+        # cached states for expired versions must not outlive their
+        # manifests (vacuum may delete the files they reference)
+        for k in [k for k in _HIST_CACHE if k[0] == self.path and k[1] < oldest_kept]:
+            _HIST_CACHE.pop(k, None)
         return len(to_drop)
 
     def vacuum(self) -> int:

@@ -45,6 +45,12 @@ def chunk_tokens(
         raise ValueError(f"stride must be >= 1, got {stride}")
     n = F.size(F.col(tokens_col))
     passthrough = [c for c in df.columns if c != tokens_col]
+    clash = {"chunk_id", "start_pos", "chunk", "chunk_len"} & set(passthrough)
+    if clash:
+        raise ValueError(
+            f"chunk_tokens output names collide with input columns {sorted(clash)};"
+            " rename them first"
+        )
     out = (
         df.filter(n > 0)
         .select(

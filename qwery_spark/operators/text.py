@@ -139,10 +139,12 @@ def decontaminate(
 
     Scale shape: the benchmark n-gram set is tiny next to the corpus
     (that is the point of a benchmark), so the join side is
-    F.broadcast — the corpus explode streams map-side against the
-    hashed benchmark set, no corpus shuffle until the per-doc count
-    (partial-agg'd). At 100 TB this is one broadcast + one count
-    shuffle keyed by doc."""
+    F.broadcast and runs FIRST — the corpus explode streams map-side
+    against the hashed benchmark set with no shuffle; only the matched
+    (doc, gram) pairs (bounded by |docs| x |bench grams|, in practice a
+    sliver of the corpus) pay the distinct + per-doc count shuffle. At
+    100 TB this is one broadcast + one small count shuffle keyed by
+    doc."""
     bench_grams = (
         benchmark.select(
             F.explode(word_ngrams(text_col, n)).alias("g")
@@ -152,8 +154,8 @@ def decontaminate(
     )
     return (
         corpus.select(F.col(key), F.explode(word_ngrams(text_col, n)).alias("g"))
-        .distinct()
         .join(F.broadcast(bench_grams), "g")
+        .distinct()
         .groupBy(key)
         .agg(F.count("*").alias("n_shared"))
     )

@@ -84,6 +84,12 @@ def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> Da
         return LakeTable(path.split("://", 1)[-1]).read(
             spark, snapshot_version=None if v is None else int(v)
         )
+    if hints.get("version") is not None:
+        # a silently ignored time-travel pin would return current data
+        # to a user who believes they pinned a snapshot
+        raise ValueError(
+            f"WITH (VERSION n) only applies to lake tables; {path!r} is not one"
+        )
     if scheme in ("s3", "s3a"):
         # s3a:// paths work as-is once Hadoop S3 jars + creds are on the
         # cluster; nothing engine-side changes.

@@ -42,6 +42,8 @@ def test_merge_writes_key_stats(sorted_tbl):
 
 
 def test_key_range_prunes_files_conservatively(sorted_tbl):
+    from qwery_spark.lake.table import Snapshot
+
     snap = sorted_tbl.snapshot()
     all_files = snap.files()
     probe = "doc-000777"
@@ -49,9 +51,13 @@ def test_key_range_prunes_files_conservatively(sorted_tbl):
     assert 0 < len(pruned) < len(all_files) / 4
     # unbounded sides and entries without stats are kept
     assert len(snap.files(key_range=(None, None))) == len(all_files)
-    snap.m["files"] = [dict(f) for f in all_files]
-    del snap.m["files"][0]["key_min"], snap.m["files"][0]["key_max"]
-    assert snap.m["files"][0] in snap.files(key_range=("zzz", "zzz"))
+    # a stats-less entry must never be pruned — check on a deep-copied
+    # Snapshot (snap.m aliases the shared folded-state cache)
+    iso_m = dict(snap.m)
+    iso_m["files"] = [dict(f) for f in all_files]
+    del iso_m["files"][0]["key_min"], iso_m["files"][0]["key_max"]
+    iso = Snapshot(iso_m, snap.table_path)
+    assert iso_m["files"][0] in iso.files(key_range=("zzz", "zzz"))
 
 
 def test_lookup_matches_full_scan(spark, sorted_tbl):
@@ -87,8 +93,13 @@ def test_lookup_sees_uncompacted_mor_deltas(spark, sorted_tbl):
 
 
 def test_lookup_plan_scans_few_files(spark, sorted_tbl):
-    """The executed plan's scan should list only the stats-surviving
-    files, not the whole bucket."""
+    """The lookup DataFrame must actually be BACKED by only the
+    stats-surviving files (inputFiles reflects the scan's file list),
+    not just report a pruned manifest count."""
     n_all = len(sorted_tbl.snapshot().files())
-    n_pruned = len(sorted_tbl.snapshot().files(key_range=("doc-000050", "doc-000050")))
-    assert n_pruned <= max(3, n_all // 10)
+    probe = "doc-000050"
+    n_pruned = len(sorted_tbl.snapshot().files(key_range=(probe, probe)))
+    scanned = sorted_tbl.lookup(spark, probe).inputFiles()
+    assert len(scanned) <= n_pruned < n_all / 4
+    full_scan = sorted_tbl.read(spark).inputFiles()
+    assert len(scanned) < len(full_scan) / 4
