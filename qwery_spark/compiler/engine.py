@@ -723,6 +723,36 @@ class ScriptEngine:
                 [(n,)], "SNAPSHOTS_EXPIRED long"
             )
 
+        if re.match(r"COMPACT\s+LAKE\b", up):
+            # COMPACT LAKE 'p' [SORT BY (c1, c2)] [DROP TOMBSTONES]:
+            # fold MOR deltas to one resolved file set per bucket
+            # (Iceberg rewrite_data_files); SORT BY triggers the
+            # sort-order rewrite that makes row-group + manifest-stats
+            # pruning maximal.
+            m = re.match(
+                r"COMPACT\s+LAKE\s+'([^']+)'"
+                r"(?:\s+SORT\s+BY\s+\(([^()]+)\))?"
+                r"(\s+DROP\s+TOMBSTONES)?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"bad COMPACT LAKE: {stmt}")
+            from qwery_spark.lake.merge import compact
+            from qwery_spark.lake.table import LakeTable
+
+            res = compact(
+                self.spark,
+                LakeTable(m.group(1)),
+                sort_cols=(
+                    [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+                ),
+                drop_tombstones=bool(m.group(3)),
+            )
+            return self.spark.createDataFrame(
+                [(res["compacted_buckets"],)], "compacted_buckets int"
+            )
+
         if re.match(r"VACUUM\s+LAKE\b", up):
             # lake maintenance (Iceberg remove_orphan_files):
             # VACUUM LAKE 'path'

@@ -483,3 +483,74 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(
         e.filter(F.col("vec_id") != _QUERY_VEC_ID), cents, qvec, k=_TOPK, n_probe=2
     )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS ma FROM e)
+    SELECT vec_id,
+           CAST(floor(127.0 / ma * 1e6 + 0.5) AS BIGINT) AS scale_micro,
+           md5(array_to_string(list_transform(v,
+               x -> CAST(least(greatest(floor(x * (127.0 / ma) + 0.5), -127),
+                               127) AS INTEGER)), ',')) AS q_md5
+    FROM m WHERE ma > 0
+    """,
+    doc="Symmetric int8 quantization (operators/embedding.quantize_int8):"
+    " per-vector scale + every quantized lane value-checked via md5 of "
+    "the int arrays — cross-engine-deterministic half-up floor form, "
+    "map-only, zero shuffle.",
+)
+def emb_quantize_int8(spark, sf_dir):
+    from qwery_spark.operators.embedding import quantize_int8
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_int8(e).filter(F.col("scale").isNotNull())
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6 + 0.5).cast("bigint").alias("scale_micro"),
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ","))
+        .alias("q_md5"),
+    )
+
+
+@register(
+    "emb_l2_normalize",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT vec_id,
+           CAST(floor(nrm * 1e6 + 0.5) AS BIGINT) AS norm_micro,
+           md5(array_to_string(list_transform(v,
+               x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT)), ',')) AS unit_md5
+    FROM n WHERE nrm > 0
+    """,
+    doc="L2 normalization (operators/embedding.l2_normalize): per-vector "
+    "norm + every normalized lane micro-quantized to integers and "
+    "value-checked via md5 (no float formatting in the hash).",
+)
+def emb_l2_normalize(spark, sf_dir):
+    from qwery_spark.operators.embedding import l2_normalize
+
+    e = load(spark, sf_dir, "embeddings")
+    n = l2_normalize(e).filter(F.col("norm") > 0)
+    return n.select(
+        "vec_id",
+        F.floor(F.col("norm") * 1e6 + 0.5).cast("bigint").alias("norm_micro"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "unit",
+                    lambda x: F.floor(x * 1e6 + 0.5).cast("bigint").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("unit_md5"),
+    )

@@ -67,3 +67,78 @@ def test_random_replay_matches_oracle(spark, tmp_path_factory, mode, seq):
         df = spark.createDataFrame(chunk, schema=EVENT_SCHEMA)
         apply_changes(spark, tbl, df, epoch_id=i)
     assert_state_equals_oracle(spark, tbl, pdf)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=event_sequences())
+def test_random_change_feed_matches_state_diffs(spark, tmp_path_factory, mode, seq):
+    """The changelog of every commit must equal the diff of the replay
+    oracle's states at the surrounding batch boundaries — for random
+    ops/keys/batching in both write modes."""
+    from qwery_spark.cdc.oracle import replay_oracle
+    from qwery_spark.lake.changes import read_changes
+
+    rows, n_batches, shuffle_within, rng_seed = seq
+    pdf = pd.DataFrame(rows, columns=COLS)
+    d = str(tmp_path_factory.mktemp("feedprop"))
+    tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=4, write_mode=mode)
+    bounds = np.linspace(0, len(pdf), n_batches + 1, dtype=int)
+    rng = np.random.default_rng(rng_seed)
+    commit_of_batch = {}
+    for i in range(n_batches):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        if chunk.empty:
+            continue
+        if shuffle_within:
+            chunk = chunk.sample(frac=1.0, random_state=int(rng.integers(0, 2**31)))
+        apply_changes(
+            spark, tbl, spark.createDataFrame(chunk, schema=EVENT_SCHEMA), epoch_id=i
+        )
+        commit_of_batch[i] = tbl.current_version()
+
+    def oracle_state(upto_batch):
+        ev = pdf.iloc[: bounds[upto_batch + 1]]
+        if ev.empty:
+            return {}
+        state, _ = replay_oracle(ev)
+        return {
+            r.doc_id: (int(r.last_ordinal), tuple(r.tokens))
+            for r in state.itertuples(index=False)
+        }
+
+    feed = read_changes(spark, tbl, 0, tbl.current_version()).collect()
+    got = {}
+    for r in feed:
+        got.setdefault(r["_commit_version"], {})[r["doc_id"]] = r
+
+    prev_state, prev_batch = {}, -1
+    for i, v in commit_of_batch.items():
+        cur_state = oracle_state(i)
+        expected = {}
+        for k, (o, toks) in cur_state.items():
+            if k not in prev_state:
+                expected[k] = ("insert", o, toks)
+            elif prev_state[k][0] != o:
+                expected[k] = ("update_postimage", o, toks)
+        for k, (o, toks) in prev_state.items():
+            if k not in cur_state:
+                expected[k] = ("delete", None, toks)  # preimage payload
+        rows_v = got.get(v, {})
+        assert set(rows_v) == set(expected), (v, set(rows_v), set(expected))
+        for k, (ct, o, toks) in expected.items():
+            r = rows_v[k]
+            assert r["_change_type"] == ct, (k, ct, r)
+            assert tuple(r["tokens"]) == toks, (k, r)
+            if ct == "delete":
+                assert r["_ordinal"] > prev_state[k][0]
+            else:
+                assert r["_ordinal"] == o
+        prev_state = cur_state
+    # no feed rows for commits we didn't make
+    assert set(got) <= set(commit_of_batch.values())

@@ -456,3 +456,29 @@ def test_select_from_lake_table_path(eng, tmp_path):
         f"SELECT doc_id, v FROM '{p}' WITH (VERSION 1) ORDER BY doc_id"
     ).collect()
     assert [(r["doc_id"], r["v"]) for r in old] == [("a", 1)]
+
+
+def test_compact_lake_statement(eng, tmp_path):
+    from qwery_spark.lake.table import LakeTable
+
+    p = str(tmp_path / "lk")
+    eng.execute(
+        f"CREATE LAKE '{p}' (doc_id string, v int) KEYED ON doc_id BUCKETS 2 MODE mor"
+    )
+    for i, (k, val, op) in enumerate([("a", 1, "U"), ("a", 2, "U"), ("b", 3, "U"), ("b", 0, "D")]):
+        eng.execute(
+            f"UPSERT INTO LAKE '{p}' KEYED ON doc_id "
+            f"SELECT '{k}' AS doc_id, {val} AS v, '{op}' AS op, {i + 1} AS ordinal"
+        )
+    assert LakeTable(p).snapshot().unresolved_buckets  # MOR deltas pending
+    res = eng.execute(
+        f"COMPACT LAKE '{p}' SORT BY (doc_id) DROP TOMBSTONES"
+    ).collect()[0]
+    assert res["compacted_buckets"] >= 1
+    snap = LakeTable(p).snapshot()
+    assert not snap.unresolved_buckets
+    assert all("key_min" in f for f in snap.files())  # sorted rewrite stats
+    rows = eng.execute(f"SELECT doc_id, v FROM '{p}'").collect()
+    assert {(r["doc_id"], r["v"]) for r in rows} == {("a", 2)}
+    with pytest.raises(ValueError):
+        eng.execute(f"COMPACT LAKE '{p}' SORT doc_id")
