@@ -48,8 +48,10 @@ from qwery_spark.suite import ann, cdc, core, engine, mm, text  # noqa: E402,F40
 # 50 slots explicitly; everything else keeps module order after them.
 # tools/check_oracle.py still verifies ALL entries locally.
 _WINDOW_50 = [
-    # engine end-to-end (replay, MOR replay, time travel)
+    # engine end-to-end (replay, MOR replay, time travel, in-stream DDL
+    # schema evolution — widen + rename on the dtype-sensitive gate)
     "cdc_engine_replay", "cdc_engine_replay_mor", "cdc_engine_time_travel",
+    "cdc_engine_replay_ddl",
     # CDC semantics + token-array ops
     "cdc_lww_final_state", "cdc_op_mix", "cdc_stale_ratio",
     "cdc_hourly_throughput", "cdc_asof_last_error", "cdc_json_props",
@@ -70,7 +72,7 @@ _WINDOW_50 = [
     # core flagships named by the r2 verdict + headline TPC-H-ish
     "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",
     "q03_segment_revenue", "q05_nation_revenue",
-    "q_ntile_quartiles", "q_sessionize",
+    "q_ntile_quartiles",
     # new in r3 (no prior driver row): range join, the CDC-out change
     # feed, and context-length chunking. They take the slots of
     # tok_packing / q06_forecast_revenue / q_grouping_sets, all green

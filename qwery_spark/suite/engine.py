@@ -307,3 +307,76 @@ def cdc_change_feed(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "cdc_engine_replay_ddl",
+    """
+    WITH bounds AS (
+      SELECT min(event_id) AS lo,
+             CAST(FLOOR((max(event_id) - min(event_id) + 4) / 4) AS BIGINT) AS step
+      FROM events
+    ),
+    replay AS (
+      SELECT e.event_id, e.user_id, e.event_type, b.lo, b.step,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+      FROM events e, bounds b
+      WHERE NOT (e.event_id % 997 = 0 AND e.event_type <> 'error')
+    )
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CAST((event_id % 5) + 1 AS BIGINT) AS n_tok,
+           CASE WHEN event_id >= lo + 2 * step THEN NULL
+                ELSE event_type END AS origin,
+           md5(array_to_string(list_transform(range(0, CAST(event_id % 5 AS INTEGER) + 1),
+               i -> (event_id * 31 + i) % 50257), ',')) AS tokens_md5
+    FROM replay
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Schema evolution ON the driver gate: the 4-batch replay with "
+    "DDL CHANGE EVENTS in-stream — widen n_tok int->bigint at batch 1, "
+    "rename source->origin at batch 2. The final read must show the "
+    "widened type (dtype-sensitive hash), field-id-mapped old data under "
+    "the new name, and NULL origin for rows whose winner arrived after "
+    "the rename (post-rename events don't carry the old column).",
+)
+def cdc_engine_replay_ddl(spark, sf_dir):
+    events = _derived_events(spark, sf_dir)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+    ddl = spark.createDataFrame(
+        [
+            (int(lo + step), "DDL", None, None, None, None,
+             '{"action": "widen_type", "name": "n_tok", "type": "bigint"}'),
+            (int(lo + 2 * step), "DDL", None, None, None, None,
+             '{"action": "rename_column", "from": "source", "to": "origin"}'),
+        ],
+        events.schema,
+    )
+    events = events.unionByName(ddl)
+
+    tag = hashlib.md5(f"{sf_dir}|ddl".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_ddl_tbl_")
+    try:
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="cow")
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+        (
+            tbl.read(spark)
+            .select(
+                "doc_id",
+                "n_tok",
+                "origin",
+                F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
+                .alias("tokens_md5"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
