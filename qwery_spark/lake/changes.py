@@ -47,23 +47,28 @@ COMMIT_VERSION_COL = "_commit_version"
 ORDINAL_COL = "_ordinal"
 
 
-def _diff_one_commit(
+def _diff_snapshots(
     spark: SparkSession,
     table: LakeTable,
-    version: int,
+    before_version: int,
+    after_version: int,
     buckets: set[int] | None,
     key: str,
+    label_version: int,
 ) -> DataFrame:
-    """Change rows produced by commit ``version``: full-outer join of
-    the touched buckets at v-1 (live rows only) vs v (physical rows —
-    tombstones kept so a delete can report the deleting ordinal)."""
+    """Change rows between two snapshots: full-outer join of the
+    touched buckets at ``before_version`` (live rows only) vs
+    ``after_version`` (physical rows — tombstones kept so a delete can
+    report the deleting ordinal). ``label_version`` becomes the rows'
+    _commit_version (the commit itself in granular mode, the range end
+    in coarse mode)."""
     before = (
-        table.read_physical(spark, buckets=buckets, snapshot_version=version - 1)
+        table.read_physical(spark, buckets=buckets, snapshot_version=before_version)
         .filter(~F.col("_deleted"))
         .alias("b")
     )
     after = table.read_physical(
-        spark, buckets=buckets, snapshot_version=version
+        spark, buckets=buckets, snapshot_version=after_version
     ).alias("a")
 
     payload = [
@@ -93,7 +98,7 @@ def _diff_one_commit(
                 for c in payload
             ],
             ct.alias(CHANGE_TYPE_COL),
-            F.lit(version).alias(COMMIT_VERSION_COL),
+            F.lit(label_version).alias(COMMIT_VERSION_COL),
             # insert/update: the new winner's ordinal; delete: the
             # tombstone's (the event that removed the row)
             F.col("a.`last_ordinal`").alias(ORDINAL_COL),
@@ -107,10 +112,19 @@ def read_changes(
     table: LakeTable,
     from_version: int,
     to_version: int | None = None,
+    granular: bool = True,
 ) -> DataFrame:
     """Changelog of ``table`` for commits in ``(from_version,
     to_version]`` (Iceberg incremental-scan bounds: exclusive start,
     inclusive end; ``to_version`` defaults to the current head).
+
+    granular=True (default) attributes each change row to the commit
+    that caused it — one snapshot diff per data commit, cost linear in
+    the range. granular=False collapses the whole range into ONE
+    endpoint diff (net changes only; intermediate states a key passed
+    through are invisible, _commit_version = to_version for every row)
+    — two scans + one join regardless of range length, the right mode
+    for long-range catch-up consumers like replicate().
 
     Returns one row per visible-state change with the contract described
     in the module docstring. Schema follows each commit's own snapshot
@@ -124,17 +138,32 @@ def read_changes(
         )
     key = table.snapshot(to_version).m["key_col"]
 
-    parts: list[DataFrame] = []
+    data_commits: list[tuple[int, set[int] | None]] = []
     for v in range(from_version + 1, to_version + 1):
         summary = table.snapshot(v).m.get("summary") or {}
         if summary.get("operation") not in _DATA_OPS:
             continue
         tb = summary.get("touched_buckets")
-        parts.append(
-            _diff_one_commit(
-                spark, table, v, set(tb) if tb is not None else None, key
+        data_commits.append((v, set(tb) if tb is not None else None))
+
+    parts: list[DataFrame] = []
+    if granular:
+        parts = [
+            _diff_snapshots(spark, table, v - 1, v, buckets, key, v)
+            for v, buckets in data_commits
+        ]
+    elif data_commits:
+        touched: set[int] | None = set()
+        for _v, buckets in data_commits:
+            if buckets is None:
+                touched = None  # unknown somewhere: scan all buckets
+                break
+            touched |= buckets
+        parts = [
+            _diff_snapshots(
+                spark, table, from_version, to_version, touched, key, to_version
             )
-        )
+        ]
     if not parts:
         snap = table.snapshot(to_version)
         schema = T.StructType.fromDDL(
@@ -167,13 +196,16 @@ def replicate(
     replica fed only change rows converges to the source state
     (tests/test_changes.py asserts byte equality).
 
-    The feed may carry several rows per key (one per commit), so it is
-    LWW-reduced on the change ordinal first — the same max_by partial
-    aggregation the ingest path uses; deletes become 'D' events carrying
-    the tombstone's ordinal, so the replica's straggler guard keeps
-    working across replication boundaries. Incremental feeds applied in
-    order and a single full-range feed produce the same replica."""
-    feed = read_changes(spark, src, from_version, to_version)
+    Uses the COARSE feed (granular=False): a replica only needs the net
+    endpoint diff — two scans + one join regardless of how many commits
+    the range spans — and the LWW reduction below makes coarse and
+    granular feeds converge to the same replica state anyway (a key
+    that appeared and disappeared entirely inside the range leaves no
+    visible state either way). Deletes become 'D' events carrying the
+    tombstone's ordinal, so the replica's straggler guard keeps working
+    across replication boundaries. Incremental feeds applied in order
+    and a single full-range feed produce the same replica."""
+    feed = read_changes(spark, src, from_version, to_version, granular=False)
     key = src.snapshot().m["key_col"]
     dst_key = dst.snapshot().m["key_col"]
     if key != dst_key:

@@ -139,3 +139,38 @@ def test_replication_via_change_feed(spark, tmp_table_dir):
     full = LakeTable.create(tmp_table_dir + "/full", TARGET_SCHEMA, n_buckets=2)
     replicate(spark, src, full)
     assert state(full) == state(src)
+
+
+def test_coarse_feed_matches_lww_reduced_granular(spark, tmp_table_dir):
+    """granular=False must equal the net endpoint diff: same keys/types
+    as the LWW-reduction of the granular feed, minus keys that appeared
+    and vanished entirely inside the range."""
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=4)
+    _apply(spark, tbl, [
+        (1, "I", "a", [1], 1, "web", None),
+        (2, "I", "b", [2], 1, "web", None),
+    ], 0)
+    _apply(spark, tbl, [
+        (10, "U", "a", [1, 1], 2, "web", None),   # a updated twice in range
+        (11, "I", "c", [3], 1, "web", None),      # c inserted then deleted
+        (12, "D", "b", None, None, "web", None),
+    ], 1)
+    _apply(spark, tbl, [
+        (20, "U", "a", [1, 1, 1], 3, "web", None),
+        (21, "D", "c", None, None, "web", None),
+    ], 2)
+    coarse = {
+        r["doc_id"]: (r["_change_type"], r["_ordinal"], r["_commit_version"])
+        for r in read_changes(spark, tbl, 1, 3, granular=False).collect()
+    }
+    # vs v1: a net-updated (latest ordinal), b deleted, c invisible
+    assert coarse == {
+        "a": ("update_postimage", 20, 3),
+        "b": ("delete", 12, 3),
+    }
+    # granular over the same range sees the intermediate 'a' update + c
+    granular_keys = {
+        (r["doc_id"], r["_commit_version"])
+        for r in read_changes(spark, tbl, 1, 3).collect()
+    }
+    assert granular_keys == {("a", 2), ("c", 2), ("b", 2), ("a", 3), ("c", 3)}

@@ -56,6 +56,14 @@ def main():
                 "rows": n,
                 "sec": round(time.monotonic() - t0, 2),
             }
+        # coarse catch-up: one endpoint diff regardless of range length
+        t0 = time.monotonic()
+        n = read_changes(spark, tbl, 0, head, granular=False).count()
+        out["full_coarse"] = {
+            "commits": head,
+            "rows": n,
+            "sec": round(time.monotonic() - t0, 2),
+        }
         # driver-side fold cost alone (no Spark jobs): walk every
         # version's snapshot twice, as the feed's planner does
         t0 = time.monotonic()
