@@ -64,6 +64,11 @@ def apply_ddl(table: LakeTable, spec: dict) -> bool:
             return False
         table.widen_type(spec["name"], spec["type"])
         return True
+    if action == "drop_column":
+        if spec["name"] not in cur:
+            return False  # already dropped (re-delivery)
+        table.drop_column(spec["name"])
+        return True
     raise ValueError(f"unknown DDL action: {spec}")
 
 

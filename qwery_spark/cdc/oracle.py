@@ -45,6 +45,7 @@ def replay_oracle(events: pd.DataFrame, vocab: int = VOCAB_SIZE):
     state: dict[str, dict] = {}
     extra_cols: list[tuple[str, str]] = []  # (name, type)
     renames: dict[str, str] = {}
+    dropped_cols: set[str] = set()
     counters = {"applied": 0, "rejected": 0, "deleted": 0, "ddl": 0}
 
     ev = events.sort_values("ordinal")
@@ -57,6 +58,11 @@ def replay_oracle(events: pd.DataFrame, vocab: int = VOCAB_SIZE):
                     extra_cols.append((spec["name"], spec["type"]))
             elif spec["action"] == "rename_column":
                 renames[spec["from"]] = spec["to"]
+            elif spec["action"] == "drop_column":
+                extra_cols = [
+                    (c, t) for c, t in extra_cols if c != spec["name"]
+                ]
+                dropped_cols.add(spec["name"])
             # widen_type: no value change at oracle level
             counters["ddl"] += 1
             continue
@@ -94,4 +100,5 @@ def replay_oracle(events: pd.DataFrame, vocab: int = VOCAB_SIZE):
     for old, new in renames.items():
         if old in out.columns:
             out = out.rename(columns={old: new})
+    out = out.drop(columns=[c for c in dropped_cols if c in out.columns])
     return out, counters

@@ -1018,6 +1018,7 @@ class ScriptEngine:
           ALTER LAKE 'path' ADD COLUMN name type
           ALTER LAKE 'path' RENAME COLUMN old TO new
           ALTER LAKE 'path' WIDEN COLUMN name TO type
+          ALTER LAKE 'path' DROP COLUMN name  (metadata-only)
           ALTER LAKE 'path' REBUCKET n        (partition-spec evolution)
         """
         from qwery_spark.lake.table import LakeTable
@@ -1038,7 +1039,8 @@ class ScriptEngine:
             r"ALTER\s+LAKE\s+'([^']+)'\s+"
             r"(?:ADD\s+COLUMN\s+(\w+)\s+([\w<>,\s]+)"
             r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
-            r"|WIDEN\s+COLUMN\s+(\w+)\s+TO\s+([\w<>,\s]+))\s*$",
+            r"|WIDEN\s+COLUMN\s+(\w+)\s+TO\s+([\w<>,\s]+)"
+            r"|DROP\s+COLUMN\s+(\w+))\s*$",
             stmt,
             re.IGNORECASE,
         )
@@ -1049,8 +1051,10 @@ class ScriptEngine:
             snap = tbl.add_column(m.group(2), m.group(3).strip().lower())
         elif m.group(4):
             snap = tbl.rename_column(m.group(4), m.group(5))
-        else:
+        elif m.group(6):
             snap = tbl.widen_type(m.group(6), m.group(7).strip().lower())
+        else:
+            snap = tbl.drop_column(m.group(8))
         return self.spark.createDataFrame(
             [(snap.version, snap.schema_version, json.dumps(snap.m["summary"]))],
             "version int, schema_version int, summary string",

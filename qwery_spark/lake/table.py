@@ -665,7 +665,12 @@ class LakeTable:
         fields = [dict(f) for f in latest.fields()]
         if any(f["name"] == name for f in fields):
             raise ValueError(f"column exists: {name}")
-        next_id = max(f["id"] for f in fields) + 1
+        # new ids must never reuse one from ANY schema version — after a
+        # drop_column, reusing the dropped id would resurrect the old
+        # files' bytes under the new column at aligned-read time
+        next_id = (
+            max(f["id"] for sv in latest.m["schemas"].values() for f in sv) + 1
+        )
         # engine columns stay last for readability (not semantically needed)
         eng = [f for f in fields if f["name"] in ("last_ordinal", "_deleted")]
         usr = [f for f in fields if f["name"] not in ("last_ordinal", "_deleted")]
@@ -686,6 +691,25 @@ class LakeTable:
                 f["name"] = new
         return self.commit_schema_change(
             fields, {"operation": "rename_column", "from": old, "to": new}
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Metadata-only drop (Iceberg deleteColumn): the field leaves
+        the CURRENT schema; existing files keep its bytes, which the
+        field-id-aligned read simply stops projecting. Time travel to a
+        pre-drop version still sees the column. Re-adding the same name
+        later gets a FRESH field id, so old data cannot leak into the
+        reincarnated column. The key and engine columns are
+        undroppable."""
+        latest = self.snapshot()
+        if name == latest.m["key_col"] or name in ("last_ordinal", "_deleted"):
+            raise ValueError(f"cannot drop {name!r} (key/engine column)")
+        fields = [dict(f) for f in latest.fields()]
+        if not any(f["name"] == name for f in fields):
+            raise ValueError(f"no such column: {name}")
+        kept = [f for f in fields if f["name"] != name]
+        return self.commit_schema_change(
+            kept, {"operation": "drop_column", "name": name}
         )
 
     def widen_type(self, name: str, new_type: str) -> Snapshot:

@@ -75,3 +75,74 @@ def test_ddl_idempotent_on_redelivery(spark, tbl):
     v = tbl.snapshot().version
     assert apply_ddl(tbl, spec) is False  # re-delivery no-op
     assert tbl.snapshot().version == v
+
+
+def test_drop_column_and_no_id_reuse(spark, tmp_table_dir):
+    """drop is metadata-only; time travel still sees the column; a
+    re-added same-name column gets a FRESH field id so old bytes never
+    resurface under it."""
+    import pandas as pd
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2)
+    ev = pd.DataFrame(
+        [(1, "U", "a", [1], 1, "web", None)],
+        columns=["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"],
+    )
+    apply_changes(spark, tbl, spark.createDataFrame(ev, schema=EVENT_SCHEMA), epoch_id=0)
+    pre = tbl.current_version()
+    tbl.drop_column("source")
+    assert "source" not in [f["name"] for f in tbl.snapshot().fields()]
+    assert "source" not in tbl.read(spark).columns
+    # time travel: pre-drop read still has the column + its value
+    old = tbl.read(spark, snapshot_version=pre).collect()[0]
+    assert old["source"] == "web"
+    # reincarnation: fresh id, old bytes must NOT leak back
+    tbl.add_column("source", "string")
+    row = tbl.read(spark).collect()[0]
+    assert row["source"] is None
+    ids = {}
+    for sv, fields in tbl.snapshot().m["schemas"].items():
+        for f in fields:
+            if f["name"] == "source":
+                ids[sv] = f["id"]
+    assert len(set(ids.values())) == 2  # old and new 'source' differ
+
+    # guards
+    with pytest.raises(ValueError):
+        tbl.drop_column("doc_id")
+    with pytest.raises(ValueError):
+        tbl.drop_column("nope")
+
+
+def test_drop_column_via_ddl_event_and_alter(spark, tmp_table_dir):
+    import json as _json
+
+    import pandas as pd
+
+    from qwery_spark.cdc.apply import apply_changes, apply_ddl
+    from qwery_spark.compiler.engine import ScriptEngine
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2)
+    spec = {"action": "drop_column", "name": "source"}
+    ev = pd.DataFrame(
+        [
+            (1, "U", "a", [1], 1, "web", None),
+            (2, "DDL", None, None, None, None, _json.dumps(spec)),
+        ],
+        columns=["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"],
+    )
+    res = apply_changes(
+        spark, tbl, spark.createDataFrame(ev, schema=EVENT_SCHEMA), epoch_id=0
+    )
+    assert res.ddl_applied == 1
+    assert "source" not in tbl.read(spark).columns
+    assert apply_ddl(tbl, spec) is False  # re-delivery no-op
+
+    eng = ScriptEngine(spark)
+    eng.execute(f"ALTER LAKE '{tbl.path}' ADD COLUMN q double")
+    eng.execute(f"ALTER LAKE '{tbl.path}' DROP COLUMN q")
+    assert "q" not in tbl.read(spark).columns
