@@ -633,7 +633,8 @@ class ScriptEngine:
             m = re.match(
                 r"CREATE\s+LAKE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*\((.*)\)"
                 r"\s+KEYED\s+ON\s+(\w+)"
-                r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?\s*$",
+                r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?"
+                r"(?:\s+CODEC\s+(\w+))?\s*$",
                 stmt,
                 re.IGNORECASE | re.DOTALL,
             )
@@ -667,6 +668,7 @@ class ScriptEngine:
                 # creates must yield identical tables)
                 n_buckets=int(m.group(5) or 16),
                 write_mode=(m.group(6) or "cow").lower(),
+                codec=(m.group(7) or "snappy").lower(),
             )
             snap = tbl.snapshot()
             return self.spark.createDataFrame(

@@ -110,6 +110,7 @@ def _stage_write(
         df = df.repartition(max(n_partitions, 1), "_bucket")
     (
         df.write.option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", table.snapshot().codec)
         .partitionBy("_bucket")
         .parquet(stage_dir)
     )

@@ -136,6 +136,10 @@ class Snapshot:
         return self.m.get("write_mode", "cow")
 
     @property
+    def codec(self) -> str:
+        return self.m.get("codec", "snappy")
+
+    @property
     def unresolved_buckets(self) -> set:
         return set(self.m.get("unresolved_buckets", []))
 
@@ -335,6 +339,7 @@ class LakeTable:
         n_buckets: int = 16,
         key_col: str = "doc_id",
         write_mode: str = "cow",
+        codec: str = "snappy",
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the USER schema; engine
         columns are appended automatically. Partition spec is the hidden
@@ -352,6 +357,8 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode}")
+        if codec not in ("snappy", "zstd", "gzip", "lz4", "uncompressed"):
+            raise ValueError(f"unsupported codec: {codec}")
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         path = os.path.normpath(path)  # cache keys are normalized paths
@@ -376,6 +383,11 @@ class LakeTable:
             "key_col": key_col,
             "n_buckets": n_buckets,
             "write_mode": write_mode,
+            # parquet codec for every data write (Iceberg
+            # write.parquet.compression-codec table property). zstd ≈
+            # 30-40% smaller files than snappy at 100-TB scale for a
+            # small CPU cost — the scan is usually IO-bound there.
+            "codec": codec,
             "resolved": True,  # False once MOR deltas overlap keys
             "schema_version": 0,
             "schemas": {"0": fields},

@@ -22,6 +22,7 @@ whose offsets are committed and continues the epoch counter.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -326,3 +327,43 @@ def write_events_kafka(
         .option("topic", topic)
         .save()
     )
+
+
+def follow_changes(
+    spark: SparkSession,
+    table,
+    sink_fn,
+    start_version: int | None = None,
+    poll_sec: float = 5.0,
+    max_polls: int | None = None,
+    granular: bool = True,
+    sleep=time.sleep,
+) -> int:
+    """CDC-out daemon: tail a lake table's commit log and hand each new
+    change window to ``sink_fn(feed_df, from_version, to_version)`` —
+    the downstream half of the pipeline (feed a search index, a replica
+    via lake.changes.replicate, a kafka topic via write_events_kafka).
+
+    Polls ``current_version()`` (one tiny JSON stat per poll — the
+    manifest dir IS the notification channel, like Iceberg's snapshot
+    polling); between sink calls nothing is scanned. The sink sees each
+    commit window exactly once in order; if it throws, the loop exits
+    without advancing, so a restarted follower resumes from the same
+    version (at-least-once into an idempotent sink = exactly-once, the
+    same contract as the ingest side). ``max_polls`` bounds the loop
+    (tests / drain-then-exit); None runs until killed. Returns the last
+    synced version, the resume point to persist."""
+    last = table.current_version() if start_version is None else start_version
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        head = table.current_version()
+        if head > last:
+            from qwery_spark.lake.changes import read_changes
+
+            sink_fn(read_changes(spark, table, last, head, granular=granular),
+                    last, head)
+            last = head
+        if max_polls is None or polls < max_polls:
+            sleep(poll_sec)
+    return last

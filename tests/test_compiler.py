@@ -482,3 +482,28 @@ def test_compact_lake_statement(eng, tmp_path):
     assert {(r["doc_id"], r["v"]) for r in rows} == {("a", 2)}
     with pytest.raises(ValueError):
         eng.execute(f"COMPACT LAKE '{p}' SORT doc_id")
+
+
+def test_create_lake_codec_zstd(eng, tmp_path):
+    import pyarrow.parquet as pq
+
+    from qwery_spark.lake.table import LakeTable
+
+    p = str(tmp_path / "lkz")
+    eng.execute(
+        f"CREATE LAKE '{p}' (doc_id string, v int) KEYED ON doc_id "
+        "BUCKETS 2 MODE mor CODEC zstd"
+    )
+    eng.execute(
+        f"UPSERT INTO LAKE '{p}' KEYED ON doc_id "
+        "SELECT 'a' AS doc_id, 1 AS v, 'U' AS op, 1 AS ordinal"
+    )
+    tbl = LakeTable(p)
+    assert tbl.snapshot().codec == "zstd"
+    f = tbl.snapshot().files()[0]
+    md = pq.ParquetFile(f"{p}/{f['path']}").metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
+    with pytest.raises(ValueError):
+        eng.execute(
+            f"CREATE LAKE '{tmp_path}/bad' (doc_id string) KEYED ON doc_id CODEC brotli9"
+        )

@@ -247,3 +247,56 @@ def test_lineage_stats_rates_and_eta(spark, tmp_table_dir):
     assert with_eta[-1]["eta_seconds"] == 0.0
     assert 0 < with_eta[0]["pct_complete"] < 100.0
     assert with_eta[0]["eta_seconds"] > 0
+
+
+def test_follow_changes_daemon(spark, tmp_path):
+    """The feed follower must hand each commit window to the sink
+    exactly once, in order, resume from a persisted version, and a
+    replicate-sink replica must converge."""
+    import pandas as pd
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.lake.changes import replicate
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+    from qwery_spark.streaming.stream import follow_changes
+
+    src = LakeTable.create(str(tmp_path / "src"), TARGET_SCHEMA, n_buckets=2)
+    dst = LakeTable.create(str(tmp_path / "dst"), TARGET_SCHEMA, n_buckets=2)
+    cols = ["ordinal", "op", "doc_id", "tokens", "n_tok", "source", "ddl"]
+
+    def apply(rows, epoch):
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema=EVENT_SCHEMA)
+        apply_changes(spark, src, df, epoch_id=epoch, collect_stats=False)
+
+    apply([(1, "I", "a", [1], 1, "web", None)], 0)
+
+    windows = []
+    epochs = iter([
+        [(2, "U", "a", [2, 2], 2, "web", None)],
+        [(3, "D", "a", None, None, "web", None), (4, "I", "b", [3], 1, "code", None)],
+        None,
+    ])
+
+    def tick(_secs):  # new commits arrive between polls
+        rows = next(epochs)
+        if rows is not None:
+            apply(rows, len(windows) + 1)
+
+    def sink(feed, lo, hi):
+        windows.append((lo, hi))
+        replicate(spark, src, dst, lo, hi, epoch_id=f"sync-{hi}")
+
+    last = follow_changes(
+        spark, src, sink, start_version=0, max_polls=4, sleep=tick
+    )
+    # every window delivered once, contiguous, ending at the head
+    assert windows == [(0, 1), (1, 2), (2, 3)]
+    assert last == src.current_version() == 3
+
+    def state(t):
+        return {
+            (r["doc_id"], tuple(r["tokens"])) for r in t.read(spark).collect()
+        }
+
+    assert state(dst) == state(src) == {("b", (3,))}
