@@ -54,15 +54,28 @@ def replay_oracle(events: pd.DataFrame, vocab: int = VOCAB_SIZE):
         if op == "DDL":
             spec = json.loads(row.ddl)
             if spec["action"] == "add_column":
-                if spec["name"] not in [c for c, _ in extra_cols]:
+                # base columns re-added after a drop are emitted by the
+                # base path below — adding them to extra_cols would
+                # shadow their repopulated values with None
+                if spec["name"] not in ("tokens", "n_tok", "source") and spec[
+                    "name"
+                ] not in [c for c, _ in extra_cols]:
                     extra_cols.append((spec["name"], spec["type"]))
+                # re-adding a previously dropped name reincarnates the
+                # column (fresh field id on the engine side): it is no
+                # longer dropped, and values written BEFORE the drop
+                # stay invisible (None-ed at drop time below)
+                dropped_cols.discard(spec["name"])
             elif spec["action"] == "rename_column":
                 renames[spec["from"]] = spec["to"]
             elif spec["action"] == "drop_column":
-                extra_cols = [
-                    (c, t) for c, t in extra_cols if c != spec["name"]
-                ]
-                dropped_cols.add(spec["name"])
+                name = spec["name"]
+                extra_cols = [(c, t) for c, t in extra_cols if c != name]
+                dropped_cols.add(name)
+                # old values must not resurface if the name is re-added
+                for s in state.values():
+                    if name in s:
+                        s[name] = None
             # widen_type: no value change at oracle level
             counters["ddl"] += 1
             continue

@@ -61,9 +61,21 @@ def _diff_snapshots(
     ``after_version`` (physical rows — tombstones kept so a delete can
     report the deleting ordinal). ``label_version`` becomes the rows'
     _commit_version (the commit itself in granular mode, the range end
-    in coarse mode)."""
+    in coarse mode).
+
+    The before side is field-id-ALIGNED to the after snapshot's schema
+    (its schemas dict is a superset), so a range spanning DDL commits
+    (coarse mode) still joins/projects one column set: mid-range adds
+    null-fill on the before side, renames map old data to the new name,
+    drops vanish from both sides."""
+    after_snap = table.snapshot(after_version)
     before = (
-        table.read_physical(spark, buckets=buckets, snapshot_version=before_version)
+        table.read_physical(
+            spark,
+            buckets=buckets,
+            snapshot_version=before_version,
+            align_to=after_snap,
+        )
         .filter(~F.col("_deleted"))
         .alias("b")
     )
@@ -82,6 +94,11 @@ def _diff_snapshots(
 
     ct = (
         F.when(a_key.isNotNull() & a_del & b_key.isNotNull(), "delete")
+        # before-only live row: its tombstone was vacuumed by a
+        # drop-tombstones compaction inside a coarse range — still a
+        # delete (within one granular commit this branch can't fire:
+        # merge always writes the tombstone it applies)
+        .when(a_key.isNull() & b_key.isNotNull(), "delete")
         .when(a_key.isNotNull() & ~a_del & b_key.isNull(), "insert")
         .when(a_key.isNotNull() & ~a_del & b_key.isNotNull() & changed,
               "update_postimage")
@@ -100,8 +117,14 @@ def _diff_snapshots(
             ct.alias(CHANGE_TYPE_COL),
             F.lit(label_version).alias(COMMIT_VERSION_COL),
             # insert/update: the new winner's ordinal; delete: the
-            # tombstone's (the event that removed the row)
-            F.col("a.`last_ordinal`").alias(ORDINAL_COL),
+            # tombstone's (the event that removed the row). When the
+            # tombstone was vacuumed (a-side absent), the true ordinal
+            # is gone — report preimage.last_ordinal + 1, a safe lower
+            # bound: the delete happened strictly after the preimage,
+            # and any REAL later event outranks it.
+            F.coalesce(
+                F.col("a.`last_ordinal`"), F.col("b.`last_ordinal`") + 1
+            ).alias(ORDINAL_COL),
         )
         .filter(F.col(CHANGE_TYPE_COL).isNotNull())
     )
@@ -139,9 +162,13 @@ def read_changes(
     key = table.snapshot(to_version).m["key_col"]
 
     data_commits: list[tuple[int, set[int] | None]] = []
+    rebucketed = False
     for v in range(from_version + 1, to_version + 1):
         summary = table.snapshot(v).m.get("summary") or {}
-        if summary.get("operation") not in _DATA_OPS:
+        op = summary.get("operation")
+        if op == "rebucket":
+            rebucketed = True
+        if op not in _DATA_OPS:
             continue
         tb = summary.get("touched_buckets")
         data_commits.append((v, set(tb) if tb is not None else None))
@@ -153,9 +180,13 @@ def read_changes(
             for v, buckets in data_commits
         ]
     elif data_commits:
+        # bucket ids in commit summaries are relative to each commit's
+        # OWN layout — a rebucket inside the range invalidates them for
+        # both endpoints, so fall back to scanning every bucket (a
+        # rebucket is a full rewrite; the full diff matches its cost)
         touched: set[int] | None = set()
         for _v, buckets in data_commits:
-            if buckets is None:
+            if buckets is None or rebucketed:
                 touched = None  # unknown somewhere: scan all buckets
                 break
             touched |= buckets

@@ -300,9 +300,20 @@ def compact(
     key-range predicates inside a bucket — at 100 TB a point lookup
     reads bucket-pruned files AND skips all but one row group. Sorting
     is per-partition (sortWithinPartitions after the bucket
-    repartition), never a global sort."""
+    repartition), never a global sort.
+
+    Default scope: the unresolved (delta-bearing) buckets — EXCEPT when
+    ``sort_cols`` is given, where the point is the whole table's sort
+    order, so the default widens to every bucket (a user asking for a
+    sort-order rewrite would otherwise silently get only the buckets
+    that happened to carry deltas). Pass ``buckets`` to narrow."""
     snap = table.snapshot()
-    target = buckets if buckets is not None else (snap.unresolved_buckets or set(range(snap.n_buckets)))
+    if buckets is not None:
+        target = buckets
+    elif sort_cols:
+        target = set(range(snap.n_buckets))
+    else:
+        target = snap.unresolved_buckets or set(range(snap.n_buckets))
     if not target:
         return {"compacted_buckets": 0}
     key = snap.m["key_col"]

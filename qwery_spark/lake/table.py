@@ -405,11 +405,17 @@ class LakeTable:
         snap: Snapshot,
         buckets: set[int] | None,
         key_range: tuple | None = None,
+        align_to: "Snapshot | None" = None,
     ) -> DataFrame:
         """Read live data files, aligning every historical schema version
         to the current one by field id (rename: metadata-only; widen:
-        cast-on-read; added column: null-fill)."""
-        cur = snap.fields()
+        cast-on-read; added column: null-fill). ``align_to`` projects
+        onto a DIFFERENT (later) snapshot's schema instead — its
+        schemas dict is a superset of this one's, so every file still
+        maps by field id (the coarse changelog diff aligns the range's
+        before-endpoint to the after-endpoint this way)."""
+        tgt = align_to or snap
+        cur = tgt.fields()
         files = snap.files(buckets, key_range)
         if not files:
             empty = T.StructType.fromDDL(
@@ -423,7 +429,7 @@ class LakeTable:
             )
         parts = []
         for sv, paths in sorted(by_sv.items()):
-            old = {f["id"]: f for f in snap.fields(sv)}
+            old = {f["id"]: f for f in tgt.fields(sv)}
             cols = []
             for f in cur:
                 o = old.get(f["id"])
@@ -463,6 +469,7 @@ class LakeTable:
         snapshot_version: int | None = None,
         resolve: bool = True,
         key_range: tuple | None = None,
+        align_to: "Snapshot | None" = None,
     ) -> DataFrame:
         """All physical rows (tombstones + engine columns included),
         optionally pruned to a bucket subset (the MERGE fast path)
@@ -478,15 +485,15 @@ class LakeTable:
         if buckets is not None:
             unresolved = unresolved & buckets
         if not resolve or not unresolved:
-            return self._aligned_scan(spark, snap, buckets, key_range)
+            return self._aligned_scan(spark, snap, buckets, key_range, align_to)
         clean = (buckets if buckets is not None else set(range(snap.n_buckets))) - unresolved
         key = snap.m["key_col"]
         parts = []
         if clean:
-            parts.append(self._aligned_scan(spark, snap, clean, key_range))
+            parts.append(self._aligned_scan(spark, snap, clean, key_range, align_to))
         parts.append(
             self._resolve_lww(
-                self._aligned_scan(spark, snap, unresolved, key_range), key
+                self._aligned_scan(spark, snap, unresolved, key_range, align_to), key
             )
         )
         df = parts[0]

@@ -26,12 +26,12 @@ def l2_normalize(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     callers filter or keep them explicitly."""
     v = _as_double(F.col(emb_col))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # NaN compares GREATER than any double in Spark, so `norm > 0`
+    # alone would pass NaN through and emit all-NaN units
+    ok = (F.col("norm") > 0) & ~F.isnan(F.col("norm"))
     return df.withColumn("norm", norm).withColumn(
         "unit",
-        F.when(
-            F.col("norm") > 0,
-            F.transform(v, lambda x: x / F.col("norm")),
-        ),
+        F.when(ok, F.transform(v, lambda x: x / F.col("norm"))),
     )
 
 
@@ -42,7 +42,9 @@ def quantize_int8(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     Zero vectors get a NULL scale/q. Dequantize as ``q / scale``."""
     v = _as_double(F.col(emb_col))
     max_abs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs)
+    # a NaN lane makes max_abs NaN, and NaN > 0 is TRUE in Spark's
+    # ordering — gate it out so degenerate vectors null like zeros do
+    scale = F.when((max_abs > 0) & ~F.isnan(max_abs), F.lit(127.0) / max_abs)
     return df.withColumn("scale", scale).withColumn(
         "q",
         F.when(

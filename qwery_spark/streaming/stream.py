@@ -338,6 +338,7 @@ def follow_changes(
     max_polls: int | None = None,
     granular: bool = True,
     sleep=time.sleep,
+    on_advance=None,
 ) -> int:
     """CDC-out daemon: tail a lake table's commit log and hand each new
     change window to ``sink_fn(feed_df, from_version, to_version)`` —
@@ -351,8 +352,14 @@ def follow_changes(
     without advancing, so a restarted follower resumes from the same
     version (at-least-once into an idempotent sink = exactly-once, the
     same contract as the ingest side). ``max_polls`` bounds the loop
-    (tests / drain-then-exit); None runs until killed. Returns the last
-    synced version, the resume point to persist."""
+    (tests / drain-then-exit); None runs until killed.
+
+    Resume point: the return value only surfaces on a bounded drain —
+    a daemon (max_polls=None) never returns, and a throwing sink
+    propagates before any return. Pass ``on_advance(version)`` to
+    persist the resume point durably after EACH successful sink call
+    (write it next to the sink's own output); restart with
+    start_version = the persisted value."""
     last = table.current_version() if start_version is None else start_version
     polls = 0
     while max_polls is None or polls < max_polls:
@@ -364,6 +371,8 @@ def follow_changes(
             sink_fn(read_changes(spark, table, last, head, granular=granular),
                     last, head)
             last = head
+            if on_advance is not None:
+                on_advance(last)
         if max_polls is None or polls < max_polls:
             sleep(poll_sec)
     return last
