@@ -1,0 +1,99 @@
+"""Cluster entrypoint: CDC-out follower via spark-submit — the
+downstream half of the pipeline (jobs/run_ingest.py writes the table;
+this job tails its commit log and ships change rows to consumers).
+
+    spark-submit \
+      --py-files qwery_spark.zip \
+      jobs/run_follow.py \
+      --table /lake/tok_sequences --sink /exports/changes \
+      --state /exports/changes/_follow_state.json \
+      [--replica /lake/replica] [--poll 30] [--max-polls N] [--coarse]
+
+Each new commit window lands as parquet under
+``--sink/window=<from>-<to>/`` (insert/update_postimage/delete rows,
+Delta-CDF column contract), and/or merges into ``--replica`` (epoch key
+``follow:<to>`` makes re-delivery idempotent). The resume point is
+persisted to ``--state`` after every successful window via
+``follow_changes(on_advance=...)``; a restarted job picks up exactly
+where the previous one stopped. ``--max-polls`` bounds the run
+(drain-style); omit it for a daemon.
+
+No local-mode assumptions: uses the ambient SparkSession from
+spark-submit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--table", required=True)
+    p.add_argument("--sink", help="directory for per-window change parquet")
+    p.add_argument("--replica", help="lake table to replicate into")
+    p.add_argument("--state", required=True,
+                   help="JSON file persisting the last synced version")
+    p.add_argument("--from-version", type=int, default=None,
+                   help="override the resume point (default: --state file, "
+                        "else the table head = follow new commits only)")
+    p.add_argument("--poll", type=float, default=30.0)
+    p.add_argument("--max-polls", type=int, default=None)
+    p.add_argument("--coarse", action="store_true",
+                   help="net endpoint diff per window instead of per-commit "
+                        "rows (the cheap mode for far-behind consumers)")
+    args = p.parse_args(argv)
+    if not args.sink and not args.replica:
+        p.error("need --sink and/or --replica")
+
+    from pyspark.sql import SparkSession
+
+    from qwery_spark.lake.changes import replicate
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.streaming.stream import follow_changes
+
+    spark = SparkSession.builder.appName("qwery-follow").getOrCreate()
+    table = LakeTable(args.table)
+
+    start = args.from_version
+    if start is None and os.path.exists(args.state):
+        with open(args.state) as fh:
+            start = json.load(fh)["version"]
+
+    def persist(version: int) -> None:
+        tmp = args.state + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "table": table.path}, fh)
+        os.replace(tmp, args.state)
+
+    def sink(feed, lo, hi):
+        if args.sink:
+            feed.write.mode("overwrite").parquet(
+                os.path.join(args.sink, f"window={lo}-{hi}")
+            )
+        if args.replica:
+            # epoch-keyed: a crashed-and-restarted window re-merge no-ops
+            replicate(
+                spark, table, LakeTable(args.replica), lo, hi,
+                epoch_id=f"follow:{hi}",
+            )
+
+    last = follow_changes(
+        spark,
+        table,
+        sink,
+        start_version=start,
+        poll_sec=args.poll,
+        max_polls=args.max_polls,
+        granular=not args.coarse,
+        on_advance=persist,
+    )
+    print(json.dumps({"last_synced_version": last}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -572,3 +572,35 @@ def text_decontaminate(spark, sf_dir):
         "text",
         n=3,
     )
+
+
+@register(
+    "sample_cap_per_group",
+    """
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) s
+    WHERE rk <= 40
+    """,
+    doc="Balanced cap sampling: EXACTLY min(40, |group|) docs per source, "
+    "chosen by deterministic md5 rank — no RNG, same picks on any engine "
+    "or cluster size. The per-group window shuffles on source (group "
+    "count is small); at 100 TB Spark 3.5+ WindowGroupLimit pushes the "
+    "rk<=40 cap below the sort, so each partition keeps a 40-row heap "
+    "instead of sorting the group.",
+)
+def sample_cap_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 40)
+    )

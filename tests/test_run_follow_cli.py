@@ -1,0 +1,70 @@
+"""End-to-end smoke of the CDC-out follower entrypoint
+(jobs/run_follow.py) as a real subprocess: drain a table's commit log
+into per-window parquet + a replica, persist the resume state, then a
+SECOND run resumes from the state file and ships only the new window."""
+
+import json
+import os
+import subprocess
+import sys
+
+from qwery_spark.datagen import make_events
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_follow(args, timeout=420):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_follow.py"), *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_run_follow_cli_drain_and_resume(spark, tmp_path):
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    table = str(tmp_path / "src")
+    replica = str(tmp_path / "rep")
+    sink = str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2)
+    LakeTable.create(replica, TARGET_SCHEMA, n_buckets=2)
+    ev = make_events(2000, seed=91).to_pandas()
+    for i, (lo, hi) in enumerate([(0, 700), (700, 1400)]):
+        df = spark.createDataFrame(ev.iloc[lo:hi], schema=EVENT_SCHEMA)
+        apply_changes(spark, src, df, epoch_id=i, collect_stats=False)
+
+    r = _run_follow([
+        "--table", table, "--sink", sink, "--replica", replica,
+        "--state", state, "--from-version", "0", "--max-polls", "1",
+        "--coarse",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["last_synced_version"] == 2
+    assert json.load(open(state))["version"] == 2
+    windows = sorted(os.listdir(sink))
+    assert windows == ["window=0-2"]
+
+    # new commit, then resume purely from the state file
+    df = spark.createDataFrame(ev.iloc[1400:2000], schema=EVENT_SCHEMA)
+    apply_changes(spark, src, df, epoch_id=2, collect_stats=False)
+    r = _run_follow([
+        "--table", table, "--sink", sink, "--replica", replica,
+        "--state", state, "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.load(open(state))["version"] == 3
+    assert sorted(os.listdir(sink)) == ["window=0-2", "window=2-3"]
+
+    # replica converged to the source's live state
+    rep = LakeTable(replica)
+    src_state = {
+        (r_["doc_id"], tuple(r_["tokens"])) for r_ in src.read(spark).collect()
+    }
+    rep_state = {
+        (r_["doc_id"], tuple(r_["tokens"])) for r_ in rep.read(spark).collect()
+    }
+    assert rep_state == src_state and len(src_state) > 0
