@@ -232,3 +232,18 @@ def test_engine_replay_returns_lazy_scan(spark):
     p = _plan(spark, "cdc_engine_replay")
     assert "LocalTableScan" not in p
     assert "parquet" in p.lower()
+
+
+def test_cap_sampler_window_group_limit(spark):
+    """sample_cap_per_group's rk<=40 must push below the sort as a
+    WindowGroupLimit (per-partition 40-row heap), not sort whole groups."""
+    assert "WindowGroupLimit" in _plan(spark, "sample_cap_per_group")
+
+
+def test_chunking_query_no_shuffle(spark):
+    assert "Exchange" not in _plan(spark, "tok_chunking")
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    p = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in p
