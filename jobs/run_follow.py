@@ -9,14 +9,18 @@ this job tails its commit log and ships change rows to consumers).
       --state /exports/changes/_follow_state.json \
       [--replica /lake/replica] [--poll 30] [--max-polls N] [--coarse]
 
-Each new commit window lands as parquet under
-``--sink/window=<from>-<to>/`` (insert/update_postimage/delete rows,
-Delta-CDF column contract), and/or merges into ``--replica`` (epoch key
-``follow:<to>`` makes re-delivery idempotent). The resume point is
-persisted to ``--state`` after every successful window via
+Each new commit window lands as parquet under ``--sink/from=<lo>/``
+(insert/update_postimage/delete rows, Delta-CDF column contract; the
+window END travels in the rows' _commit_version), and/or merges into
+``--replica`` (epoch key ``follow:<to>`` makes re-delivery idempotent).
+The sink dir is keyed by the window START only: a crash-before-persist
+re-ships from the same lo and OVERWRITES the partial dir — consumers
+reading ``sink/**`` see each change exactly once, because successive
+persisted los partition the version axis. The resume point is pinned to
+``--state`` on startup and after every successful window via
 ``follow_changes(on_advance=...)``; a restarted job picks up exactly
-where the previous one stopped. ``--max-polls`` bounds the run
-(drain-style); omit it for a daemon.
+where the previous one stopped, even if the first run shipped nothing.
+``--max-polls`` bounds the run (drain-style); omit it for a daemon.
 
 No local-mode assumptions: uses the ambient SparkSession from
 spark-submit.
@@ -61,7 +65,15 @@ def main(argv=None):
     start = args.from_version
     if start is None and os.path.exists(args.state):
         with open(args.state) as fh:
-            start = json.load(fh)["version"]
+            st = json.load(fh)
+        if os.path.normpath(st.get("table", "")) != table.path:
+            p.error(
+                f"--state {args.state} was written for table "
+                f"{st.get('table')!r}, not {table.path!r}"
+            )
+        start = st["version"]
+    if start is None:
+        start = table.current_version()
 
     def persist(version: int) -> None:
         tmp = args.state + ".tmp"
@@ -69,16 +81,22 @@ def main(argv=None):
             json.dump({"version": version, "table": table.path}, fh)
         os.replace(tmp, args.state)
 
+    # pin the resume point BEFORE the loop: a drain that sees no new
+    # commits must still leave a state file, or the next run would
+    # re-default to the then-current head and silently skip the gap
+    persist(start)
+
     def sink(feed, lo, hi):
         if args.sink:
             feed.write.mode("overwrite").parquet(
-                os.path.join(args.sink, f"window={lo}-{hi}")
+                os.path.join(args.sink, f"from={lo}")
             )
         if args.replica:
-            # epoch-keyed: a crashed-and-restarted window re-merge no-ops
+            # epoch-keyed: a crashed-and-restarted window re-merge
+            # no-ops; the feed DataFrame is reused, not recomputed
             replicate(
                 spark, table, LakeTable(args.replica), lo, hi,
-                epoch_id=f"follow:{hi}",
+                epoch_id=f"follow:{hi}", feed=feed,
             )
 
     last = follow_changes(

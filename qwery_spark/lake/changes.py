@@ -220,6 +220,7 @@ def replicate(
     from_version: int = 0,
     to_version: int | None = None,
     epoch_id=None,
+    feed: DataFrame | None = None,
 ):
     """Apply ``src``'s changelog over ``(from_version, to_version]`` to
     ``dst`` as one merge batch — CDC replication built purely on the
@@ -235,8 +236,14 @@ def replicate(
     visible state either way). Deletes become 'D' events carrying the
     tombstone's ordinal, so the replica's straggler guard keeps working
     across replication boundaries. Incremental feeds applied in order
-    and a single full-range feed produce the same replica."""
-    feed = read_changes(spark, src, from_version, to_version, granular=False)
+    and a single full-range feed produce the same replica.
+
+    Pass ``feed`` to reuse an already-built changelog DataFrame for the
+    same range (a follower shipping the window to parquet AND a replica
+    must not pay the endpoint scans twice); granular or coarse both
+    work — the LWW reduction normalizes them."""
+    if feed is None:
+        feed = read_changes(spark, src, from_version, to_version, granular=False)
     key = src.snapshot().m["key_col"]
     dst_key = dst.snapshot().m["key_col"]
     if key != dst_key:

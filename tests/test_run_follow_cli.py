@@ -46,7 +46,7 @@ def test_run_follow_cli_drain_and_resume(spark, tmp_path):
     assert json.loads(r.stdout.strip().splitlines()[-1])["last_synced_version"] == 2
     assert json.load(open(state))["version"] == 2
     windows = sorted(os.listdir(sink))
-    assert windows == ["window=0-2"]
+    assert windows == ["from=0"]
 
     # new commit, then resume purely from the state file
     df = spark.createDataFrame(ev.iloc[1400:2000], schema=EVENT_SCHEMA)
@@ -57,7 +57,23 @@ def test_run_follow_cli_drain_and_resume(spark, tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.load(open(state))["version"] == 3
-    assert sorted(os.listdir(sink)) == ["window=0-2", "window=2-3"]
+    assert sorted(os.listdir(sink)) == ["from=0", "from=2"]
+
+    # a drain with NO new commits still pins the state (first-run gap
+    # protection) and ships nothing new
+    r = _run_follow([
+        "--table", table, "--sink", sink, "--replica", replica,
+        "--state", state, "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.load(open(state))["version"] == 3
+    assert sorted(os.listdir(sink)) == ["from=0", "from=2"]
+
+    # a state file from another table is refused
+    bad = _run_follow([
+        "--table", replica, "--sink", sink, "--state", state, "--max-polls", "1",
+    ])
+    assert bad.returncode != 0 and "was written for table" in bad.stderr
 
     # replica converged to the source's live state
     rep = LakeTable(replica)
