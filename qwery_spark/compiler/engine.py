@@ -861,16 +861,21 @@ class ScriptEngine:
             raise ValueError("UPSERT requires an ordinal column (LSN) for LWW ordering")
         if "op" not in df.columns:
             df = df.withColumn("op", F.lit("U"))
-        if key != "doc_id":
-            df = df.withColumnRenamed(key, "doc_id")
         tbl = LakeTable(path)
+        # The merge layer keys the batch by the TABLE's key_col (the
+        # snapshot is authoritative) — rename the statement's KEYED ON
+        # column to it, whatever the table was created with.
+        key_col = tbl.snapshot().m["key_col"]
+        if key != key_col:
+            df = df.withColumnRenamed(key, key_col)
         if insert_missing and tbl.snapshot().write_mode == "mor":
             stats = append_changes(self.spark, tbl, df)
         else:
             # UPDATE (matched-only) always goes through the COW merge —
             # a blind MOR append would insert unmatched keys
             stats = merge_changes(
-                self.spark, tbl, lww_dedup(df), insert_missing=insert_missing
+                self.spark, tbl, lww_dedup(df, key=key_col),
+                insert_missing=insert_missing,
             )
         return self.spark.createDataFrame(
             [(stats.rows_upserted, stats.rows_deleted, stats.rows_stale)],
@@ -918,6 +923,11 @@ class ScriptEngine:
 
         tbl = LakeTable(path)
         snap = tbl.snapshot()
+        key_col = snap.m["key_col"]
+        if key != key_col:
+            raise ValueError(
+                f"UPDATE SET KEYED ON {key!r}: table is keyed on {key_col!r}"
+            )
         types = {
             f["name"]: f["type"]
             for f in snap.fields()
@@ -940,7 +950,7 @@ class ScriptEngine:
             ).first()
             new_ordinal = F.lit(int((row["m"] or 0) + 1)).cast("bigint")
 
-        cols = [F.col(key).alias("doc_id") if key != "doc_id" else F.col(key)]
+        cols = [F.col(key)]
         bad = F.lit(False)
         for name, typ in types.items():
             if name == key:
@@ -963,7 +973,7 @@ class ScriptEngine:
             rejected = batch.filter(F.col("_bad")).count()
             good = batch.filter(~F.col("_bad")).drop("_bad")
             stats = merge_changes(
-                spark, tbl, lww_dedup(good), insert_missing=False
+                spark, tbl, lww_dedup(good, key=key_col), insert_missing=False
             )
         finally:
             batch.unpersist()
@@ -995,18 +1005,23 @@ class ScriptEngine:
             raise ValueError(f"bad DELETE: {stmt}")
         path, key, ordinal, pred = m.group(1), m.group(2), int(m.group(3)), m.group(4)
         tbl = LakeTable(path)
+        key_col = tbl.snapshot().m["key_col"]
+        if key != key_col:
+            raise ValueError(
+                f"DELETE KEYED ON {key!r}: table is keyed on {key_col!r}"
+            )
         live = tbl.read(self.spark)
         if pred:
             live = live.filter(pred)
         batch = live.select(
-            F.col(key).alias("doc_id") if key != "doc_id" else F.col(key),
+            F.col(key),
             F.lit("D").alias("op"),
             F.lit(ordinal).cast("bigint").alias("ordinal"),
         )
         if tbl.snapshot().write_mode == "mor":
             stats = append_changes(self.spark, tbl, batch)
         else:
-            stats = merge_changes(self.spark, tbl, lww_dedup(batch))
+            stats = merge_changes(self.spark, tbl, lww_dedup(batch, key=key_col))
         return self.spark.createDataFrame(
             [(stats.rows_deleted, stats.rows_stale)],
             "ROWS_DELETED long, ROWS_STALE long",

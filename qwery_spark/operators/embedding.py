@@ -20,10 +20,21 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _check_collisions(df: DataFrame, out_cols: tuple[str, ...]) -> None:
+    # same contract as chunk_tokens: never silently clobber an input
+    # column with an operator output
+    clash = [c for c in out_cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"output column(s) {clash} already exist in the input DataFrame"
+        )
+
+
 def l2_normalize(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Append ``norm`` (the L2 norm, double) and ``unit`` (the
     normalized vector). Zero vectors get norm 0 and a NULL unit —
     callers filter or keep them explicitly."""
+    _check_collisions(df, ("norm", "unit"))
     v = _as_double(F.col(emb_col))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     # NaN compares GREATER than any double in Spark, so `norm > 0`
@@ -40,6 +51,7 @@ def quantize_int8(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     max(|x|)``, ``q_i = floor(x_i * scale + 0.5)`` clamped to
     [-127, 127]. Appends ``scale`` (double) and ``q`` (array<int>).
     Zero vectors get a NULL scale/q. Dequantize as ``q / scale``."""
+    _check_collisions(df, ("scale", "q"))
     v = _as_double(F.col(emb_col))
     max_abs = F.array_max(F.transform(v, F.abs))
     # a NaN lane makes max_abs NaN, and NaN > 0 is TRUE in Spark's

@@ -52,10 +52,15 @@ _WINDOW_50 = [
     # schema evolution — widen + rename on the dtype-sensitive gate)
     "cdc_engine_replay", "cdc_engine_replay_mor", "cdc_engine_time_travel",
     "cdc_engine_replay_ddl",
-    # CDC semantics + token-array ops
-    "cdc_lww_final_state", "cdc_op_mix", "cdc_stale_ratio",
+    # CDC semantics + token-array ops. Round-4 rotation (r3 verdict
+    # task 6): cdc_op_mix / cdc_stale_ratio / tok_histogram — green in
+    # every driver round so far — yield their slots to queries that
+    # never had a driver row (q_grouping_sets, q_sessionize,
+    # sample_cap_per_group, appended at the end of this list); they
+    # stay covered by tools/check_oracle.py + the judge's own run.
+    "cdc_lww_final_state",
     "cdc_hourly_throughput", "cdc_asof_last_error", "cdc_json_props",
-    "tok_histogram", "tok_array_stats", "tok_bigrams", "tok_vocab_stats",
+    "tok_array_stats", "tok_bigrams", "tok_vocab_stats",
     "cdc_scd2_history", "tok_packing_sharded",
     # text dedup pipeline + analysis + splits/sampling
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_candidates",
@@ -78,13 +83,20 @@ _WINDOW_50 = [
     # tok_packing / q06_forecast_revenue / q_grouping_sets, all green
     # in CORRECTNESS_r02 and still oracle-checked locally.
     "cdc_range_join_windows", "cdc_change_feed", "tok_chunking",
+    # round-4 rotation: first-ever driver rows for these three
+    "q_grouping_sets", "q_sessionize", "sample_cap_per_group",
 ]
 
 
 def _reorder() -> None:
-    assert len(_WINDOW_50) == 50, f"window list has {len(_WINDOW_50)} entries"
+    # explicit raises (not assert): the 50-slot contract must hold even
+    # under ``python -O``, and a registry rename should fail loudly with
+    # the actionable message, not an opaque import-time AssertionError
+    if len(_WINDOW_50) != 50:
+        raise RuntimeError(f"driver window list has {len(_WINDOW_50)} entries, needs 50")
     missing = [n for n in _WINDOW_50 if n not in REGISTRY]
-    assert not missing, f"window names absent from REGISTRY: {missing}"
+    if missing:
+        raise RuntimeError(f"driver window names absent from REGISTRY: {missing}")
     rest = {n: q for n, q in REGISTRY.items() if n not in set(_WINDOW_50)}
     ordered = {n: REGISTRY[n] for n in _WINDOW_50}
     ordered.update(rest)

@@ -507,3 +507,38 @@ def test_create_lake_codec_zstd(eng, tmp_path):
         eng.execute(
             f"CREATE LAKE '{tmp_path}/bad' (doc_id string) KEYED ON doc_id CODEC brotli9"
         )
+
+
+def test_script_lifecycle_non_doc_id_key(eng, tmp_path):
+    """KEYED ON a column that is NOT 'doc_id': upsert / UPDATE...SET /
+    DELETE must key the batch by the table's key_col (regression — the
+    write paths used to hard-rename the key to 'doc_id' and fail with
+    UNRESOLVED_COLUMN on any other key)."""
+    from qwery_spark.lake.table import LakeTable
+
+    for mode in ("cow", "mor"):
+        path = str(tmp_path / f"lake_id_{mode}")
+        eng.execute(
+            f"CREATE LAKE '{path}' (id string, v int) KEYED ON id "
+            f"BUCKETS 4 MODE {mode}"
+        )
+        eng.execute(
+            f"UPSERT INTO LAKE '{path}' KEYED ON id "
+            "SELECT * FROM VALUES ('a', 1, 1L), ('b', 2, 2L) AS t(id, v, ordinal)"
+        )
+        got = {r["id"]: r["v"] for r in LakeTable(path).read(eng.spark).collect()}
+        assert got == {"a": 1, "b": 2}
+        # assignment-form UPDATE on the same key
+        res = eng.execute(
+            f"UPDATE LAKE '{path}' SET v = v + 10 KEYED ON id WHERE id = 'a'"
+        ).collect()[0]
+        assert res["ROWS_UPSERTED"] == 1
+        # DELETE by predicate
+        eng.execute(f"DELETE FROM LAKE '{path}' KEYED ON id ORDINAL 9 WHERE id = 'b'")
+        got = {r["id"]: r["v"] for r in LakeTable(path).read(eng.spark).collect()}
+        assert got == {"a": 11}
+        # a KEYED ON that disagrees with the table is refused, not mangled
+        import pytest
+
+        with pytest.raises(ValueError, match="keyed on"):
+            eng.execute(f"UPDATE LAKE '{path}' SET v = 0 KEYED ON other")
