@@ -218,28 +218,51 @@ def main():
             # size criterion — multi-process, per-executor heaps; still
             # one host, so the SMT/disk ceiling above 8 physical cores
             # applies to the 8x4 rung exactly as it does to local[32])
-            lc, lc_runs = {}, {}
+            # Round-4 reconciliation finding (tools/merge_ab.py session):
+            # the r3 driver recording warmed each cluster rung with ONE
+            # short replay and took 2 runs — but 8 separate executor
+            # JVMs JIT-warm slowly, and the first full-size runs land
+            # 2-3x below steady state (observed 120k->435k over 7 runs
+            # at 8x4). Warm with two full-size replays and take 3 runs,
+            # and record a no-engine raw control at the same rungs so
+            # the efficiency has a host ceiling to be graded against.
+            lc, lc_runs, lc_raw = {}, {}, {}
             for n_exec in (2, 8):
                 spark = _fresh_spark_cluster(n_exec)
-                _replay(spark, sfiles[:1], N_BUCKETS, 1, tmp_dir=FAST_TMP)  # warm
+                for _ in range(2):  # full-size warm: 8 JVMs JIT slowly
+                    _replay(spark, sfiles, N_BUCKETS, 4, tmp_dir=FAST_TMP)
                 ts = [
                     round(SCALING_EVENTS / _replay(spark, sfiles, N_BUCKETS, 4,
                                                    tmp_dir=FAST_TMP), 1)
-                    for _ in range(2)
+                    for _ in range(3)
                 ]
                 lc_runs[f"execs{n_exec}x4"] = ts
                 lc[n_exec] = max(ts)
+                _raw_control(spark, sfiles)  # warm
+                lc_raw[f"execs{n_exec}x4"] = max(
+                    round(SCALING_EVENTS / _raw_control(spark, sfiles), 1)
+                    for _ in range(2)
+                )
                 spark.stop()
+            lc_eff = round(lc[8] / (4 * lc[2]), 4)
+            lc_raw_eff = round(
+                lc_raw["execs8x4"] / (4 * lc_raw["execs2x4"]), 4
+            )
             scaling["local_cluster"] = {
                 "n_executors": 2,
                 "4n_executors": 8,
                 "cores_per_executor": 4,
                 "n_events_per_sec": lc[2],
                 "4n_events_per_sec": lc[8],
-                "efficiency_n_to_4n": round(lc[8] / (4 * lc[2]), 4),
+                "efficiency_n_to_4n": lc_eff,
                 "runs": lc_runs,
+                "raw_spark_control": lc_raw,
+                "raw_efficiency_n_to_4n": lc_raw_eff,
+                "engine_vs_control": round(lc_eff / lc_raw_eff, 4)
+                if lc_raw_eff else None,
                 "note": "separate executor JVMs on one host; the 8x4 rung "
-                        "spans the same SMT region as local[32]",
+                        "spans the same SMT region as local[32], so the "
+                        "raw control sets the reachable ceiling",
             }
 
         spark = _fresh_spark(CPUS)
