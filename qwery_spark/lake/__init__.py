@@ -1,1 +1,1 @@
-from qwery_spark.lake.table import LakeTable  # noqa: F401
+from qwery_spark.lake.table import CommitConflict, LakeTable  # noqa: F401

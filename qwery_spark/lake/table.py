@@ -46,6 +46,15 @@ from pyspark.sql import types as T
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
+
+class CommitConflict(RuntimeError):
+    """A commit lost the optimistic-concurrency race and could not be
+    rebased: an interleaved winner touched the same buckets (or changed
+    the partition spec), so the loser's staged files were computed from
+    state that no longer holds. The caller must recompute from the new
+    head. Disjoint-bucket losers never see this — they auto-rebase
+    (Iceberg's commit.retry semantics)."""
+
 # checkpoint cadence: a full-state snapshot every K commits bounds log
 # replay to K delta reads; between checkpoints each commit writes only
 # its own delta (O(touched buckets) bytes — the 10^10-event requirement)
@@ -308,13 +317,16 @@ class LakeTable:
     def _write_manifest(self, manifest: dict) -> Snapshot:
         """Write one commit record (delta or full). Create-exclusive:
         os.link fails if the version exists, giving atomic single-winner
-        semantics (Iceberg: catalog CAS)."""
+        semantics (Iceberg: catalog CAS). On a lost race the tmp file is
+        still removed — the loser leaves no litter behind."""
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.link(tmp, path)
-        os.unlink(tmp)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
         return Snapshot(manifest, self.path)
 
     def _commit_record(self, rec: dict, folded: dict) -> Snapshot:
@@ -568,6 +580,7 @@ class LakeTable:
         new_schema: tuple[int, dict] | None = None,
         append_buckets: set[int] | None = None,
         new_n_buckets: int | None = None,
+        max_retries: int = 5,
     ) -> Snapshot | None:
         """Commit new files: a copy-on-write rewrite of
         ``replaced_buckets`` and/or a merge-on-read delta append to
@@ -575,49 +588,150 @@ class LakeTable:
 
         Returns the new Snapshot, or None if ``epoch_id`` was already
         applied by a live snapshot (idempotent re-delivery no-op).
-        Optimistic concurrency: the commit asserts the table version has
-        not moved since ``base`` (single-writer in this sandbox; on a
-        real catalog this is the CAS retry loop).
-        """
-        latest = self.snapshot()
-        if epoch_id is not None and epoch_id in latest.applied_epochs:
-            return None
-        if latest.version != base.version:
-            raise RuntimeError(
-                f"concurrent commit: base v{base.version} != latest v{latest.version}"
-            )
-        rec = {
-            "version": latest.version + 1,
-            "parent": latest.snapshot_id,
-            "snapshot_id": uuid.uuid4().hex,
-            "epoch_id": epoch_id,
-            "replace_buckets": sorted(replaced_buckets),
-            "append_buckets": sorted(append_buckets or ()),
-            "add_files": new_files,
-            "summary": summary or {},
-        }
-        if new_n_buckets is not None:
-            rec["n_buckets"] = new_n_buckets
-        if new_schema is not None:
-            sv, fields = new_schema
-            rec["schema_change"] = {"schema_version": sv, "fields": fields}
-        return self._commit_record(rec, self._fold(latest.m, rec))
 
-    def commit_schema_change(self, fields: list[dict], summary: dict) -> Snapshot:
-        """Metadata-only commit: new schema version, files untouched."""
-        latest = self.snapshot()
-        rec = {
-            "version": latest.version + 1,
-            "parent": latest.snapshot_id,
-            "snapshot_id": uuid.uuid4().hex,
-            "epoch_id": None,
-            "schema_change": {
-                "schema_version": latest.schema_version + 1,
-                "fields": fields,
-            },
-            "summary": summary,
-        }
-        return self._commit_record(rec, self._fold(latest.m, rec))
+        Optimistic concurrency with automatic rebase (Iceberg's
+        commit.retry semantics): when the head moved past ``base``, the
+        staged files are still valid as long as no interleaved winner
+        touched the buckets this commit replaces — a COW rewrite was
+        computed from its base's bucket state, so a winner's replace OR
+        delta-append to the same bucket means committing would silently
+        drop the winner's rows. Disjoint losers (and MOR delta appends,
+        which read-time LWW resolution makes commutative per key) are
+        rebased onto the new head and retried, up to ``max_retries``
+        lost os.link races; conflicting losers raise CommitConflict for
+        the caller to recompute. Interleaved schema changes rebase fine
+        (files carry their schema_version; reads align by field id);
+        an interleaved REBUCKET conflicts with everything — the bucket
+        mapping the staged files were routed by no longer exists.
+        """
+        for _ in range(max_retries + 1):
+            latest = self.snapshot()
+            if epoch_id is not None and epoch_id in latest.applied_epochs:
+                return None
+            if latest.version != base.version:
+                reason = self._rebase_conflict(
+                    base.version,
+                    latest.version,
+                    replaced_buckets,
+                    has_schema_change=new_schema is not None,
+                )
+                if reason is not None:
+                    raise CommitConflict(
+                        f"concurrent commit: base v{base.version} != latest "
+                        f"v{latest.version} and rebase is unsafe ({reason})"
+                    )
+            rec = {
+                "version": latest.version + 1,
+                "parent": latest.snapshot_id,
+                "snapshot_id": uuid.uuid4().hex,
+                "epoch_id": epoch_id,
+                "replace_buckets": sorted(replaced_buckets),
+                "append_buckets": sorted(append_buckets or ()),
+                "add_files": new_files,
+                "summary": summary or {},
+            }
+            if new_n_buckets is not None:
+                rec["n_buckets"] = new_n_buckets
+            if new_schema is not None:
+                sv, fields = new_schema
+                rec["schema_change"] = {"schema_version": sv, "fields": fields}
+            try:
+                return self._commit_record(rec, self._fold(latest.m, rec))
+            except FileExistsError:
+                # lost the create-exclusive link race to a concurrent
+                # writer — loop: re-read the head, re-check rebase
+                # safety against the newly landed commit(s), retry
+                continue
+        raise CommitConflict(
+            f"lost the commit race {max_retries + 1} times in a row "
+            f"(replaced_buckets={sorted(replaced_buckets)})"
+        )
+
+    def _rebase_conflict(
+        self,
+        base_version: int,
+        head_version: int,
+        replaced_buckets: set[int],
+        has_schema_change: bool = False,
+    ) -> str | None:
+        """Return None when a commit staged against ``base_version`` can
+        rebase onto ``head_version``, else a human-readable reason.
+
+        Safe  : interleaved winners' (replace ∪ append) buckets are
+                disjoint from OUR replaced buckets. Pure appends (ours)
+                always rebase — read-time LWW ordinal resolution makes
+                delta appends commutative, and a winner's compaction
+                folded only files visible at ITS base, so our deltas
+                stack on top untouched.
+        Unsafe: bucket overlap with our replace set, an interleaved
+                REBUCKET (partition-spec change invalidates every staged
+                file's routing), or unreadable interleaved records
+                (expired mid-flight — cannot prove safety).
+
+        Append ∥ compact(drop_tombstones=True) stays safe under that
+        mode's own documented precondition (no straggler below the
+        tombstone retention watermark can still arrive) — the rebase
+        adds no new hazard beyond what drop_tombstones already assumes.
+        """
+        mine = set(replaced_buckets)
+        for v in range(base_version + 1, head_version + 1):
+            try:
+                with open(self._manifest_path(v)) as fh:
+                    w = json.load(fh)
+            except OSError:
+                return f"interleaved commit v{v} is unreadable/expired"
+            if "n_buckets" in w:
+                return f"v{v} changed the partition spec (rebucket)"
+            if has_schema_change and w.get("schema_change"):
+                # two concurrent schema evolutions numbered their new
+                # schema_version from the same base — merging them needs
+                # a recompute, not a blind rebase
+                return f"v{v} also changed the schema"
+            theirs = set(w.get("replace_buckets") or ()) | set(
+                w.get("append_buckets") or ()
+            )
+            hit = mine & theirs
+            if hit:
+                return f"v{v} touched replaced bucket(s) {sorted(hit)}"
+        return None
+
+    def commit_schema_change(
+        self, fields: list[dict], summary: dict, max_retries: int = 5
+    ) -> Snapshot:
+        """Metadata-only commit: new schema version, files untouched.
+        Retries over interleaved DATA commits (they can't invalidate a
+        field list); a concurrent schema change raises CommitConflict —
+        the caller computed ``fields`` from a schema that moved."""
+        base = self.snapshot()
+        for _ in range(max_retries + 1):
+            latest = self.snapshot()
+            if latest.version != base.version:
+                reason = self._rebase_conflict(
+                    base.version, latest.version, set(), has_schema_change=True
+                )
+                if reason is not None:
+                    raise CommitConflict(
+                        f"schema change staged at v{base.version} cannot "
+                        f"rebase onto v{latest.version} ({reason})"
+                    )
+            rec = {
+                "version": latest.version + 1,
+                "parent": latest.snapshot_id,
+                "snapshot_id": uuid.uuid4().hex,
+                "epoch_id": None,
+                "schema_change": {
+                    "schema_version": latest.schema_version + 1,
+                    "fields": fields,
+                },
+                "summary": summary,
+            }
+            try:
+                return self._commit_record(rec, self._fold(latest.m, rec))
+            except FileExistsError:
+                continue
+        raise CommitConflict(
+            f"lost the schema-change commit race {max_retries + 1} times"
+        )
 
     # ---------------- maintenance (Iceberg expire_snapshots / orphan GC) --
     def expire_snapshots(self, keep_last: int = 3) -> int:
