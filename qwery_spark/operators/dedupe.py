@@ -70,9 +70,11 @@ def minhash_candidates(
     branches, so the expensive subplan would otherwise execute twice
     (measured 1.4x slower at sf0.1). Trade-offs: construction becomes
     eager and checkpoint blocks are not fault-tolerant — pass
-    materialize=False for lazy plans, or (the real cluster answer)
-    write minhash_signatures() to a persisted index table and self-join
-    that."""
+    materialize=False for lazy plans, or use the real cluster answer:
+    operators/sigindex.py persists the signatures as a lake table
+    maintained incrementally from the change feed (durable parquet,
+    only changed docs re-shingle), and index_candidates() runs this
+    same bucket join against it."""
     sig = minhash_signatures(df, key, text_col, n_bands, n)
     if materialize:
         sig = sig.localCheckpoint(eager=True)

@@ -1,0 +1,255 @@
+"""Persisted MinHash signature index, incrementally maintained from the
+change feed.
+
+The ad-hoc ``minhash_candidates`` operator re-shingles the whole corpus
+per run and holds its signatures in non-fault-tolerant localCheckpoint
+blocks — fine for one-shot jobs, wrong at 100 TB where shingling
+dominates and the corpus changes by a fraction per day. The cluster
+answer (promoted here from that operator's own docstring) is a
+signature INDEX: a lake table keyed by doc_id holding each doc's banded
+MinHash sketch, written once, then maintained from ``read_changes()``
+windows — only changed docs re-shingle, deletes drop their row, and
+candidate generation is a bucket join against durable parquet instead
+of a recomputed subplan.
+
+Index row shape: one row per doc, ``sigs array<struct<band:int,
+minhash:string>>`` (n_bands entries). A change-feed row maps 1:1 to an
+index upsert/delete by doc_id, and the feed's ``_ordinal`` carries
+straight into the index table's LWW guard, so out-of-order window
+application stays safe end-to-end.
+
+100-TB shape: the incremental path shingles O(changed docs), the
+candidate join explodes the (band, minhash) pairs and equi-joins —
+bucketed, O(collisions), never all-pairs; the full self-join reads the
+index parquet twice rather than recomputing signatures twice (durable,
+spill-safe, fault-tolerant — the localCheckpoint caveat is gone).
+
+Reference anchor: the reference has no signature index; this extends
+its dedup surface (SURVEY.md LLM-pipeline operators) with the standard
+incremental web-dedup design (per-band sketch tables keyed by doc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.operators.dedupe import DEFAULT_NBANDS, minhash_signatures
+
+SIGS_TYPE = "array<struct<band:int,minhash:string>>"
+
+
+def _index_schema(key: str, key_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key, key_type),
+            T.StructField(
+                "sigs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("band", T.IntegerType()),
+                            T.StructField("minhash", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+
+@dataclass
+class IndexUpdateStats:
+    docs_reshingled: int = 0
+    docs_deleted: int = 0
+    from_version: int = 0
+    to_version: int = 0
+    snapshot_version: int | None = None
+
+
+def _sig_rows(docs: DataFrame, key: str, text_col: str, n_bands: int, n: int) -> DataFrame:
+    """(key, sigs) rows for ``docs`` — the only place shingling runs.
+    Docs too short to shingle (< n words) get an EMPTY sigs array, not
+    a dropped row: the index must still record them so an update that
+    shrinks a doc below the shingle floor overwrites its old sketch."""
+    sig = minhash_signatures(docs, key, text_col, n_bands, n)
+    per_doc = sig.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("band", "minhash"))).alias("sigs")
+    )
+    return (
+        docs.select(key)
+        .distinct()
+        .join(per_doc, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce(F.col("sigs"), F.lit([]).cast(SIGS_TYPE)).alias("sigs"),
+        )
+    )
+
+
+def build_signature_index(
+    spark: SparkSession,
+    docs: LakeTable,
+    index_path: str,
+    text_col: str = "text",
+    n_bands: int = DEFAULT_NBANDS,
+    n: int = 3,
+    n_buckets: int = 16,
+) -> LakeTable:
+    """Full build: shingle the docs table's live state once, write the
+    index as a MOR lake table keyed like the source. Each index row
+    carries the source row's last_ordinal, so later incremental windows
+    (which carry feed ordinals) slot into the same LWW order."""
+    snap = docs.snapshot()
+    key = snap.m["key_col"]
+    key_type = snap.spark_schema()[key].dataType
+    idx = LakeTable.create(
+        index_path, _index_schema(key, key_type), n_buckets=n_buckets,
+        key_col=key, write_mode="mor",
+    )
+    live = docs.read_physical(spark).filter(~F.col("_deleted"))
+    sigs = _sig_rows(live.select(key, text_col, "last_ordinal"), key, text_col,
+                     n_bands, n)
+    batch = (
+        sigs.join(live.select(key, "last_ordinal"), key)
+        .select(
+            F.col(key),
+            F.col("sigs"),
+            F.lit("U").alias("op"),
+            F.col("last_ordinal").alias("ordinal"),
+        )
+    )
+    from qwery_spark.lake.merge import append_changes
+
+    append_changes(spark, idx, batch, epoch_id=None)
+    return idx
+
+
+def update_signature_index(
+    spark: SparkSession,
+    docs: LakeTable,
+    index: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    text_col: str = "text",
+    n_bands: int = DEFAULT_NBANDS,
+    n: int = 3,
+) -> IndexUpdateStats:
+    """Incremental maintenance: one change-feed window of the docs
+    table becomes one index commit. Inserted/updated docs re-shingle
+    (ONLY those — the corpus is never rescanned; the shingle stage's
+    input is the feed's postimage rows); deleted docs become index
+    tombstones at the deleting ordinal. Idempotent per window via the
+    merge layer's LWW ordinal guard: re-applying a window, or applying
+    overlapping windows out of order, converges to the same index."""
+    from qwery_spark.lake.changes import read_changes
+    from qwery_spark.lake.merge import append_changes
+
+    to_version = docs.current_version() if to_version is None else to_version
+    feed = read_changes(spark, docs, from_version, to_version, granular=False)
+    key = docs.snapshot().m["key_col"]
+
+    upserts = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(key, text_col, F.col("_ordinal").alias("ordinal"))
+    deletes = feed.filter(F.col("_change_type") == "delete").select(
+        key, F.col("_ordinal").alias("ordinal")
+    )
+    # one pass over the (small) window, not the corpus: persist so the
+    # re-shingle count, the sig computation and the delete branch don't
+    # re-run the snapshot diff; bounded by the window's change volume
+    upserts.persist()
+    deletes.persist()
+    try:
+        n_up = upserts.count()
+        n_del = deletes.count()
+        batches = []
+        if n_up:
+            sigs = _sig_rows(upserts, key, text_col, n_bands, n)
+            batches.append(
+                sigs.join(upserts.select(key, "ordinal"), key).select(
+                    F.col(key), "sigs", F.lit("U").alias("op"), F.col("ordinal")
+                )
+            )
+        if n_del:
+            batches.append(
+                deletes.select(
+                    F.col(key),
+                    F.lit(None).cast(SIGS_TYPE).alias("sigs"),
+                    F.lit("D").alias("op"),
+                    F.col("ordinal"),
+                )
+            )
+        stats = IndexUpdateStats(
+            docs_reshingled=n_up, docs_deleted=n_del,
+            from_version=from_version, to_version=to_version,
+        )
+        if batches:
+            b = batches[0]
+            for extra in batches[1:]:
+                b = b.unionByName(extra)
+            r = append_changes(spark, index, b, epoch_id=None)
+            stats.snapshot_version = r.snapshot_version
+        return stats
+    finally:
+        upserts.unpersist()
+        deletes.unpersist()
+
+
+def _exploded(index_df: DataFrame, key: str) -> DataFrame:
+    return index_df.select(
+        F.col(key), F.explode("sigs").alias("s")
+    ).select(key, F.col("s.band").alias("band"), F.col("s.minhash").alias("minhash"))
+
+
+def index_candidates(spark: SparkSession, index: LakeTable) -> DataFrame:
+    """Full candidate pairs from the persisted index: the same
+    (band, minhash) bucket join as minhash_candidates, but both sides
+    read durable parquet — no recomputation, no checkpoint blocks."""
+    key = index.snapshot().m["key_col"]
+    sig = _exploded(index.read(spark), key)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .agg(F.countDistinct("a.band").alias("bands_hit"))
+    )
+
+
+def incremental_candidates(
+    spark: SparkSession, index: LakeTable, changed_keys: DataFrame
+) -> DataFrame:
+    """Candidates involving a changed-doc set only: changed-side
+    signatures (a slice of the index) joined against the FULL index —
+    covers changed×old and changed×changed pairs, which is exactly the
+    delta of the candidate set after an index update (an unchanged pair
+    can't gain or lose a band collision). At 100 TB this is the daily
+    dedup increment: |changed| × collision cost, corpus untouched."""
+    key = index.snapshot().m["key_col"]
+    full = _exploded(index.read(spark), key)
+    newer = full.join(
+        F.broadcast(changed_keys.select(F.col(key))), key, "left_semi"
+    )
+    a, b = newer.alias("a"), full.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.minhash") == F.col("b.minhash"))
+        & (F.col(f"a.{key}") != F.col(f"b.{key}")),
+    ).select(
+        F.least(F.col(f"a.{key}"), F.col(f"b.{key}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{key}"), F.col(f"b.{key}")).alias("doc_b"),
+        F.col("a.band").alias("band"),
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("band").alias("bands_hit")
+    )

@@ -60,8 +60,11 @@ _WINDOW_50 = [
     # stay covered by tools/check_oracle.py + the judge's own run.
     "cdc_lww_final_state",
     "cdc_hourly_throughput", "cdc_asof_last_error", "cdc_json_props",
-    "tok_array_stats", "tok_bigrams", "tok_vocab_stats",
+    "tok_array_stats", "tok_bigrams",
     "cdc_scd2_history", "tok_packing_sharded",
+    # round-4 flagship: incremental dedup over the persisted signature
+    # index (takes always-green tok_vocab_stats' slot)
+    "dedup_incremental_candidates",
     # text dedup pipeline + analysis + splits/sampling
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_candidates",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_pipeline_survivors",

@@ -124,6 +124,145 @@ def dedup_minhash_candidates(spark, sf_dir):
     return minhash_candidates(_corpus(spark, sf_dir), "doc_id", "text", _NBANDS)
 
 
+# ---------------- incremental dedup via the persisted signature index --
+# Deterministic 3-epoch lifecycle over the known-dup corpus, split by a
+# cross-engine md5 byte (h2 = first md5 byte of str(doc_id)):
+#   epoch 0 : docs with h2 % 5 != 0                    -> build index
+#   epoch 1 : adds   h2 % 5 == 0
+#             updates h2 % 5 != 0 and h2 % 7 == 1 (text gets a suffix)
+#             deletes h2 % 5 != 0 and h2 % 7 == 2
+# The index is maintained INCREMENTALLY from the docs table's change
+# feed (only epoch-1 docs re-shingle); the oracle recomputes candidates
+# from scratch over the final corpus — value equality proves
+# incremental == batch.
+_INC_UPD_SUFFIX = " refreshed tail tokens"
+
+_INC_FINAL_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN h2 % 5 <> 0 AND h2 % 7 = 1
+                  THEN text || '{_INC_UPD_SUFFIX}' ELSE text END AS text
+      FROM (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) AS h2
+        FROM ({_CORPUS_SQL}) c
+      ) t
+      WHERE NOT (h2 % 5 <> 0 AND h2 % 7 = 2)
+"""
+
+_INC_SHINGLE_SQL = f"""
+      SELECT doc_id, h,
+             CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % {_NBANDS} AS band
+      FROM (
+        SELECT doc_id, md5(unnest(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))) AS h
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+              FROM ({_INC_FINAL_SQL}) f) w
+        WHERE len(ws) >= 3
+      ) s
+"""
+
+
+@register(
+    "dedup_incremental_candidates",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, band, min(h) AS minhash
+      FROM ({_INC_SHINGLE_SQL}) b GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band) AS bands_hit
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    doc="Incremental dedup over a PERSISTED MinHash signature index "
+    "(operators/sigindex.py): build from epoch 0 of a CDC docs table, "
+    "then maintain from the change feed — epoch 1's adds/updates "
+    "re-shingle and deletes tombstone, the corpus is never rescanned. "
+    "Candidates come from the durable index (no localCheckpoint, no "
+    "signature recomputation); the oracle recomputes from scratch over "
+    "the final corpus, so a value match proves incremental == batch.",
+)
+def dedup_incremental_candidates(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.sigindex import (
+        build_signature_index,
+        index_candidates,
+        update_signature_index,
+    )
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = _corpus(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", h2.alias("h2")
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|inc_cand".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_inc_cand_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_inc_cand_tbl_")
+    try:
+        docs = LakeTable.create(
+            d + "/docs",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            ),
+            n_buckets=8,
+            key_col="doc_id",
+            write_mode="mor",
+        )
+        ep0 = tagged.filter(F.col("h2") % 5 != 0).select(
+            "doc_id", "text", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        )
+        append_changes(spark, docs, ep0)
+        v1 = docs.current_version()
+        idx = build_signature_index(
+            spark, docs, d + "/idx", n_bands=_NBANDS, n_buckets=8
+        )
+        adds = tagged.filter(F.col("h2") % 5 == 0).select(
+            "doc_id", "text", F.lit("U").alias("op"),
+            (F.col("doc_id") + 1_000_000).alias("ordinal"),
+        )
+        upd = tagged.filter(
+            (F.col("h2") % 5 != 0) & (F.col("h2") % 7 == 1)
+        ).select(
+            "doc_id",
+            F.concat("text", F.lit(_INC_UPD_SUFFIX)).alias("text"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        )
+        dels = tagged.filter(
+            (F.col("h2") % 5 != 0) & (F.col("h2") % 7 == 2)
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, docs, adds.unionAll(upd).unionAll(dels))
+        update_signature_index(
+            spark, docs, idx, from_version=v1, n_bands=_NBANDS
+        )
+        index_candidates(spark, idx).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
