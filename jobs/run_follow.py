@@ -49,6 +49,10 @@ def main(argv=None):
     p.add_argument("--coarse", action="store_true",
                    help="net endpoint diff per window instead of per-commit "
                         "rows (the cheap mode for far-behind consumers)")
+    p.add_argument("--auto-compact-files", type=int, default=None,
+                   help="replica maintenance: compact any replica bucket "
+                        "whose live-file count exceeds this bound after a "
+                        "window applies (state-driven, skew-aware)")
     args = p.parse_args(argv)
     if not args.sink and not args.replica:
         p.error("need --sink and/or --replica")
@@ -94,10 +98,23 @@ def main(argv=None):
         if args.replica:
             # epoch-keyed: a crashed-and-restarted window re-merge
             # no-ops; the feed DataFrame is reused, not recomputed
+            replica = LakeTable(args.replica)
             replicate(
-                spark, table, LakeTable(args.replica), lo, hi,
+                spark, table, replica, lo, hi,
                 epoch_id=f"follow:{hi}", feed=feed,
             )
+            if args.auto_compact_files:
+                from qwery_spark.lake.maintenance import (
+                    CompactionPolicy,
+                    maybe_compact,
+                )
+
+                maybe_compact(
+                    spark, replica,
+                    CompactionPolicy(
+                        max_files_per_bucket=args.auto_compact_files
+                    ),
+                )
 
     last = follow_changes(
         spark,

@@ -202,6 +202,7 @@ def run_id_for_checkpoint(checkpoint_dir: str) -> str:
 class StreamRun:
     query: StreamingQuery
     results: list[ApplyResult] = field(default_factory=list)
+    maintenance: list = field(default_factory=list)  # MaintenanceReport ticks
 
 
 def run_stream(
@@ -216,6 +217,7 @@ def run_stream(
     validation: str = "builtin",
     collect_stats: bool = True,
     compact_every: int | None = None,
+    compaction_policy=None,
     transform_sql: str | None = None,
     min_ordinal: int | None = None,
     expire_keep: int | None = None,
@@ -261,6 +263,14 @@ def run_stream(
             run_id=run_id,
         )
         run.results.append(res)
+        # state-driven maintenance: compact when the manifest says a
+        # bucket's file count crossed the read-amplification bound —
+        # skew-aware (hot buckets compact early, cold ones never), the
+        # preferred mode over the fixed cadence below
+        if compaction_policy is not None and not res.merge.skipped:
+            from qwery_spark.lake.maintenance import maybe_compact
+
+            run.maintenance.append(maybe_compact(spark, table, compaction_policy))
         # periodic MOR compaction keeps the delta-file count (and thus
         # read-side resolution cost) bounded during long tails
         if (

@@ -1,0 +1,155 @@
+"""State-driven compaction policy (lake/maintenance.py): triggers
+exactly at the manifest threshold, is skew-aware (hot buckets compact,
+cold buckets are never rewritten), and bounds per-bucket file count —
+the MOR read-amplification metric — over a long ingest tail."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from qwery_spark.lake.maintenance import CompactionPolicy, maybe_compact
+from qwery_spark.lake.merge import append_changes
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.lake.xxh64 import spark_bucket
+from qwery_spark.schema import TARGET_SCHEMA
+
+
+def _doc_for_bucket(bucket: int, n_buckets: int, salt: int = 0) -> str:
+    i = salt
+    while True:
+        d = f"doc-{bucket}-{i}"
+        if spark_bucket(d, n_buckets) == bucket:
+            return d
+        i += 1
+
+
+def _append_one(spark, tbl, doc_id, ordinal):
+    df = spark.createDataFrame(
+        [(doc_id, [1, 2], 2, "web", "U", ordinal)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, ordinal long",
+    )
+    append_changes(spark, tbl, df)
+
+
+def _files_per_bucket(tbl):
+    return Counter(f["bucket"] for f in tbl.snapshot().files())
+
+
+def test_policy_triggers_exactly_at_threshold(spark, tmp_table_dir):
+    n_buckets = 4
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=n_buckets, write_mode="mor"
+    )
+    policy = CompactionPolicy(max_files_per_bucket=3)
+    hot = _doc_for_bucket(1, n_buckets)
+    # 3 appends -> bucket 1 has exactly 3 files: NOT due
+    for i in range(3):
+        _append_one(spark, tbl, hot, 100 + i)
+        rep = maybe_compact(spark, tbl, policy)
+        assert not rep.triggered, f"fired early at {i + 1} files"
+    assert _files_per_bucket(tbl)[1] == 3
+    # the 4th crosses the bound -> due, compacts back to 1 file
+    _append_one(spark, tbl, hot, 200)
+    rep = maybe_compact(spark, tbl, policy)
+    assert rep.triggered and rep.due_buckets == {1}
+    assert _files_per_bucket(tbl)[1] == 1
+
+
+def test_policy_is_skew_aware(spark, tmp_table_dir):
+    """Hot bucket compacts; the cold bucket's single file is never
+    rewritten (a fixed epoch cadence would have rewritten everything)."""
+    n_buckets = 4
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=n_buckets, write_mode="mor"
+    )
+    cold = _doc_for_bucket(0, n_buckets)
+    _append_one(spark, tbl, cold, 1)
+    cold_file = [f for f in tbl.snapshot().files() if f["bucket"] == 0]
+    hot = _doc_for_bucket(2, n_buckets)
+    policy = CompactionPolicy(max_files_per_bucket=2)
+    for i in range(6):
+        _append_one(spark, tbl, hot, 100 + i)
+        maybe_compact(spark, tbl, policy)
+    # cold bucket file entry byte-identical: untouched across all ticks
+    assert [f for f in tbl.snapshot().files() if f["bucket"] == 0] == cold_file
+    assert _files_per_bucket(tbl)[2] <= policy.max_files_per_bucket
+
+
+def test_long_tail_read_amplification_is_bounded(spark, tmp_table_dir):
+    """20-epoch skewed tail with a per-epoch policy tick: no bucket ever
+    exceeds threshold+1 files (the one new delta that trips the next
+    tick), while the unmaintained control grows linearly."""
+    n_buckets = 4
+    bound = 3
+    policy = CompactionPolicy(max_files_per_bucket=bound)
+    maintained = LakeTable.create(
+        tmp_table_dir + "/m", TARGET_SCHEMA, n_buckets=n_buckets, write_mode="mor"
+    )
+    control = LakeTable.create(
+        tmp_table_dir + "/c", TARGET_SCHEMA, n_buckets=n_buckets, write_mode="mor"
+    )
+    hot = _doc_for_bucket(3, n_buckets)
+    worst = 0
+    for e in range(20):
+        _append_one(spark, maintained, hot, 1000 + e)
+        _append_one(spark, control, hot, 1000 + e)
+        worst = max(worst, _files_per_bucket(maintained)[3])
+        maybe_compact(spark, maintained, policy)
+    assert worst <= bound + 1
+    assert _files_per_bucket(control)[3] == 20  # unmaintained: linear
+    # state identical either way
+    m = maintained.read(spark).collect()
+    c = control.read(spark).collect()
+    assert sorted(map(tuple, m)) == sorted(map(tuple, c))
+
+
+def test_policy_noop_on_cow_and_min_due_batching(spark, tmp_table_dir):
+    tbl = LakeTable.create(
+        tmp_table_dir + "/cow", TARGET_SCHEMA, n_buckets=2, write_mode="cow"
+    )
+    rep = maybe_compact(spark, tbl, CompactionPolicy(max_files_per_bucket=0))
+    assert not rep.triggered
+    # min_due_buckets=2 defers a single-bucket trigger
+    mor = LakeTable.create(
+        tmp_table_dir + "/mor", TARGET_SCHEMA, n_buckets=4, write_mode="mor"
+    )
+    hot = _doc_for_bucket(1, 4)
+    for i in range(4):
+        _append_one(spark, mor, hot, i)
+    rep = maybe_compact(
+        spark, mor, CompactionPolicy(max_files_per_bucket=2, min_due_buckets=2)
+    )
+    assert not rep.triggered and rep.due_buckets == {1}
+    rep = maybe_compact(
+        spark, mor, CompactionPolicy(max_files_per_bucket=2, min_due_buckets=1)
+    )
+    assert rep.triggered
+
+
+def test_run_stream_with_policy(spark, tmp_path):
+    """Policy wired into the streaming ingest loop: per-epoch ticks keep
+    the table bounded and report through StreamRun.maintenance."""
+    import shutil
+
+    from qwery_spark.datagen import make_events, write_event_chunks
+    from qwery_spark.streaming.stream import run_stream
+
+    ev = make_events(2000, seed=5)
+    write_event_chunks(ev, str(tmp_path / "events"), 8)
+    tbl = LakeTable.create(
+        str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4, write_mode="mor"
+    )
+    run = run_stream(
+        spark,
+        tbl,
+        str(tmp_path / "events"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compaction_policy=CompactionPolicy(max_files_per_bucket=2),
+    )
+    run.query.awaitTermination()
+    assert len(run.maintenance) == 8  # one tick per epoch
+    assert any(r.triggered for r in run.maintenance)
+    assert max(_files_per_bucket(tbl).values()) <= 3
+    shutil.rmtree(str(tmp_path / "events"), ignore_errors=True)
