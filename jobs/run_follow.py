@@ -49,6 +49,11 @@ def main(argv=None):
     p.add_argument("--coarse", action="store_true",
                    help="net endpoint diff per window instead of per-commit "
                         "rows (the cheap mode for far-behind consumers)")
+    p.add_argument("--window", type=int, default=None,
+                   help="window-attributed hybrid feed: one endpoint diff "
+                        "per chunk of <= N data commits (near-coarse cost "
+                        "for a far-behind follower, window-level "
+                        "_commit_version attribution); overrides --coarse")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="replica maintenance: compact any replica bucket "
                         "whose live-file count exceeds this bound after a "
@@ -124,6 +129,7 @@ def main(argv=None):
         poll_sec=args.poll,
         max_polls=args.max_polls,
         granular=not args.coarse,
+        window=args.window,
         on_advance=persist,
     )
     print(json.dumps({"last_synced_version": last}))

@@ -136,6 +136,7 @@ def read_changes(
     from_version: int,
     to_version: int | None = None,
     granular: bool = True,
+    window: int | None = None,
 ) -> DataFrame:
     """Changelog of ``table`` for commits in ``(from_version,
     to_version]`` (Iceberg incremental-scan bounds: exclusive start,
@@ -148,6 +149,12 @@ def read_changes(
     through are invisible, _commit_version = to_version for every row)
     — two scans + one join regardless of range length, the right mode
     for long-range catch-up consumers like replicate().
+
+    ``window=W`` (overrides granular) is the hybrid for a follower K
+    commits behind: one endpoint diff per chunk of <= W data commits,
+    rows attributed with _commit_version = that chunk's end version —
+    ceil(K/W) diffs instead of K, near-coarse cost with window-level
+    staleness attribution and exact cross-window ordering.
 
     Returns one row per visible-state change with the contract described
     in the module docstring. Schema follows each commit's own snapshot
@@ -162,19 +169,54 @@ def read_changes(
     key = table.snapshot(to_version).m["key_col"]
 
     data_commits: list[tuple[int, set[int] | None]] = []
+    rebucket_versions: set[int] = set()
     rebucketed = False
     for v in range(from_version + 1, to_version + 1):
         summary = table.snapshot(v).m.get("summary") or {}
         op = summary.get("operation")
         if op == "rebucket":
             rebucketed = True
+            rebucket_versions.add(v)
         if op not in _DATA_OPS:
             continue
         tb = summary.get("touched_buckets")
         data_commits.append((v, set(tb) if tb is not None else None))
 
     parts: list[DataFrame] = []
-    if granular:
+    if window is not None:
+        # ---- window-attributed hybrid (granular ignored) ----
+        # One endpoint diff per chunk of <= `window` DATA commits;
+        # every row in a chunk carries _commit_version = the chunk's
+        # end version. Cost is linear in ceil(K / window) windows, not
+        # K commits — the far-behind-follower mode that still gives
+        # bounded-staleness attribution (which pure coarse, labeling
+        # everything with the range end, cannot). Net-change semantics
+        # WITHIN a window, exact ordering ACROSS windows.
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        prev_end = from_version
+        for i in range(0, len(data_commits), window):
+            chunk = data_commits[i : i + window]
+            end_v = chunk[-1][0]
+            # per-window rebucket fallback: summaries' bucket ids are
+            # layout-relative, so a rebucket inside (prev_end, end_v]
+            # voids the pruning for THIS window only
+            win_rebucket = any(
+                prev_end < rv <= end_v for rv in rebucket_versions
+            )
+            touched: set[int] | None = set()
+            for _v, buckets in chunk:
+                if buckets is None or win_rebucket:
+                    touched = None
+                    break
+                touched |= buckets
+            parts.append(
+                _diff_snapshots(
+                    spark, table, prev_end, end_v, touched, key, end_v
+                )
+            )
+            prev_end = end_v
+    elif granular:
         parts = [
             _diff_snapshots(spark, table, v - 1, v, buckets, key, v)
             for v, buckets in data_commits

@@ -347,6 +347,7 @@ def follow_changes(
     poll_sec: float = 5.0,
     max_polls: int | None = None,
     granular: bool = True,
+    window: int | None = None,
     sleep=time.sleep,
     on_advance=None,
 ) -> int:
@@ -378,8 +379,12 @@ def follow_changes(
         if head > last:
             from qwery_spark.lake.changes import read_changes
 
-            sink_fn(read_changes(spark, table, last, head, granular=granular),
-                    last, head)
+            sink_fn(
+                read_changes(
+                    spark, table, last, head, granular=granular, window=window
+                ),
+                last, head,
+            )
             last = head
             if on_advance is not None:
                 on_advance(last)

@@ -230,3 +230,102 @@ def test_coarse_feed_across_ddl_rebucket_and_vacuumed_tombstones(
         (r["doc_id"], tuple(r["tokens"])) for r in dst.read(spark).collect()
     }
     assert dst_state == src_state
+
+
+def test_windowed_feed_attribution_and_equivalences(spark, tmp_table_dir):
+    """window=1 must equal the granular feed exactly; window=K (whole
+    range) must equal the coarse feed except for attribution; a middle
+    window size nets within windows and orders across them."""
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=4)
+    _apply(spark, tbl, [(1, "I", "a", [1], 1, "web", None),
+                        (2, "I", "b", [2], 1, "web", None)], 0)
+    _apply(spark, tbl, [(10, "U", "a", [1, 1], 2, "web", None)], 1)
+    _apply(spark, tbl, [(20, "D", "b", None, None, "web", None),
+                        (21, "I", "c", [3], 1, "web", None)], 2)
+    _apply(spark, tbl, [(30, "U", "c", [3, 3], 2, "web", None)], 3)
+    head = tbl.current_version()
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id"], r["_change_type"], r["_ordinal"], r["_commit_version"])
+            for r in read_changes(spark, tbl, 0, head, **kw).collect()
+        )
+
+    assert rows(window=1) == rows(granular=True)
+    assert rows(window=head) == rows(granular=False)
+
+    # window=2: chunk1 = commits {1,2} netted, chunk2 = {3,4} netted
+    w2 = rows(window=2)
+    by_doc = {}
+    for doc, ct, o, cv in w2:
+        by_doc.setdefault(doc, []).append((ct, o, cv))
+    # 'a' netted inside chunk1: single insert at final ordinal, v2 label
+    assert by_doc["a"] == [("insert", 10, 2)]
+    # 'b' appeared and died inside chunk1+2? b inserted v1, deleted v3 ->
+    # chunk1 shows the insert (label v2), chunk2 shows the delete (v4)
+    assert ("insert", 2, 2) in by_doc["b"] and ("delete", 20, 4) in by_doc["b"]
+    # 'c' inserted v3 + updated v4 nets to one insert inside chunk2
+    assert by_doc["c"] == [("insert", 30, 4)]
+
+
+def test_windowed_feed_replication_converges(spark, tmp_table_dir):
+    """Applying the windowed feed chunk-by-chunk through replicate()
+    converges the replica to the source — the hybrid keeps the feed's
+    completeness contract."""
+    from qwery_spark.lake.changes import replicate
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=4)
+    for e in range(6):
+        _apply(spark, tbl, [
+            (100 * e + i, "U" if (e + i) % 5 else "D",
+             f"k{i % 7}", None if (e + i) % 5 == 0 else [e, i],
+             None if (e + i) % 5 == 0 else 2, "web", None)
+            for i in range(10)
+        ], e)
+    head = tbl.current_version()
+
+    dst = LakeTable.create(tmp_table_dir + "/dst", TARGET_SCHEMA, n_buckets=3)
+    w = 2
+    lo = 0
+    chunk_i = 0
+    while lo < head:
+        hi = min(lo + w, head)
+        feed = read_changes(spark, tbl, lo, hi, window=w)
+        replicate(spark, tbl, dst, lo, hi, epoch_id=f"win:{hi}", feed=feed)
+        lo = hi
+        chunk_i += 1
+    src = sorted((r["doc_id"], tuple(r["tokens"]))
+                 for r in tbl.read(spark).collect())
+    got = sorted((r["doc_id"], tuple(r["tokens"]))
+                 for r in dst.read(spark).collect())
+    assert got == src
+
+
+def test_windowed_feed_across_hazard_range(spark, tmp_table_dir):
+    """The r3 coarse-range hazards (mid-range DDL, rebucket, tombstone
+    vacuum) handled per-window: the rebucket voids bucket pruning only
+    for the window containing it."""
+    from qwery_spark.lake.merge import compact, rebucket
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2)
+    _apply(spark, tbl, [
+        (i, "I", f"k{i}", [i], 1, "web", None) for i in range(6)
+    ], 0)
+    sync = tbl.current_version()
+    tbl.add_column("quality", "double")
+    _apply(spark, tbl, [(10, "U", "k1", [7, 7], 2, "web", None)], 1)
+    _apply(spark, tbl, [(11, "D", "k2", None, None, "web", None)], 2)
+    compact(spark, tbl, drop_tombstones=True)
+    rebucket(spark, tbl, 5)
+    _apply(spark, tbl, [(20, "U", "k3", [8, 8, 8], 3, "web", None)], 3)
+    head = tbl.current_version()
+
+    rows = {
+        r["doc_id"]: r
+        for r in read_changes(spark, tbl, sync, head, window=2).collect()
+    }
+    assert rows["k1"]["_change_type"] == "update_postimage"
+    assert rows["k2"]["_change_type"] == "delete"
+    assert rows["k3"]["_change_type"] == "update_postimage"
+    assert rows["k3"]["_ordinal"] == 20
+    assert "quality" in rows["k1"].asDict()

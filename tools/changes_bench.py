@@ -64,6 +64,18 @@ def main():
             "rows": n,
             "sec": round(time.monotonic() - t0, 2),
         }
+        # window-attributed hybrid: ceil(K/W) endpoint diffs with
+        # window-end _commit_version labels — the far-behind-follower
+        # mode; cost should land near coarse, far under granular
+        for w in (8, 16):
+            t0 = time.monotonic()
+            n = read_changes(spark, tbl, 0, head, window=w).count()
+            out[f"full_window{w}"] = {
+                "commits": head,
+                "windows": -(-head // w),
+                "rows": n,
+                "sec": round(time.monotonic() - t0, 2),
+            }
         # driver-side fold cost alone (no Spark jobs): walk every
         # version's snapshot twice, as the feed's planner does
         t0 = time.monotonic()
