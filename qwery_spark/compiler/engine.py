@@ -757,13 +757,19 @@ class ScriptEngine:
 
         if re.match(r"VACUUM\s+LAKE\b", up):
             # lake maintenance (Iceberg remove_orphan_files):
-            # VACUUM LAKE 'path'
-            m = re.match(r"VACUUM\s+LAKE\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
+            # VACUUM LAKE 'path' [GRACE <seconds>]
+            # default grace = 1h protects a concurrent writer's staged
+            # files; GRACE 0 for provably single-writer scripts
+            m = re.match(
+                r"VACUUM\s+LAKE\s+'([^']+)'(?:\s+GRACE\s+(\d+))?\s*$",
+                stmt, re.IGNORECASE,
+            )
             if not m:
                 raise ValueError(f"bad VACUUM LAKE: {stmt}")
             from qwery_spark.lake.table import LakeTable
 
-            n = LakeTable(m.group(1)).vacuum()
+            grace = float(m.group(2)) if m.group(2) is not None else 3600.0
+            n = LakeTable(m.group(1)).vacuum(grace_sec=grace)
             return self.spark.createDataFrame([(n,)], "FILES_REMOVED long")
 
         if up.startswith("SELECT") or up.startswith("WITH"):
@@ -867,6 +873,12 @@ class ScriptEngine:
         # column to it, whatever the table was created with.
         key_col = tbl.snapshot().m["key_col"]
         if key != key_col:
+            if key_col in df.columns:
+                raise ValueError(
+                    f"UPSERT KEYED ON {key!r}: renaming to the table key "
+                    f"{key_col!r} would collide with an existing column "
+                    f"of that name in the SELECT"
+                )
             df = df.withColumnRenamed(key, key_col)
         if insert_missing and tbl.snapshot().write_mode == "mor":
             stats = append_changes(self.spark, tbl, df)

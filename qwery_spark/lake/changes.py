@@ -319,6 +319,12 @@ def replicate(
             "ordinal",
         )
     )
-    from qwery_spark.lake.merge import merge_changes
+    # honor the REPLICA's write mode: a MOR destination takes the window
+    # as a delta append (O(batch) write amplification; its delta files
+    # then accumulate, which is what run_follow --auto-compact-files
+    # bounds), a COW destination merges (bucket rewrite, read-optimized)
+    from qwery_spark.lake.merge import append_changes, merge_changes
 
+    if dst.snapshot().write_mode == "mor":
+        return append_changes(spark, dst, winners, epoch_id=epoch_id)
     return merge_changes(spark, dst, winners, epoch_id=epoch_id)

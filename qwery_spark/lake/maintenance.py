@@ -72,6 +72,7 @@ def maybe_compact(
     snap = table.snapshot()
     rep = MaintenanceReport(files_before=len(snap.files()))
     if snap.write_mode != "mor":
+        rep.files_after = rep.files_before
         return rep
     due = policy.due_buckets(snap)
     rep.due_buckets = due

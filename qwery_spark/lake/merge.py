@@ -513,17 +513,16 @@ def merge_changes(
         # no persist of the merged join; matched keys come from a SECOND
         # left_semi scan of the touched target buckets.
         two_scan = os.environ.get("QWERY_MERGE_TWO_SCAN") == "1"
-        if use_broadcast and two_scan:
-            merged = tgt_b.join(F.broadcast(s), join_cond, "left").select(
-                *out_cols, act.alias("_act")
-            )
-            matched_keys = (
-                table.read_physical(spark, buckets=touched)
-                .select(F.col(f"`{key}`"))
-                .join(F.broadcast(src.select(key)), key, "left_semi")
-            )
+
+        def _inserts(matched_keys):
+            # src keys absent from the target become inserts (deletes of
+            # absent keys become tombstones). matched_keys is <= |src|
+            # rows, so the anti join broadcasts; the repartition is the
+            # only shuffle left — the small inserts' bucket layout for
+            # the partitioned write. Shared by BOTH broadcast arms so
+            # the A/B stays a pure performance switch.
             ins_delete = F.col("op") == "D"
-            inserts = (
+            return (
                 src.join(F.broadcast(matched_keys), key, "left_anti")
                 .select(
                     F.col(key),
@@ -541,7 +540,17 @@ def merge_changes(
                 )
                 .repartition(max(min(len(touched), 64), 1), "_bucket")
             )
-            result = merged.unionByName(inserts)
+
+        if use_broadcast and two_scan:
+            merged = tgt_b.join(F.broadcast(s), join_cond, "left").select(
+                *out_cols, act.alias("_act")
+            )
+            matched_keys = (
+                table.read_physical(spark, buckets=touched)
+                .select(F.col(f"`{key}`"))
+                .join(F.broadcast(src.select(key)), key, "left_semi")
+            )
+            result = merged.unionByName(_inserts(matched_keys))
         elif use_broadcast:
             # ---- BROADCAST MERGE: the target side NEVER shuffles, and
             # is scanned exactly ONCE (round-2 verdict: the old shape
@@ -562,34 +571,11 @@ def merge_changes(
             merged_cache = merged = merged.persist()
             merged.count()  # the ONE scan of the touched target buckets
             matched = merged.drop("_mk")
-            # inserts: src keys absent from the target. matched_keys is
-            # <= |src| rows, so the anti join broadcasts too — the only
-            # shuffle left is the small inserts' bucket layout for the
-            # partitioned write.
             matched_keys = (
                 merged.filter(F.col("_mk").isNotNull())
                 .select(F.col("_mk").alias(key))
             )
-            ins_delete = F.col("op") == "D"
-            inserts = (
-                src.join(F.broadcast(matched_keys), key, "left_anti")
-                .select(
-                    F.col(key),
-                    *[
-                        F.when(ins_delete, F.lit(None).cast(f["type"]))
-                        .otherwise(F.col(f"`{f['name']}`"))
-                        .alias(f["name"])
-                        for f in ufields
-                        if f["name"] != key
-                    ],
-                    F.col("ordinal").alias("last_ordinal"),
-                    ins_delete.alias("_deleted"),
-                    F.col("_bucket"),
-                    F.when(ins_delete, "del").otherwise("up").alias("_act"),
-                )
-                .repartition(max(min(len(touched), 64), 1), "_bucket")
-            )
-            result = matched.unionByName(inserts)
+            result = matched.unionByName(_inserts(matched_keys))
         else:
             join_how = "full_outer" if insert_missing else "left"
             joined = tgt_b.join(s, join_cond, join_how)

@@ -696,13 +696,23 @@ class LakeTable:
         return None
 
     def commit_schema_change(
-        self, fields: list[dict], summary: dict, max_retries: int = 5
+        self,
+        fields: list[dict],
+        summary: dict,
+        max_retries: int = 5,
+        base: Snapshot | None = None,
     ) -> Snapshot:
         """Metadata-only commit: new schema version, files untouched.
         Retries over interleaved DATA commits (they can't invalidate a
         field list); a concurrent schema change raises CommitConflict —
-        the caller computed ``fields`` from a schema that moved."""
-        base = self.snapshot()
+        the caller computed ``fields`` from a schema that moved.
+
+        ``base`` must be the snapshot the field list was DERIVED from
+        (every in-class caller passes it): capturing it here instead
+        would silently absorb a schema change landing between the
+        caller's read and this call, clobbering that change."""
+        if base is None:
+            base = self.snapshot()
         for _ in range(max_retries + 1):
             latest = self.snapshot()
             if latest.version != base.version:
@@ -766,9 +776,20 @@ class LakeTable:
             _HIST_CACHE.pop(k, None)
         return len(to_drop)
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_sec: float = 3600.0) -> int:
         """Delete data files not referenced by any live manifest (orphans
-        from expired snapshots / failed stages). Returns files removed."""
+        from expired snapshots / failed stages). Returns files removed.
+
+        ``grace_sec`` (Iceberg remove_orphan_files' older_than): a file
+        younger than the grace window is NEVER deleted even if
+        unreferenced — a concurrent writer stages parquet FIRST and
+        links its manifest after, so with multi-writer rebase enabled a
+        zero-grace vacuum could unlink a commit-in-flight's staged
+        files and corrupt its commit. Pass 0 only when provably
+        single-process (e.g. the single-writer ingest loop's inline
+        maintenance)."""
+        import time as _time
+
         mdir = os.path.join(self.path, MANIFEST_DIR)
         live: set[str] = set()
         for n in os.listdir(mdir):
@@ -780,12 +801,17 @@ class LakeTable:
                     f["path"] for f in rec.get("files", []) + rec.get("add_files", [])
                 )
         removed = 0
+        cutoff = _time.time() - grace_sec
         droot = os.path.join(self.path, DATA_DIR)
         for root, _dirs, files in os.walk(droot, topdown=False):
             for f in files:
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path)
-                if rel not in live and f.endswith(".parquet"):
+                if (
+                    rel not in live
+                    and f.endswith(".parquet")
+                    and os.path.getmtime(full) <= cutoff
+                ):
                     os.unlink(full)
                     removed += 1
             if not os.listdir(root) and root != droot:
@@ -809,7 +835,7 @@ class LakeTable:
         usr = [f for f in fields if f["name"] not in ("last_ordinal", "_deleted")]
         usr.append({"id": next_id, "name": name, "type": type_ddl})
         return self.commit_schema_change(
-            usr + eng, {"operation": "add_column", "name": name, "type": type_ddl}
+            usr + eng, {"operation": "add_column", "name": name, "type": type_ddl}, base=latest
         )
 
     def rename_column(self, old: str, new: str) -> Snapshot:
@@ -823,7 +849,7 @@ class LakeTable:
             if f["name"] == old:
                 f["name"] = new
         return self.commit_schema_change(
-            fields, {"operation": "rename_column", "from": old, "to": new}
+            fields, {"operation": "rename_column", "from": old, "to": new}, base=latest
         )
 
     def drop_column(self, name: str) -> Snapshot:
@@ -842,7 +868,7 @@ class LakeTable:
             raise ValueError(f"no such column: {name}")
         kept = [f for f in fields if f["name"] != name]
         return self.commit_schema_change(
-            kept, {"operation": "drop_column", "name": name}
+            kept, {"operation": "drop_column", "name": name}, base=latest
         )
 
     def widen_type(self, name: str, new_type: str) -> Snapshot:
@@ -855,5 +881,5 @@ class LakeTable:
             raise ValueError(f"illegal widen {tgt['type']} -> {new_type}")
         tgt["type"] = new_type
         return self.commit_schema_change(
-            fields, {"operation": "widen_type", "name": name, "type": new_type}
+            fields, {"operation": "widen_type", "name": name, "type": new_type}, base=latest
         )

@@ -150,7 +150,13 @@ def update_signature_index(
     from qwery_spark.lake.merge import append_changes
 
     to_version = docs.current_version() if to_version is None else to_version
-    feed = read_changes(spark, docs, from_version, to_version, granular=False)
+    # persist the FEED itself (one run of the coarse endpoint diff —
+    # two table scans + a join), then derive both branches from the
+    # cache; persisting the branches separately would execute the diff
+    # once per branch. Bounded by the window's change volume.
+    feed = read_changes(
+        spark, docs, from_version, to_version, granular=False
+    ).persist()
     key = docs.snapshot().m["key_col"]
 
     upserts = feed.filter(
@@ -159,11 +165,6 @@ def update_signature_index(
     deletes = feed.filter(F.col("_change_type") == "delete").select(
         key, F.col("_ordinal").alias("ordinal")
     )
-    # one pass over the (small) window, not the corpus: persist so the
-    # re-shingle count, the sig computation and the delete branch don't
-    # re-run the snapshot diff; bounded by the window's change volume
-    upserts.persist()
-    deletes.persist()
     try:
         n_up = upserts.count()
         n_del = deletes.count()
@@ -196,8 +197,7 @@ def update_signature_index(
             stats.snapshot_version = r.snapshot_version
         return stats
     finally:
-        upserts.unpersist()
-        deletes.unpersist()
+        feed.unpersist()
 
 
 def _exploded(index_df: DataFrame, key: str) -> DataFrame:

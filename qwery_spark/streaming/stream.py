@@ -289,7 +289,9 @@ def run_stream(
             # reader pinned to an expired snapshot)
             if expire_keep:
                 table.expire_snapshots(keep_last=expire_keep)
-                table.vacuum()
+                # grace 0 is safe HERE: this loop is the table's only
+                # writer, so no staged-but-uncommitted files can exist
+                table.vacuum(grace_sec=0)
 
     writer = events.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -97,6 +97,9 @@ def _reorder() -> None:
     # the actionable message, not an opaque import-time AssertionError
     if len(_WINDOW_50) != 50:
         raise RuntimeError(f"driver window list has {len(_WINDOW_50)} entries, needs 50")
+    if len(set(_WINDOW_50)) != 50:
+        dupes = sorted({n for n in _WINDOW_50 if _WINDOW_50.count(n) > 1})
+        raise RuntimeError(f"driver window list has duplicate entries: {dupes}")
     missing = [n for n in _WINDOW_50 if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"driver window names absent from REGISTRY: {missing}")

@@ -58,7 +58,7 @@ def test_expire_and_vacuum(spark, tmp_table_dir):
 
     dropped = tbl.expire_snapshots(keep_last=1)
     assert dropped >= 2
-    removed = tbl.vacuum()
+    removed = tbl.vacuum(grace_sec=0)  # single-writer test
     assert removed > 0  # pre-compaction delta files were orphaned
     after = tbl.read(spark).orderBy("doc_id").toPandas()
     assert list(before["doc_id"]) == list(after["doc_id"])

@@ -542,3 +542,24 @@ def test_script_lifecycle_non_doc_id_key(eng, tmp_path):
 
         with pytest.raises(ValueError, match="keyed on"):
             eng.execute(f"UPDATE LAKE '{path}' SET v = 0 KEYED ON other")
+
+
+def test_vacuum_grace_syntax(eng, tmp_path):
+    """VACUUM LAKE 'p' GRACE 0 reclaims immediately; bare VACUUM keeps
+    the 1h grace that protects concurrent writers' staged files."""
+    path = str(tmp_path / "vg")
+    eng.execute(f"CREATE LAKE '{path}' (doc_id string, v int) KEYED ON doc_id MODE mor")
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id "
+        "SELECT 'a' AS doc_id, 1 AS v, 1L AS ordinal"
+    )
+    eng.execute(
+        f"UPSERT INTO LAKE '{path}' KEYED ON doc_id "
+        "SELECT 'a' AS doc_id, 2 AS v, 2L AS ordinal"
+    )
+    eng.execute(f"COMPACT LAKE '{path}'")
+    eng.execute(f"EXPIRE SNAPSHOTS '{path}' KEEP 1")
+    n_default = eng.execute(f"VACUUM LAKE '{path}'").collect()[0]["FILES_REMOVED"]
+    assert n_default == 0  # orphans are seconds old: grace protects them
+    n0 = eng.execute(f"VACUUM LAKE '{path}' GRACE 0").collect()[0]["FILES_REMOVED"]
+    assert n0 > 0

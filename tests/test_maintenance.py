@@ -153,3 +153,59 @@ def test_run_stream_with_policy(spark, tmp_path):
     assert any(r.triggered for r in run.maintenance)
     assert max(_files_per_bucket(tbl).values()) <= 3
     shutil.rmtree(str(tmp_path / "events"), ignore_errors=True)
+
+
+def test_vacuum_grace_protects_fresh_orphans(spark, tmp_table_dir):
+    """vacuum(grace_sec) must not delete a freshly staged (possibly
+    commit-in-flight) parquet file; with grace elapsed it is removed."""
+    import os
+    import time
+
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+    _append_one(spark, tbl, _doc_for_bucket(0, 2), 1)
+    # simulate another writer's staged-but-uncommitted file
+    orphan = os.path.join(tbl.path, "data", "snap-inflight", "_bucket=0")
+    os.makedirs(orphan)
+    staged = os.path.join(orphan, "part-zzz.snappy.parquet")
+    open(staged, "wb").write(b"x")
+    assert tbl.vacuum(grace_sec=3600) == 0  # fresh: protected
+    assert os.path.exists(staged)
+    old = time.time() - 7200
+    os.utime(staged, (old, old))
+    assert tbl.vacuum(grace_sec=3600) == 1  # aged out: reclaimed
+    assert not os.path.exists(staged)
+
+
+def test_mor_replica_accumulates_deltas_and_policy_bounds_them(
+    spark, tmp_table_dir
+):
+    """replicate() into a MOR replica appends deltas (so the follower's
+    --auto-compact-files policy has something to bound); a COW replica
+    keeps the merge path."""
+    from qwery_spark.lake.changes import replicate
+
+    src = LakeTable.create(
+        tmp_table_dir + "/src", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+    hot = _doc_for_bucket(1, 2)
+    for e in range(5):
+        _append_one(spark, src, hot, 10 + e)
+    dst = LakeTable.create(
+        tmp_table_dir + "/dst", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+    lo = 0
+    for e in range(5):
+        hi = lo + 1
+        replicate(spark, src, dst, lo, hi, epoch_id=f"w{hi}")
+        lo = hi
+    # five windows -> five delta files on the hot bucket
+    assert _files_per_bucket(dst)[1] == 5
+    rep = maybe_compact(spark, dst, CompactionPolicy(max_files_per_bucket=3))
+    assert rep.triggered
+    assert _files_per_bucket(dst)[1] == 1
+    # state still equals source
+    assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
+        map(tuple, src.read(spark).collect())
+    )
