@@ -22,6 +22,10 @@ table).
 
 Change row contract (Delta CDF naming):
   _change_type    'insert' | 'update_postimage' | 'delete'
+                  (+ 'update_preimage' when include_preimages=True —
+                  old payload at the old ordinal, emitted beside every
+                  update_postimage; incremental-aggregate consumers
+                  subtract it)
   _commit_version the snapshot version whose commit caused the change
   _ordinal        the change event's ordinal (for deletes: the delete
                   event's ordinal; payload columns carry the preimage)
@@ -55,6 +59,7 @@ def _diff_snapshots(
     buckets: set[int] | None,
     key: str,
     label_version: int,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Change rows between two snapshots: full-outer join of the
     touched buckets at ``before_version`` (live rows only) vs
@@ -104,29 +109,69 @@ def _diff_snapshots(
               "update_postimage")
     )
     take_after = a_key.isNotNull() & ~a_del  # deletes report the preimage
-    return (
-        after.join(before, a_key == b_key, "full_outer")
-        .select(
-            F.coalesce(a_key, b_key).alias(key),
-            *[
-                F.when(take_after, F.col(f"a.`{c}`"))
-                .otherwise(F.col(f"b.`{c}`"))
-                .alias(c)
-                for c in payload
-            ],
-            ct.alias(CHANGE_TYPE_COL),
-            F.lit(label_version).alias(COMMIT_VERSION_COL),
-            # insert/update: the new winner's ordinal; delete: the
-            # tombstone's (the event that removed the row). When the
-            # tombstone was vacuumed (a-side absent), the true ordinal
-            # is gone — report preimage.last_ordinal + 1, a safe lower
-            # bound: the delete happened strictly after the preimage,
-            # and any REAL later event outranks it.
-            F.coalesce(
-                F.col("a.`last_ordinal`"), F.col("b.`last_ordinal`") + 1
-            ).alias(ORDINAL_COL),
+    joined = after.join(before, a_key == b_key, "full_outer")
+    # insert/update: the new winner's ordinal; delete: the tombstone's
+    # (the event that removed the row). When the tombstone was vacuumed
+    # (a-side absent), the true ordinal is gone — report
+    # preimage.last_ordinal + 1, a safe lower bound: the delete happened
+    # strictly after the preimage, and any REAL later event outranks it.
+    ordinal_expr = F.coalesce(
+        F.col("a.`last_ordinal`"), F.col("b.`last_ordinal`") + 1
+    )
+    if not include_preimages:
+        return (
+            joined.select(
+                F.coalesce(a_key, b_key).alias(key),
+                *[
+                    F.when(take_after, F.col(f"a.`{c}`"))
+                    .otherwise(F.col(f"b.`{c}`"))
+                    .alias(c)
+                    for c in payload
+                ],
+                ct.alias(CHANGE_TYPE_COL),
+                F.lit(label_version).alias(COMMIT_VERSION_COL),
+                ordinal_expr.alias(ORDINAL_COL),
+            )
+            .filter(F.col(CHANGE_TYPE_COL).isNotNull())
         )
-        .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+    # Delta-CDF parity: an updated key emits TWO rows — update_preimage
+    # (old payload, old ordinal) then update_postimage. Single pass over
+    # the same full-outer join: per joined row an array of 0-2 change
+    # structs, exploded; no second join execution. Consumers that
+    # maintain incremental aggregates need the preimage to subtract.
+    post_struct = F.struct(
+        *[
+            F.when(take_after, F.col(f"a.`{c}`"))
+            .otherwise(F.col(f"b.`{c}`"))
+            .alias(c)
+            for c in payload
+        ],
+        ct.alias("_ct"),
+        ordinal_expr.cast("bigint").alias("_o"),
+    )
+    pre_struct = F.struct(
+        *[F.col(f"b.`{c}`").alias(c) for c in payload],
+        F.lit("update_preimage").alias("_ct"),
+        F.col("b.`last_ordinal`").cast("bigint").alias("_o"),
+    )
+    rows = F.filter(
+        F.array(
+            F.when(ct == "update_postimage", pre_struct),
+            F.when(ct.isNotNull(), post_struct),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        joined.select(
+            F.coalesce(a_key, b_key).alias(key), F.explode(rows).alias("r")
+        )
+        .select(
+            key,
+            *[F.col(f"r.`{c}`").alias(c) for c in payload],
+            F.col("r._ct").alias(CHANGE_TYPE_COL),
+            F.lit(label_version).alias(COMMIT_VERSION_COL),
+            F.col("r._o").alias(ORDINAL_COL),
+        )
     )
 
 
@@ -137,6 +182,7 @@ def read_changes(
     to_version: int | None = None,
     granular: bool = True,
     window: int | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Changelog of ``table`` for commits in ``(from_version,
     to_version]`` (Iceberg incremental-scan bounds: exclusive start,
@@ -212,13 +258,15 @@ def read_changes(
                 touched |= buckets
             parts.append(
                 _diff_snapshots(
-                    spark, table, prev_end, end_v, touched, key, end_v
+                    spark, table, prev_end, end_v, touched, key, end_v,
+                    include_preimages=include_preimages,
                 )
             )
             prev_end = end_v
     elif granular:
         parts = [
-            _diff_snapshots(spark, table, v - 1, v, buckets, key, v)
+            _diff_snapshots(spark, table, v - 1, v, buckets, key, v,
+                            include_preimages=include_preimages)
             for v, buckets in data_commits
         ]
     elif data_commits:
@@ -234,7 +282,8 @@ def read_changes(
             touched |= buckets
         parts = [
             _diff_snapshots(
-                spark, table, from_version, to_version, touched, key, to_version
+                spark, table, from_version, to_version, touched, key,
+                to_version, include_preimages=include_preimages,
             )
         ]
     if not parts:

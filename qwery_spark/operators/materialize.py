@@ -1,0 +1,194 @@
+"""Incrementally maintained materialized aggregates over a CDC lake
+table — the classic reason a change feed exists: keep a per-group
+COUNT/SUM rollup current by applying only each window's change rows,
+never re-reading the base table.
+
+Works on the feed's preimage/postimage contract
+(read_changes(include_preimages=True), Delta CDF shape):
+
+  insert            -> +1 count, +value sums for its group
+  update_preimage   -> -1 count, -old values for the OLD group
+  update_postimage  -> +1 count, +new values for the NEW group
+  delete            -> -1 count, -preimage values (delete rows carry
+                       the preimage payload)
+
+A group-changing update therefore moves the row between groups with no
+special casing, and groups whose count reaches 0 are deleted from the
+rollup. The rollup itself is a lake table keyed by the group column,
+updated with ordinal = the window's end version — windows applied in
+order (or replayed) converge via the normal LWW guard.
+
+100-TB shape: one shuffle per window on the group column, sized by the
+WINDOW's change volume (partial-aggregated map-side), then a broadcast
+merge into the (small) rollup table. The equivalent recompute scans
+the full base table per refresh. Distributive aggregates only
+(count/sum — and mean as sum/count at read time); min/max need the
+base table on retraction and are out of scope here.
+
+Reference anchor: beyond the reference (no change feed there); the
+design is standard incremental view maintenance (counting algorithm)
+restated on the lake's feed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qwery_spark.lake.changes import read_changes
+from qwery_spark.lake.table import LakeTable
+
+
+@dataclass
+class AggUpdateStats:
+    change_rows: int = 0
+    groups_touched: int = 0
+    from_version: int = 0
+    to_version: int = 0
+    snapshot_version: int | None = None
+
+
+def _agg_schema(group_col: str, group_type: T.DataType, sum_cols: list[str]):
+    return T.StructType(
+        [
+            T.StructField(group_col, group_type),
+            T.StructField("n_rows", T.LongType()),
+            *[T.StructField(f"sum_{c}", T.DoubleType()) for c in sum_cols],
+        ]
+    )
+
+
+def build_agg(
+    spark: SparkSession,
+    src: LakeTable,
+    agg_path: str,
+    group_col: str,
+    sum_cols: list[str],
+    n_buckets: int = 8,
+) -> LakeTable:
+    """Full build of the rollup from the source's live state; ordinal =
+    the source version it reflects, so incremental windows (which carry
+    their own end versions) continue the same LWW order."""
+    from qwery_spark.lake.merge import merge_changes
+
+    group_type = src.snapshot().spark_schema()[group_col].dataType
+    agg = LakeTable.create(
+        agg_path,
+        _agg_schema(group_col, group_type, sum_cols),
+        n_buckets=n_buckets,
+        key_col=group_col,
+        write_mode="cow",
+    )
+    version = src.current_version()
+    rows = (
+        src.read(spark)
+        # NULL groups are excluded (a lake key cannot be null — and a
+        # null group is not a group); same filter on the update path
+        .filter(F.col(f"`{group_col}`").isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            *[
+                F.sum(F.col(f"`{c}`").cast("double")).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .select(
+            F.col(f"`{group_col}`"),
+            "n_rows",
+            *[f"sum_{c}" for c in sum_cols],
+            F.lit("U").alias("op"),
+            F.lit(version).cast("bigint").alias("ordinal"),
+        )
+    )
+    merge_changes(spark, agg, rows, epoch_id=f"agg:{version}")
+    return agg
+
+
+def update_agg(
+    spark: SparkSession,
+    src: LakeTable,
+    agg: LakeTable,
+    group_col: str,
+    sum_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> AggUpdateStats:
+    """One change-feed window becomes one rollup commit. Reads the
+    window's preimage/postimage rows, folds them into per-group deltas
+    (one shuffle, window-sized), applies the deltas to the current
+    rollup values, and merges: updated groups at ordinal = the window's
+    end version, emptied groups as deletes. Idempotent per window via
+    the agg table's epoch key (re-applying a window no-ops). Windows
+    must be applied IN ORDER (each delta folds onto the rollup state
+    the previous window left) — the same contract as a replicate
+    follower, enforced naturally by follow_changes' ordered delivery."""
+    from qwery_spark.lake.merge import merge_changes
+
+    to_version = src.current_version() if to_version is None else to_version
+    stats = AggUpdateStats(from_version=from_version, to_version=to_version)
+    if to_version <= from_version:
+        return stats
+    feed = read_changes(
+        spark, src, from_version, to_version, granular=False,
+        include_preimages=True,
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    deltas = (
+        feed.filter(F.col(f"`{group_col}`").isNotNull())
+        .select(
+            F.col(f"`{group_col}`"),
+            sign.alias("_sign"),
+            *[F.col(f"`{c}`").cast("double").alias(c) for c in sum_cols],
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("_sign").cast("long").alias("d_n"),
+            *[
+                F.sum(F.col(f"`{c}`") * F.col("_sign")).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    deltas = deltas.persist()
+    try:
+        stats.groups_touched = deltas.count()
+        if stats.groups_touched == 0:
+            return stats
+        cur = agg.read(spark)
+        merged = (
+            deltas.alias("d")
+            .join(cur.alias("c"), group_col, "left")
+            .select(
+                F.col(f"`{group_col}`"),
+                (F.coalesce(F.col("c.n_rows"), F.lit(0)) + F.col("d.d_n"))
+                .cast("long")
+                .alias("n_rows"),
+                *[
+                    (
+                        F.coalesce(F.col(f"c.`sum_{c}`"), F.lit(0.0))
+                        + F.col(f"d.`d_{c}`")
+                    ).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        batch = merged.select(
+            F.col(f"`{group_col}`"),
+            *[
+                F.when(F.col("n_rows") > 0, F.col(f"`{x}`")).alias(x)
+                for x in ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+            ],
+            F.when(F.col("n_rows") > 0, F.lit("U")).otherwise("D").alias("op"),
+            F.lit(to_version).cast("bigint").alias("ordinal"),
+        )
+        r = merge_changes(spark, agg, batch, epoch_id=f"agg:{to_version}")
+        stats.snapshot_version = r.snapshot_version
+        return stats
+    finally:
+        deltas.unpersist()

@@ -59,7 +59,11 @@ _WINDOW_50 = [
     # sample_cap_per_group, appended at the end of this list); they
     # stay covered by tools/check_oracle.py + the judge's own run.
     "cdc_lww_final_state",
-    "cdc_hourly_throughput", "cdc_asof_last_error", "cdc_json_props",
+    "cdc_asof_last_error", "cdc_json_props",
+    # round-4 flagship: incremental materialized aggregate maintained
+    # from the preimage/postimage change feed (takes always-green
+    # cdc_hourly_throughput's slot)
+    "cdc_incremental_agg",
     "tok_array_stats", "tok_bigrams",
     "cdc_scd2_history", "tok_packing_sharded",
     # round-4 flagship: incremental dedup over the persisted signature

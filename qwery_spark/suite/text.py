@@ -333,6 +333,121 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------- text analysis ----------------
+# ---------------- incremental materialized aggregate (CDC rollup) ----
+# Same deterministic 2-epoch lifecycle pattern as the signature index,
+# over (doc_id, lang, n_chars): epoch 1 adds docs, MOVES some docs to a
+# new group (lang='moved', n_chars+1000), deletes others. The rollup is
+# maintained purely from the change feed's preimage/postimage rows
+# (subtract old group, add new group); the oracle recomputes the
+# grouped aggregate from scratch over the final corpus.
+_AGG_FINAL_SQL = """
+      SELECT doc_id,
+             CASE WHEN h2 % 4 <> 0 AND h2 % 5 = 1 THEN 'moved' ELSE lang END AS lang,
+             CASE WHEN h2 % 4 <> 0 AND h2 % 5 = 1 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) AS h2
+        FROM documents
+      ) t
+      WHERE NOT (h2 % 4 <> 0 AND h2 % 5 = 2)
+"""
+
+
+@register(
+    "cdc_incremental_agg",
+    f"""
+    SELECT lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars
+    FROM ({_AGG_FINAL_SQL}) f
+    GROUP BY lang
+    """,
+    doc="Incrementally maintained materialized aggregate "
+    "(operators/materialize.py): a per-lang count/sum rollup lake table "
+    "built at epoch 0, then updated from ONE change-feed window "
+    "(include_preimages=True — update_preimage rows subtract the old "
+    "group, postimage rows add the new, so group-moving updates need no "
+    "special casing; deletes subtract their preimage). The oracle "
+    "recomputes the aggregate from scratch over the final corpus: value "
+    "equality proves the incremental view maintenance is exact. At "
+    "100 TB the refresh costs one window-sized shuffle, never a base "
+    "table scan.",
+)
+def cdc_incremental_agg(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.materialize import build_agg, update_agg
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"), h2.alias("h2"),
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|inc_agg".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_inc_agg_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_inc_agg_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            n_buckets=8,
+            key_col="doc_id",
+            write_mode="mor",
+        )
+        ep0 = tagged.filter(F.col("h2") % 4 != 0).select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        )
+        append_changes(spark, src, ep0)
+        v1 = src.current_version()
+        agg = build_agg(spark, src, d + "/agg", "lang", ["n_chars"])
+        adds = tagged.filter(F.col("h2") % 4 == 0).select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            (F.col("doc_id") + 1_000_000).alias("ordinal"),
+        )
+        moves = tagged.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
+        ).select(
+            "doc_id", F.lit("moved").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        )
+        dels = tagged.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
+        ).select(
+            "doc_id", F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, src, adds.unionAll(moves).unionAll(dels))
+        update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v1)
+        agg.read(spark).select(
+            "lang", "n_rows", F.col("sum_n_chars")
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "text_token_stats",
     """
