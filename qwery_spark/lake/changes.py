@@ -49,6 +49,8 @@ _DATA_OPS = {"merge", "append-delta"}
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 ORDINAL_COL = "_ordinal"
+# only present when include_preimages=True
+PREIMAGE_ORDINAL_COL = "_preimage_ordinal"
 
 
 def _diff_snapshots(
@@ -139,6 +141,14 @@ def _diff_snapshots(
     # the same full-outer join: per joined row an array of 0-2 change
     # structs, exploded; no second join execution. Consumers that
     # maintain incremental aggregates need the preimage to subtract.
+    # _preimage_ordinal: the replaced row's last_ordinal, set on
+    # update_postimage and delete rows (null on inserts/preimages) —
+    # lets a history consumer (SCD2) address the open version a change
+    # closed without reading its own state
+    pre_ord = F.when(
+        ct.isin("update_postimage", "delete"),
+        F.col("b.`last_ordinal`").cast("bigint"),
+    )
     post_struct = F.struct(
         *[
             F.when(take_after, F.col(f"a.`{c}`"))
@@ -148,11 +158,13 @@ def _diff_snapshots(
         ],
         ct.alias("_ct"),
         ordinal_expr.cast("bigint").alias("_o"),
+        pre_ord.alias("_po"),
     )
     pre_struct = F.struct(
         *[F.col(f"b.`{c}`").alias(c) for c in payload],
         F.lit("update_preimage").alias("_ct"),
         F.col("b.`last_ordinal`").cast("bigint").alias("_o"),
+        F.lit(None).cast("bigint").alias("_po"),
     )
     rows = F.filter(
         F.array(
@@ -171,6 +183,7 @@ def _diff_snapshots(
             F.col("r._ct").alias(CHANGE_TYPE_COL),
             F.lit(label_version).alias(COMMIT_VERSION_COL),
             F.col("r._o").alias(ORDINAL_COL),
+            F.col("r._po").alias(PREIMAGE_ORDINAL_COL),
         )
     )
 

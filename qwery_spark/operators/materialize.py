@@ -192,3 +192,153 @@ def update_agg(
         return stats
     finally:
         deltas.unpersist()
+
+
+# ---------------- SCD2 history maintenance ----------------
+def _scd2_schema(key: str, src_snap) -> T.StructType:
+    from qwery_spark.lake.merge import ENGINE_COLS
+
+    key_type = src_snap.spark_schema()[key].dataType
+    payload = [
+        f for f in src_snap.fields()
+        if f["name"] not in ENGINE_COLS and f["name"] != key
+    ]
+    return T.StructType(
+        [
+            T.StructField("hist_id", T.StringType()),
+            T.StructField(key, key_type),
+            *[
+                T.StructField(f["name"], T.StructType.fromDDL(f"x {f['type']}")[0].dataType)
+                for f in payload
+            ],
+            T.StructField("valid_from", T.LongType()),
+            T.StructField("valid_to", T.LongType()),
+        ]
+    )
+
+
+def build_scd2(
+    spark: SparkSession, src: LakeTable, hist_path: str, n_buckets: int = 8
+) -> LakeTable:
+    """Full build of an SCD2 (type-2 slowly-changing-dimension) history
+    table from the source's live state: one OPEN row per live key
+    (valid_from = the row's last_ordinal, valid_to = NULL). History
+    rows are keyed by ``hist_id = key ':' valid_from`` — one immutable
+    row per (key, version), closed in place when a later change
+    supersedes it."""
+    from qwery_spark.lake.merge import ENGINE_COLS, append_changes
+
+    snap = src.snapshot()
+    key = snap.m["key_col"]
+    payload = [
+        f["name"] for f in snap.fields()
+        if f["name"] not in ENGINE_COLS and f["name"] != key
+    ]
+    hist = LakeTable.create(
+        hist_path, _scd2_schema(key, snap), n_buckets=n_buckets,
+        key_col="hist_id", write_mode="mor",
+    )
+    live = src.read_physical(spark).filter(~F.col("_deleted"))
+    batch = live.select(
+        F.concat_ws(
+            ":", F.col(f"`{key}`").cast("string"),
+            F.col("last_ordinal").cast("string"),
+        ).alias("hist_id"),
+        F.col(f"`{key}`"),
+        *[F.col(f"`{c}`") for c in payload],
+        F.col("last_ordinal").cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit("U").alias("op"),
+        F.col("last_ordinal").cast("bigint").alias("ordinal"),
+    )
+    append_changes(spark, hist, batch, epoch_id=f"scd2:{src.current_version()}")
+    return hist
+
+
+def update_scd2(
+    spark: SparkSession,
+    src: LakeTable,
+    hist: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+) -> AggUpdateStats:
+    """One change-feed window -> one history commit, built ENTIRELY from
+    the feed (the history table is never read):
+
+      insert            -> new OPEN row (valid_from = event ordinal)
+      update            -> close the old version in place (the
+                           update_preimage row carries its payload and
+                           ordinal; the postimage's _preimage_ordinal
+                           addresses it) + new OPEN row
+      delete            -> close the old version (delete rows carry the
+                           preimage payload; valid_to = delete ordinal)
+
+    The close upserts the SAME hist_id at the closing ordinal
+    (> valid_from), so LWW replaces the open row; replays no-op via the
+    epoch key. History granularity == window granularity: versions that
+    appear and die INSIDE one coarse window never materialize — drive
+    per-commit (follow_changes granular windows) for full fidelity."""
+    from qwery_spark.lake.merge import ENGINE_COLS, append_changes
+
+    to_version = src.current_version() if to_version is None else to_version
+    stats = AggUpdateStats(from_version=from_version, to_version=to_version)
+    if to_version <= from_version:
+        return stats
+    snap = src.snapshot(to_version)
+    key = snap.m["key_col"]
+    payload = [
+        f["name"] for f in snap.fields()
+        if f["name"] not in ENGINE_COLS and f["name"] != key
+    ]
+    feed = read_changes(
+        spark, src, from_version, to_version, granular=False,
+        include_preimages=True,
+    ).persist()
+    try:
+        def _mk(df, valid_from, valid_to, ordinal):
+            return df.select(
+                F.concat_ws(
+                    ":", F.col(f"`{key}`").cast("string"),
+                    valid_from.cast("string"),
+                ).alias("hist_id"),
+                F.col(f"`{key}`"),
+                *[F.col(f"`{c}`") for c in payload],
+                valid_from.cast("bigint").alias("valid_from"),
+                valid_to.cast("bigint").alias("valid_to"),
+                F.lit("U").alias("op"),
+                F.coalesce(valid_to, valid_from).cast("bigint").alias("ordinal"),
+            )
+
+        opens = _mk(
+            feed.filter(F.col("_change_type").isin("insert", "update_postimage")),
+            F.col("_ordinal"), F.lit(None).cast("bigint"), None,
+        )
+        # deletes carry the preimage payload directly
+        del_closes = _mk(
+            feed.filter(F.col("_change_type") == "delete"),
+            F.col("_preimage_ordinal"), F.col("_ordinal"), None,
+        )
+        # update closes: old payload from the preimage row, closing
+        # ordinal from its paired postimage (pre._ordinal == post._preimage_ordinal)
+        pre = feed.filter(F.col("_change_type") == "update_preimage").alias("p")
+        post = feed.filter(F.col("_change_type") == "update_postimage").select(
+            F.col(f"`{key}`").alias("_k"),
+            F.col("_preimage_ordinal").alias("_match"),
+            F.col("_ordinal").alias("_close_at"),
+        ).alias("q")
+        upd_closes = _mk(
+            pre.join(
+                post,
+                (F.col(f"p.`{key}`") == F.col("q._k"))
+                & (F.col("p._ordinal") == F.col("q._match")),
+            ),
+            F.col("p._ordinal"), F.col("q._close_at"), None,
+        )
+        batch = opens.unionByName(del_closes).unionByName(upd_closes)
+        stats.change_rows = batch.count()
+        if stats.change_rows:
+            r = append_changes(spark, hist, batch, epoch_id=f"scd2:{to_version}")
+            stats.snapshot_version = r.snapshot_version
+        return stats
+    finally:
+        feed.unpersist()

@@ -65,7 +65,9 @@ _WINDOW_50 = [
     # cdc_hourly_throughput's slot)
     "cdc_incremental_agg",
     "tok_array_stats", "tok_bigrams",
-    "cdc_scd2_history", "tok_packing_sharded",
+    # round-4: incremental SCD2 history (takes always-green batch
+    # cdc_scd2_history's slot — the materialized form supersedes it)
+    "cdc_scd2_materialized", "tok_packing_sharded",
     # round-4 flagship: incremental dedup over the persisted signature
     # index (takes always-green tok_vocab_stats' slot)
     "dedup_incremental_candidates",

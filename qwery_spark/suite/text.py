@@ -449,6 +449,101 @@ def cdc_incremental_agg(spark, sf_dir):
 
 
 @register(
+    "cdc_scd2_materialized",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INTEGER) AS h2
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(doc_id AS BIGINT) AS valid_from,
+           CAST(CASE WHEN h2 % 5 = 1 THEN doc_id + 2000000
+                     WHEN h2 % 5 = 2 THEN doc_id + 3000000 END
+                AS BIGINT) AS valid_to
+    FROM t
+    UNION ALL
+    SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+           CAST(doc_id + 2000000 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to
+    FROM t WHERE h2 % 5 = 1
+    """,
+    doc="Incrementally maintained SCD2 history "
+    "(operators/materialize.build_scd2/update_scd2): every key version "
+    "is a history row (valid_from/valid_to ordinal range) kept current "
+    "purely from the change feed's preimage/postimage rows — updates "
+    "close the old version in place and open a new one, deletes close "
+    "it at the tombstone ordinal; the history table is NEVER read "
+    "during maintenance. The oracle constructs the expected history "
+    "directly from the deterministic lifecycle.",
+)
+def cdc_scd2_materialized(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.materialize import build_scd2, update_scd2
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"), h2.alias("h2"),
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|scd2".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_scd2_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_scd2_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            n_buckets=8,
+            key_col="doc_id",
+            write_mode="mor",
+        )
+        ep0 = tagged.select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        )
+        append_changes(spark, src, ep0)
+        v1 = src.current_version()
+        hist = build_scd2(spark, src, d + "/hist")
+        upd = tagged.filter(F.col("h2") % 5 == 1).select(
+            "doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        )
+        dels = tagged.filter(F.col("h2") % 5 == 2).select(
+            "doc_id", F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, src, upd.unionAll(dels))
+        update_scd2(spark, src, hist, from_version=v1)
+        hist.read(spark).select(
+            "doc_id", "lang", "n_chars", "valid_from", "valid_to"
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "text_token_stats",
     """
     SELECT doc_id,

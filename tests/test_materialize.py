@@ -107,3 +107,56 @@ def test_agg_empty_window_is_noop(spark, tmp_table_dir):
     v = src.current_version()
     st = update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
     assert st.groups_touched == 0 and st.snapshot_version is None
+
+
+def test_scd2_incremental_history(spark, tmp_table_dir):
+    """SCD2 maintained from the feed alone: updates close+reopen,
+    deletes close at the tombstone ordinal, replays no-op, and a second
+    window continues the history (close the reopened version)."""
+    from qwery_spark.operators.materialize import build_scd2, update_scd2
+
+    src = _mk_src(spark, tmp_table_dir + "/src", n=5)
+    v1 = src.current_version()
+    hist = build_scd2(spark, src, tmp_table_dir + "/hist")
+    assert hist.read(spark).count() == 5
+    assert hist.read(spark).filter("valid_to IS NOT NULL").count() == 0
+
+    append_changes(spark, src, spark.createDataFrame(
+        [(0, "de", 777, "U", 100), (1, None, None, "D", 101),
+         (9, "fr", 5, "U", 102)], _DDL))
+    update_scd2(spark, src, hist, from_version=v1)
+
+    def rows():
+        return sorted(
+            (r["doc_id"], r["lang"], r["n_chars"], r["valid_from"],
+             r["valid_to"])
+            for r in hist.read(spark).collect()
+        )
+
+    got = rows()
+    assert (0, "en", 100, 0, 100) in got          # closed by the update
+    assert (0, "de", 777, 100, None) in got       # reopened
+    assert (1, "de", 101, 1, 101) in got          # closed by the delete
+    assert (9, "fr", 5, 102, None) in got         # fresh insert
+    assert len(got) == 7
+
+    # replay no-ops
+    v2_state = got
+    update_scd2(spark, src, hist, from_version=v1)
+    assert rows() == v2_state
+
+    # next window: update the reopened doc 0 again
+    v2 = src.current_version()
+    append_changes(spark, src, spark.createDataFrame(
+        [(0, "es", 1, "U", 200)], _DDL))
+    update_scd2(spark, src, hist, from_version=v2)
+    got = rows()
+    assert (0, "de", 777, 100, 200) in got        # second version closed
+    assert (0, "es", 1, 200, None) in got
+    # exactly one open version per live key
+    import collections
+
+    open_per_key = collections.Counter(
+        d for (d, _l, _n, _vf, vt) in got if vt is None
+    )
+    assert all(v == 1 for v in open_per_key.values())
