@@ -54,13 +54,28 @@ def main(argv=None):
                         "per chunk of <= N data commits (near-coarse cost "
                         "for a far-behind follower, window-level "
                         "_commit_version attribution); overrides --coarse")
+    p.add_argument("--agg-table",
+                   help="maintain an incremental COUNT/SUM rollup lake "
+                        "table at this path from each window "
+                        "(operators/materialize; built from the source's "
+                        "state at the resume point if missing)")
+    p.add_argument("--agg-group", help="group column for --agg-table")
+    p.add_argument("--agg-sum", default="",
+                   help="comma-separated numeric columns to SUM for "
+                        "--agg-table")
+    p.add_argument("--scd2-table",
+                   help="maintain an incremental SCD2 history lake table "
+                        "at this path from each window (built from the "
+                        "source's state at the resume point if missing)")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="replica maintenance: compact any replica bucket "
                         "whose live-file count exceeds this bound after a "
                         "window applies (state-driven, skew-aware)")
     args = p.parse_args(argv)
-    if not args.sink and not args.replica:
-        p.error("need --sink and/or --replica")
+    if not (args.sink or args.replica or args.agg_table or args.scd2_table):
+        p.error("need --sink, --replica, --agg-table and/or --scd2-table")
+    if args.agg_table and not args.agg_group:
+        p.error("--agg-table requires --agg-group")
 
     from pyspark.sql import SparkSession
 
@@ -95,6 +110,21 @@ def main(argv=None):
     # re-default to the then-current head and silently skip the gap
     persist(start)
 
+    # incremental-view targets: build-if-missing AT the resume point so
+    # the windows applied below start exactly where the build left off
+    agg_sum = [c for c in args.agg_sum.split(",") if c]
+    if args.agg_table:
+        from qwery_spark.operators.materialize import build_agg, update_agg
+
+        if not os.path.exists(args.agg_table):
+            build_agg(spark, table, args.agg_table, args.agg_group, agg_sum,
+                      at_version=start)
+    if args.scd2_table:
+        from qwery_spark.operators.materialize import build_scd2, update_scd2
+
+        if not os.path.exists(args.scd2_table):
+            build_scd2(spark, table, args.scd2_table, at_version=start)
+
     def sink(feed, lo, hi):
         if args.sink:
             feed.write.mode("overwrite").parquet(
@@ -120,6 +150,14 @@ def main(argv=None):
                         max_files_per_bucket=args.auto_compact_files
                     ),
                 )
+        # incremental views compute their own preimage-bearing feed for
+        # (lo, hi] — the sink feed lacks preimages by design; both are
+        # window-epoch-keyed, so a crashed-and-restarted window no-ops
+        if args.agg_table:
+            update_agg(spark, table, LakeTable(args.agg_table),
+                       args.agg_group, agg_sum, lo, hi)
+        if args.scd2_table:
+            update_scd2(spark, table, LakeTable(args.scd2_table), lo, hi)
 
     last = follow_changes(
         spark,

@@ -68,10 +68,13 @@ def build_agg(
     group_col: str,
     sum_cols: list[str],
     n_buckets: int = 8,
+    at_version: int | None = None,
 ) -> LakeTable:
-    """Full build of the rollup from the source's live state; ordinal =
-    the source version it reflects, so incremental windows (which carry
-    their own end versions) continue the same LWW order."""
+    """Full build of the rollup from the source's live state (pinned to
+    ``at_version`` when given — a follower builds at its resume point
+    so later windows don't double-apply); ordinal = the source version
+    it reflects, so incremental windows (which carry their own end
+    versions) continue the same LWW order."""
     from qwery_spark.lake.merge import merge_changes
 
     group_type = src.snapshot().spark_schema()[group_col].dataType
@@ -82,9 +85,9 @@ def build_agg(
         key_col=group_col,
         write_mode="cow",
     )
-    version = src.current_version()
+    version = src.current_version() if at_version is None else at_version
     rows = (
-        src.read(spark)
+        src.read(spark, snapshot_version=version)
         # NULL groups are excluded (a lake key cannot be null — and a
         # null group is not a group); same filter on the update path
         .filter(F.col(f"`{group_col}`").isNotNull())
@@ -218,7 +221,11 @@ def _scd2_schema(key: str, src_snap) -> T.StructType:
 
 
 def build_scd2(
-    spark: SparkSession, src: LakeTable, hist_path: str, n_buckets: int = 8
+    spark: SparkSession,
+    src: LakeTable,
+    hist_path: str,
+    n_buckets: int = 8,
+    at_version: int | None = None,
 ) -> LakeTable:
     """Full build of an SCD2 (type-2 slowly-changing-dimension) history
     table from the source's live state: one OPEN row per live key
@@ -228,7 +235,8 @@ def build_scd2(
     supersedes it."""
     from qwery_spark.lake.merge import ENGINE_COLS, append_changes
 
-    snap = src.snapshot()
+    version = src.current_version() if at_version is None else at_version
+    snap = src.snapshot(version)
     key = snap.m["key_col"]
     payload = [
         f["name"] for f in snap.fields()
@@ -238,7 +246,9 @@ def build_scd2(
         hist_path, _scd2_schema(key, snap), n_buckets=n_buckets,
         key_col="hist_id", write_mode="mor",
     )
-    live = src.read_physical(spark).filter(~F.col("_deleted"))
+    live = src.read_physical(spark, snapshot_version=version).filter(
+        ~F.col("_deleted")
+    )
     batch = live.select(
         F.concat_ws(
             ":", F.col(f"`{key}`").cast("string"),
@@ -251,7 +261,7 @@ def build_scd2(
         F.lit("U").alias("op"),
         F.col("last_ordinal").cast("bigint").alias("ordinal"),
     )
-    append_changes(spark, hist, batch, epoch_id=f"scd2:{src.current_version()}")
+    append_changes(spark, hist, batch, epoch_id=f"scd2:{version}")
     return hist
 
 

@@ -84,3 +84,63 @@ def test_run_follow_cli_drain_and_resume(spark, tmp_path):
         (r_["doc_id"], tuple(r_["tokens"])) for r_ in rep.read(spark).collect()
     }
     assert rep_state == src_state and len(src_state) > 0
+
+
+def test_run_follow_cli_incremental_views(spark, tmp_path):
+    """Follower maintaining incremental views: the rollup and SCD2
+    history are built at the resume point and advanced per window —
+    final rollup equals a from-scratch recompute of the source."""
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    table = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    scd2 = str(tmp_path / "hist")
+    state = str(tmp_path / "state.json")
+    src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2)
+    ev = make_events(1500, seed=17).to_pandas()
+    df = spark.createDataFrame(ev.iloc[:700], schema=EVENT_SCHEMA)
+    apply_changes(spark, src, df, epoch_id=0, collect_stats=False)
+
+    # first run: builds both views at the pinned start, drains window 1
+    df = spark.createDataFrame(ev.iloc[700:1100], schema=EVENT_SCHEMA)
+    apply_changes(spark, src, df, epoch_id=1, collect_stats=False)
+    r = _run_follow([
+        "--table", table, "--state", state, "--from-version", "1",
+        "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
+        "--scd2-table", scd2, "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # second run resumes and advances the same views
+    df = spark.createDataFrame(ev.iloc[1100:1500], schema=EVENT_SCHEMA)
+    apply_changes(spark, src, df, epoch_id=2, collect_stats=False)
+    r = _run_follow([
+        "--table", table, "--state", state,
+        "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
+        "--scd2-table", scd2, "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    got = sorted(
+        tuple(x) for x in LakeTable(agg).read(spark).collect()
+    )
+    want = sorted(
+        tuple(x)
+        for x in src.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("n_tok").cast("double")).alias("sum_n_tok"),
+        )
+        .collect()
+    )
+    assert got == want
+    # SCD2: exactly one open version per live key, and closed rows exist
+    hist = LakeTable(scd2).read(spark)
+    live_keys = src.read(spark).count()
+    assert hist.filter("valid_to IS NULL").count() == live_keys
+    assert hist.filter("valid_to IS NOT NULL").count() > 0
