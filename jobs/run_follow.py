@@ -110,19 +110,27 @@ def main(argv=None):
     # re-default to the then-current head and silently skip the gap
     persist(start)
 
-    # incremental-view targets: build-if-missing AT the resume point so
-    # the windows applied below start exactly where the build left off
+    # incremental-view targets: build AT the resume point when the view
+    # is missing OR is an empty v0 shell (a build that crashed between
+    # table-create and its first merge — path existence alone is NOT a
+    # completed-build signal). A completed view (version > 0) is left
+    # alone; re-building it at a later resume point would double-apply.
+    def _needs_build(path: str) -> bool:
+        if not os.path.exists(path):
+            return True
+        return LakeTable(path).current_version() == 0
+
     agg_sum = [c for c in args.agg_sum.split(",") if c]
     if args.agg_table:
         from qwery_spark.operators.materialize import build_agg, update_agg
 
-        if not os.path.exists(args.agg_table):
+        if _needs_build(args.agg_table):
             build_agg(spark, table, args.agg_table, args.agg_group, agg_sum,
                       at_version=start)
     if args.scd2_table:
         from qwery_spark.operators.materialize import build_scd2, update_scd2
 
-        if not os.path.exists(args.scd2_table):
+        if _needs_build(args.scd2_table):
             build_scd2(spark, table, args.scd2_table, at_version=start)
 
     def sink(feed, lo, hi):
@@ -150,14 +158,25 @@ def main(argv=None):
                         max_files_per_bucket=args.auto_compact_files
                     ),
                 )
-        # incremental views compute their own preimage-bearing feed for
-        # (lo, hi] — the sink feed lacks preimages by design; both are
-        # window-epoch-keyed, so a crashed-and-restarted window no-ops
-        if args.agg_table:
-            update_agg(spark, table, LakeTable(args.agg_table),
-                       args.agg_group, agg_sum, lo, hi)
-        if args.scd2_table:
-            update_scd2(spark, table, LakeTable(args.scd2_table), lo, hi)
+        # incremental views share ONE preimage-bearing feed for (lo, hi]
+        # (the sink feed lacks preimages by design); both maintainers
+        # are window-epoch-keyed, so a crashed-and-restarted window
+        # no-ops
+        if args.agg_table or args.scd2_table:
+            from qwery_spark.lake.changes import read_changes
+
+            pfeed = read_changes(
+                spark, table, lo, hi, granular=False, include_preimages=True
+            ).persist()
+            try:
+                if args.agg_table:
+                    update_agg(spark, table, LakeTable(args.agg_table),
+                               args.agg_group, agg_sum, lo, hi, feed=pfeed)
+                if args.scd2_table:
+                    update_scd2(spark, table, LakeTable(args.scd2_table),
+                                lo, hi, feed=pfeed)
+            finally:
+                pfeed.unpersist()
 
     last = follow_changes(
         spark,

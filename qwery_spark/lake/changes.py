@@ -301,6 +301,13 @@ def read_changes(
         ]
     if not parts:
         snap = table.snapshot(to_version)
+        # the empty frame must match the non-empty contract EXACTLY —
+        # consumers select _preimage_ordinal unconditionally in
+        # preimage mode, and a maintenance-only window (compact/expire,
+        # no data commits) lands here
+        extra = (
+            f", `{PREIMAGE_ORDINAL_COL}` bigint" if include_preimages else ""
+        )
         schema = T.StructType.fromDDL(
             ", ".join(
                 f"`{f['name']}` {f['type']}"
@@ -308,7 +315,7 @@ def read_changes(
                 if f["name"] not in ("last_ordinal", "_deleted")
             )
             + f", `{CHANGE_TYPE_COL}` string, `{COMMIT_VERSION_COL}` int,"
-            f" `{ORDINAL_COL}` bigint"
+            f" `{ORDINAL_COL}` bigint" + extra
         )
         return spark.createDataFrame([], schema)
     out = parts[0]

@@ -52,12 +52,35 @@ class AggUpdateStats:
 
 
 def _agg_schema(group_col: str, group_type: T.DataType, sum_cols: list[str]):
+    # nn_<c> = count of NON-NULL values feeding sum_<c>. SQL SUM is NULL
+    # over an all-NULL (or empty) group, and a pure +/- accumulator
+    # cannot tell that apart from a zero sum — so the rollup stores the
+    # non-null count and nulls the sum when it hits 0. The accumulator
+    # is recoverable as coalesce(sum, 0): sum is NULL only when nn = 0,
+    # where the accumulator is exactly 0 too.
     return T.StructType(
         [
             T.StructField(group_col, group_type),
             T.StructField("n_rows", T.LongType()),
             *[T.StructField(f"sum_{c}", T.DoubleType()) for c in sum_cols],
+            *[T.StructField(f"nn_{c}", T.LongType()) for c in sum_cols],
         ]
+    )
+
+
+def _reuse_or_create(path: str, schema: T.StructType, n_buckets: int,
+                     key_col: str, write_mode: str) -> LakeTable:
+    """Create the view table, or adopt an existing EMPTY one (version 0
+    = a build that crashed between create and its first merge). A
+    non-empty table is also adopted as-is — the build merge's epoch key
+    makes re-building a completed view a no-op."""
+    import os
+
+    if os.path.exists(path):
+        return LakeTable(path)
+    return LakeTable.create(
+        path, schema, n_buckets=n_buckets, key_col=key_col,
+        write_mode=write_mode,
     )
 
 
@@ -77,15 +100,15 @@ def build_agg(
     versions) continue the same LWW order."""
     from qwery_spark.lake.merge import merge_changes
 
-    group_type = src.snapshot().spark_schema()[group_col].dataType
-    agg = LakeTable.create(
-        agg_path,
-        _agg_schema(group_col, group_type, sum_cols),
-        n_buckets=n_buckets,
-        key_col=group_col,
-        write_mode="cow",
-    )
     version = src.current_version() if at_version is None else at_version
+    # schema comes from the PINNED snapshot, not the head — a resume-
+    # point build after schema evolution must see the columns as they
+    # were at that version
+    group_type = src.snapshot(version).spark_schema()[group_col].dataType
+    agg = _reuse_or_create(
+        agg_path, _agg_schema(group_col, group_type, sum_cols),
+        n_buckets, group_col, "cow",
+    )
     rows = (
         src.read(spark, snapshot_version=version)
         # NULL groups are excluded (a lake key cannot be null — and a
@@ -98,11 +121,16 @@ def build_agg(
                 F.sum(F.col(f"`{c}`").cast("double")).alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.count(F.col(f"`{c}`")).cast("long").alias(f"nn_{c}")
+                for c in sum_cols
+            ],
         )
         .select(
             F.col(f"`{group_col}`"),
             "n_rows",
             *[f"sum_{c}" for c in sum_cols],
+            *[f"nn_{c}" for c in sum_cols],
             F.lit("U").alias("op"),
             F.lit(version).cast("bigint").alias("ordinal"),
         )
@@ -119,6 +147,7 @@ def update_agg(
     sum_cols: list[str],
     from_version: int,
     to_version: int | None = None,
+    feed: DataFrame | None = None,
 ) -> AggUpdateStats:
     """One change-feed window becomes one rollup commit. Reads the
     window's preimage/postimage rows, folds them into per-group deltas
@@ -128,17 +157,22 @@ def update_agg(
     the agg table's epoch key (re-applying a window no-ops). Windows
     must be applied IN ORDER (each delta folds onto the rollup state
     the previous window left) — the same contract as a replicate
-    follower, enforced naturally by follow_changes' ordered delivery."""
+    follower, enforced naturally by follow_changes' ordered delivery.
+
+    Pass ``feed`` (a preimage-bearing changelog for the same range) to
+    share one endpoint diff between several view maintainers — the same
+    reuse contract as replicate(feed=)."""
     from qwery_spark.lake.merge import merge_changes
 
     to_version = src.current_version() if to_version is None else to_version
     stats = AggUpdateStats(from_version=from_version, to_version=to_version)
     if to_version <= from_version:
         return stats
-    feed = read_changes(
-        spark, src, from_version, to_version, granular=False,
-        include_preimages=True,
-    )
+    if feed is None:
+        feed = read_changes(
+            spark, src, from_version, to_version, granular=False,
+            include_preimages=True,
+        )
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
     ).otherwise(F.lit(-1.0))
@@ -152,8 +186,24 @@ def update_agg(
         .groupBy(group_col)
         .agg(
             F.sum("_sign").cast("long").alias("d_n"),
+            # accumulator deltas treat a NULL value as 0 (SQL SUM skips
+            # nulls) and coalesce the aggregate itself so an all-NULL
+            # window can never null out the running accumulator; the
+            # non-null count delta decides when the EXPOSED sum is NULL
             *[
-                F.sum(F.col(f"`{c}`") * F.col("_sign")).alias(f"d_{c}")
+                F.coalesce(
+                    F.sum(F.coalesce(F.col(f"`{c}`"), F.lit(0.0)) * F.col("_sign")),
+                    F.lit(0.0),
+                ).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(f"`{c}`").isNotNull(), F.col("_sign"))
+                    ).cast("long"),
+                    F.lit(0),
+                ).alias(f"dnn_{c}")
                 for c in sum_cols
             ],
         )
@@ -164,6 +214,8 @@ def update_agg(
         if stats.groups_touched == 0:
             return stats
         cur = agg.read(spark)
+        # stored sum is NULL exactly when nn = 0, where the accumulator
+        # is 0 — so coalesce(sum, 0) recovers the accumulator
         merged = (
             deltas.alias("d")
             .join(cur.alias("c"), group_col, "left")
@@ -176,18 +228,34 @@ def update_agg(
                     (
                         F.coalesce(F.col(f"c.`sum_{c}`"), F.lit(0.0))
                         + F.col(f"d.`d_{c}`")
-                    ).alias(f"sum_{c}")
+                    ).alias(f"acc_{c}")
+                    for c in sum_cols
+                ],
+                *[
+                    (
+                        F.coalesce(F.col(f"c.`nn_{c}`"), F.lit(0))
+                        + F.col(f"d.`dnn_{c}`")
+                    )
+                    .cast("long")
+                    .alias(f"nn_{c}")
                     for c in sum_cols
                 ],
             )
         )
+        live = F.col("n_rows") > 0
         batch = merged.select(
             F.col(f"`{group_col}`"),
+            F.when(live, F.col("n_rows")).alias("n_rows"),
             *[
-                F.when(F.col("n_rows") > 0, F.col(f"`{x}`")).alias(x)
-                for x in ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+                F.when(live & (F.col(f"`nn_{c}`") > 0), F.col(f"`acc_{c}`"))
+                .alias(f"sum_{c}")
+                for c in sum_cols
             ],
-            F.when(F.col("n_rows") > 0, F.lit("U")).otherwise("D").alias("op"),
+            *[
+                F.when(live, F.col(f"`nn_{c}`")).alias(f"nn_{c}")
+                for c in sum_cols
+            ],
+            F.when(live, F.lit("U")).otherwise("D").alias("op"),
             F.lit(to_version).cast("bigint").alias("ordinal"),
         )
         r = merge_changes(spark, agg, batch, epoch_id=f"agg:{to_version}")
@@ -242,9 +310,8 @@ def build_scd2(
         f["name"] for f in snap.fields()
         if f["name"] not in ENGINE_COLS and f["name"] != key
     ]
-    hist = LakeTable.create(
-        hist_path, _scd2_schema(key, snap), n_buckets=n_buckets,
-        key_col="hist_id", write_mode="mor",
+    hist = _reuse_or_create(
+        hist_path, _scd2_schema(key, snap), n_buckets, "hist_id", "mor"
     )
     live = src.read_physical(spark, snapshot_version=version).filter(
         ~F.col("_deleted")
@@ -271,6 +338,7 @@ def update_scd2(
     hist: LakeTable,
     from_version: int,
     to_version: int | None = None,
+    feed: DataFrame | None = None,
 ) -> AggUpdateStats:
     """One change-feed window -> one history commit, built ENTIRELY from
     the feed (the history table is never read):
@@ -287,7 +355,10 @@ def update_scd2(
     (> valid_from), so LWW replaces the open row; replays no-op via the
     epoch key. History granularity == window granularity: versions that
     appear and die INSIDE one coarse window never materialize — drive
-    per-commit (follow_changes granular windows) for full fidelity."""
+    per-commit (follow_changes granular windows) for full fidelity.
+
+    Pass ``feed`` (a preimage-bearing changelog for the same range,
+    caller-persisted) to share one endpoint diff between maintainers."""
     from qwery_spark.lake.merge import ENGINE_COLS, append_changes
 
     to_version = src.current_version() if to_version is None else to_version
@@ -300,10 +371,12 @@ def update_scd2(
         f["name"] for f in snap.fields()
         if f["name"] not in ENGINE_COLS and f["name"] != key
     ]
-    feed = read_changes(
-        spark, src, from_version, to_version, granular=False,
-        include_preimages=True,
-    ).persist()
+    own_feed = feed is None
+    if own_feed:
+        feed = read_changes(
+            spark, src, from_version, to_version, granular=False,
+            include_preimages=True,
+        ).persist()
     try:
         def _mk(df, valid_from, valid_to, ordinal):
             return df.select(
@@ -344,11 +417,19 @@ def update_scd2(
             ),
             F.col("p._ordinal"), F.col("q._close_at"), None,
         )
-        batch = opens.unionByName(del_closes).unionByName(upd_closes)
-        stats.change_rows = batch.count()
-        if stats.change_rows:
-            r = append_changes(spark, hist, batch, epoch_id=f"scd2:{to_version}")
-            stats.snapshot_version = r.snapshot_version
-        return stats
+        # persist the batch: the non-empty check and the append's write
+        # job must not re-run the three projections + pre/post join
+        batch = opens.unionByName(del_closes).unionByName(upd_closes).persist()
+        try:
+            stats.change_rows = batch.count()
+            if stats.change_rows:
+                r = append_changes(
+                    spark, hist, batch, epoch_id=f"scd2:{to_version}"
+                )
+                stats.snapshot_version = r.snapshot_version
+            return stats
+        finally:
+            batch.unpersist()
     finally:
-        feed.unpersist()
+        if own_feed:
+            feed.unpersist()

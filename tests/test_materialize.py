@@ -41,6 +41,13 @@ def _recompute(spark, src):
     )
 
 
+def _rollup(spark, agg):
+    return sorted(
+        tuple(r)
+        for r in agg.read(spark).select("lang", "n_rows", "sum_n_chars").collect()
+    )
+
+
 def test_feed_emits_preimage_rows_with_old_payload(spark, tmp_table_dir):
     src = _mk_src(spark, tmp_table_dir + "/src")
     v1 = src.current_version()
@@ -63,7 +70,7 @@ def test_incremental_agg_matches_recompute_across_windows(spark, tmp_table_dir):
     from-scratch recompute."""
     src = _mk_src(spark, tmp_table_dir + "/src", n=12)
     agg = build_agg(spark, src, tmp_table_dir + "/agg", "lang", ["n_chars"])
-    assert sorted(tuple(r) for r in agg.read(spark).collect()) == _recompute(spark, src)
+    assert _rollup(spark, agg) == _recompute(spark, src)
 
     windows = [
         # window 1: inserts + a value update
@@ -79,10 +86,7 @@ def test_incremental_agg_matches_recompute_across_windows(spark, tmp_table_dir):
         v = src.current_version()
         append_changes(spark, src, spark.createDataFrame(batch, _DDL))
         update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
-        assert (
-            sorted(tuple(r) for r in agg.read(spark).collect())
-            == _recompute(spark, src)
-        )
+        assert _rollup(spark, agg) == _recompute(spark, src)
     # 'es' must be GONE from the rollup, not present with count 0
     assert agg.read(spark).filter("lang = 'es'").count() == 0
 
@@ -94,10 +98,10 @@ def test_agg_window_replay_is_idempotent(spark, tmp_table_dir):
     append_changes(spark, src, spark.createDataFrame(
         [(0, "de", 999, "U", 100), (7, None, None, "D", 101)], _DDL))
     update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
-    once = sorted(tuple(r) for r in agg.read(spark).collect())
+    once = _rollup(spark, agg)
     # replay the SAME window: epoch key absorbs it, state unchanged
     st = update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
-    assert sorted(tuple(r) for r in agg.read(spark).collect()) == once
+    assert _rollup(spark, agg) == once
     assert once == _recompute(spark, src)
 
 
@@ -160,3 +164,27 @@ def test_scd2_incremental_history(spark, tmp_table_dir):
         d for (d, _l, _n, _vf, vt) in got if vt is None
     )
     assert all(v == 1 for v in open_per_key.values())
+
+
+def test_agg_null_values_match_sql_sum_semantics(spark, tmp_table_dir):
+    """NULL sum values must neither wipe the accumulator nor fake a 0
+    sum: SQL SUM skips NULLs and is NULL over an all-NULL group — the
+    rollup's non-null counters reproduce that exactly."""
+    src = _mk_src(spark, tmp_table_dir + "/src", n=6)
+    agg = build_agg(spark, src, tmp_table_dir + "/agg", "lang", ["n_chars"])
+    # window: a NULL-valued insert into 'en' (sum must stay put) and a
+    # brand-new group of only NULL values (sum must be NULL, not 0)
+    v = src.current_version()
+    append_changes(spark, src, spark.createDataFrame(
+        [(60, "en", None, "U", 200),
+         (61, "zz", None, "U", 201), (62, "zz", None, "U", 202)], _DDL))
+    update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
+    assert _rollup(spark, agg) == _recompute(spark, src)
+    zz = agg.read(spark).filter("lang = 'zz'").collect()[0]
+    assert zz["n_rows"] == 2 and zz["sum_n_chars"] is None
+    # the all-NULL group gains a real value -> sum appears
+    v = src.current_version()
+    append_changes(spark, src, spark.createDataFrame(
+        [(63, "zz", 41, "U", 300)], _DDL))
+    update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
+    assert _rollup(spark, agg) == _recompute(spark, src)

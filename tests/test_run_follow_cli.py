@@ -126,7 +126,9 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
 
     got = sorted(
-        tuple(x) for x in LakeTable(agg).read(spark).collect()
+        tuple(x)
+        for x in LakeTable(agg).read(spark)
+        .select("source", "n_rows", "sum_n_tok").collect()
     )
     want = sorted(
         tuple(x)
