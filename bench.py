@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "cdc_range_join_windows",
     "cdc_change_feed",
     "tok_chunking",
+    "cdc_incremental_agg",
+    "cdc_scd2_materialized",
+    "dedup_incremental_candidates",
 ]
 
 

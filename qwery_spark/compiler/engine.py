@@ -625,7 +625,7 @@ class ScriptEngine:
 
         if re.match(r"CREATE\s+LAKE\b", up):
             # CREATE LAKE 'path' (col type, ...) KEYED ON k
-            #   [BUCKETS n] [MODE mor|cow]
+            #   [BUCKETS n] [MODE mor|cow] [CODEC c] [STATS (c1, c2)]
             # completes the script-only lifecycle: a user can create,
             # load, evolve, maintain and drop a table without the API
             # greedy (.*) pairs with the LAST ')' before KEYED ON, so
@@ -634,7 +634,8 @@ class ScriptEngine:
                 r"CREATE\s+LAKE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*\((.*)\)"
                 r"\s+KEYED\s+ON\s+(\w+)"
                 r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?"
-                r"(?:\s+CODEC\s+(\w+))?\s*$",
+                r"(?:\s+CODEC\s+(\w+))?"
+                r"(?:\s+STATS\s*\(([\w,\s]+)\))?\s*$",
                 stmt,
                 re.IGNORECASE | re.DOTALL,
             )
@@ -649,6 +650,10 @@ class ScriptEngine:
             schema = StructType.fromDDL(cols_raw)
             if key not in schema.fieldNames():
                 raise ValueError(f"CREATE LAKE: key column {key!r} not in schema")
+            stats_cols = [c.strip() for c in (m.group(8) or "").split(",") if c.strip()]
+            bad_stats = [c for c in stats_cols if c not in schema.fieldNames()]
+            if bad_stats:
+                raise ValueError(f"CREATE LAKE: STATS column(s) not in schema: {bad_stats}")
             try:
                 snap = LakeTable(path).snapshot()
             except FileNotFoundError:
@@ -669,6 +674,7 @@ class ScriptEngine:
                 n_buckets=int(m.group(5) or 16),
                 write_mode=(m.group(6) or "cow").lower(),
                 codec=(m.group(7) or "snappy").lower(),
+                stats_cols=stats_cols,
             )
             snap = tbl.snapshot()
             return self.spark.createDataFrame(

@@ -132,6 +132,20 @@ def _stage_write(
                     )
                     if mm is not None:
                         entry["key_min"], entry["key_max"] = mm
+                # payload-column bounds for the table's stats_cols
+                # (Iceberg column bounds): footer-only reads, recorded
+                # once per file, serving files(col_ranges=) skipping
+                cstats = {}
+                for c in table.snapshot().stats_cols:
+                    mm = _footer_min_max(
+                        os.path.join(table.path, entry["path"]), c
+                    )
+                    if mm is not None and all(
+                        isinstance(v, (int, float, str, bool)) for v in mm
+                    ):
+                        cstats[c] = list(mm)
+                if cstats:
+                    entry["col_stats"] = cstats
                 new_files.append(entry)
     return new_files
 

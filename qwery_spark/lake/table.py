@@ -152,6 +152,10 @@ class Snapshot:
     def unresolved_buckets(self) -> set:
         return set(self.m.get("unresolved_buckets", []))
 
+    @property
+    def stats_cols(self) -> list:
+        return list(self.m.get("stats_cols", []))
+
     def fields(self, schema_version: int | None = None) -> list[dict]:
         sv = self.schema_version if schema_version is None else schema_version
         return self.m["schemas"][str(sv)]
@@ -160,25 +164,61 @@ class Snapshot:
         self,
         buckets: set[int] | None = None,
         key_range: tuple | None = None,
+        col_ranges: dict | None = None,
     ) -> list[dict]:
         """Live file entries, optionally pruned to a bucket subset and —
         when the entries carry key_min/key_max footer stats (written by
         merge._stage_write) — to files whose key range overlaps
         ``key_range`` (lo, hi), either bound None = unbounded. Entries
-        without stats are never pruned (conservative)."""
+        without stats are never pruned (conservative).
+
+        ``col_ranges`` ({col: (lo, hi)}) prunes by PAYLOAD-column
+        bounds (per-file ``col_stats``, recorded for the table's
+        stats_cols). Soundness under MOR: a file in an UNRESOLVED
+        bucket may carry the winning version (or the tombstone) of a
+        key whose other versions live in files that match the range, so
+        unresolved buckets prune all-or-nothing — every file stays if
+        ANY of the bucket's files overlaps; resolved buckets (rows
+        disjoint and final) prune per-file. Range predicates are
+        null-rejecting by construction — the caller still applies the
+        row-level filter."""
         fs = self.m["files"]
         if buckets is not None:
             fs = [f for f in fs if f["bucket"] in buckets]
-        if key_range is None:
+        if key_range is not None:
+            lo, hi = key_range
+            fs = [
+                f
+                for f in fs
+                if "key_min" not in f
+                or not (
+                    (hi is not None and f["key_min"] > hi)
+                    or (lo is not None and f["key_max"] < lo)
+                )
+            ]
+        if not col_ranges:
             return fs
-        lo, hi = key_range
+
+        def _overlaps(f: dict) -> bool:
+            cs = f.get("col_stats") or {}
+            for c, (lo, hi) in col_ranges.items():
+                st = cs.get(c)
+                if st is None:
+                    continue  # no stats: conservative keep
+                mn, mx = st
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    return False
+            return True
+
+        unresolved = self.unresolved_buckets
+        keep_buckets = {f["bucket"] for f in fs if _overlaps(f)}
         return [
             f
             for f in fs
-            if "key_min" not in f
-            or not (
-                (hi is not None and f["key_min"] > hi)
-                or (lo is not None and f["key_max"] < lo)
+            if (
+                f["bucket"] in keep_buckets
+                if f["bucket"] in unresolved
+                else _overlaps(f)
             )
         ]
 
@@ -352,6 +392,7 @@ class LakeTable:
         key_col: str = "doc_id",
         write_mode: str = "cow",
         codec: str = "snappy",
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the USER schema; engine
         columns are appended automatically. Partition spec is the hidden
@@ -400,6 +441,10 @@ class LakeTable:
             # 30-40% smaller files than snappy at 100-TB scale for a
             # small CPU cost — the scan is usually IO-bound there.
             "codec": codec,
+            # payload columns whose per-file min/max get recorded in the
+            # manifest at every write (Iceberg column bounds) — enables
+            # file skipping on non-key predicates via files(col_ranges=)
+            "stats_cols": list(stats_cols or ()),
             "resolved": True,  # False once MOR deltas overlap keys
             "schema_version": 0,
             "schemas": {"0": fields},
@@ -418,6 +463,7 @@ class LakeTable:
         buckets: set[int] | None,
         key_range: tuple | None = None,
         align_to: "Snapshot | None" = None,
+        col_ranges: dict | None = None,
     ) -> DataFrame:
         """Read live data files, aligning every historical schema version
         to the current one by field id (rename: metadata-only; widen:
@@ -428,7 +474,7 @@ class LakeTable:
         before-endpoint to the after-endpoint this way)."""
         tgt = align_to or snap
         cur = tgt.fields()
-        files = snap.files(buckets, key_range)
+        files = snap.files(buckets, key_range, col_ranges)
         if not files:
             empty = T.StructType.fromDDL(
                 ", ".join(f"`{f['name']}` {f['type']}" for f in cur)
@@ -482,6 +528,7 @@ class LakeTable:
         resolve: bool = True,
         key_range: tuple | None = None,
         align_to: "Snapshot | None" = None,
+        col_ranges: dict | None = None,
     ) -> DataFrame:
         """All physical rows (tombstones + engine columns included),
         optionally pruned to a bucket subset (the MERGE fast path)
@@ -497,15 +544,24 @@ class LakeTable:
         if buckets is not None:
             unresolved = unresolved & buckets
         if not resolve or not unresolved:
-            return self._aligned_scan(spark, snap, buckets, key_range, align_to)
+            return self._aligned_scan(
+                spark, snap, buckets, key_range, align_to, col_ranges
+            )
         clean = (buckets if buckets is not None else set(range(snap.n_buckets))) - unresolved
         key = snap.m["key_col"]
         parts = []
         if clean:
-            parts.append(self._aligned_scan(spark, snap, clean, key_range, align_to))
+            parts.append(
+                self._aligned_scan(
+                    spark, snap, clean, key_range, align_to, col_ranges
+                )
+            )
         parts.append(
             self._resolve_lww(
-                self._aligned_scan(spark, snap, unresolved, key_range, align_to), key
+                self._aligned_scan(
+                    spark, snap, unresolved, key_range, align_to, col_ranges
+                ),
+                key,
             )
         )
         df = parts[0]
@@ -513,11 +569,21 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
-    def read(self, spark: SparkSession, snapshot_version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_version: int | None = None,
+        col_ranges: dict | None = None,
+    ) -> DataFrame:
         """Public read: live rows only, user columns only (MOR deltas
-        resolved transparently)."""
+        resolved transparently). ``col_ranges`` ({col: (lo, hi)}) skips
+        files whose recorded payload-column bounds cannot match — a scan
+        HINT only: the caller still applies the actual (null-rejecting)
+        row filter."""
         snap = self.snapshot(snapshot_version)
-        df = self.read_physical(spark, snapshot_version=snapshot_version)
+        df = self.read_physical(
+            spark, snapshot_version=snapshot_version, col_ranges=col_ranges
+        )
         user_cols = [
             f["name"] for f in snap.fields() if f["name"] not in ("_deleted", "last_ordinal")
         ]

@@ -64,7 +64,10 @@ _WINDOW_50 = [
     # from the preimage/postimage change feed (takes always-green
     # cdc_hourly_throughput's slot)
     "cdc_incremental_agg",
-    "tok_array_stats", "tok_bigrams",
+    "tok_bigrams",
+    # round-4: payload-column stats pruning (takes always-green
+    # tok_array_stats' slot)
+    "cdc_stats_pruned_read",
     # round-4: incremental SCD2 history (takes always-green batch
     # cdc_scd2_history's slot — the materialized form supersedes it)
     "cdc_scd2_materialized", "tok_packing_sharded",

@@ -544,6 +544,103 @@ def cdc_scd2_materialized(spark, sf_dir):
 
 
 @register(
+    "cdc_stats_pruned_read",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INTEGER) AS h2
+      FROM documents
+    ),
+    final AS (
+      SELECT doc_id, lang,
+             CASE WHEN h2 % 5 = 1 THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+      FROM t WHERE h2 % 5 <> 2
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM final WHERE n_chars >= 700
+    """,
+    doc="Payload-column statistics pruning (stats_cols / col_ranges): a "
+    "MOR table created with STATS on n_chars, compacted sorted-by-"
+    "n_chars into many small files, then hit with delta updates that "
+    "cross the predicate boundary and tombstones — read with a "
+    "col_ranges scan hint + the row filter. Files are skipped by their "
+    "manifest bounds (per-file on resolved buckets, all-or-nothing on "
+    "delta-bearing buckets so a winning version or tombstone is never "
+    "separated from its bucket); value equality vs the plain SQL WHERE "
+    "proves the pruning loses nothing.",
+)
+def cdc_stats_pruned_read(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes, compact
+    from qwery_spark.lake.table import LakeTable
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"), h2.alias("h2"),
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|statsprune".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_statsprune_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_statsprune_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/t",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            n_buckets=4,
+            key_col="doc_id",
+            write_mode="mor",
+            stats_cols=["n_chars"],
+        )
+        append_changes(spark, src, tagged.select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        ))
+        # sorted compact -> tight per-file n_chars bounds, many files
+        compact(spark, src, sort_cols=["n_chars"], max_records_per_file=64)
+        # deltas: boundary-crossing updates + deletes (buckets go
+        # unresolved -> the all-or-nothing rule is exercised)
+        upd = tagged.filter(F.col("h2") % 5 == 1).select(
+            "doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        )
+        dels = tagged.filter(F.col("h2") % 5 == 2).select(
+            "doc_id", F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, src, upd.unionAll(dels))
+        (
+            src.read(spark, col_ranges={"n_chars": (700, None)})
+            .filter("n_chars >= 700")
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "text_token_stats",
     """
     SELECT doc_id,
