@@ -732,14 +732,17 @@ class ScriptEngine:
             )
 
         if re.match(r"COMPACT\s+LAKE\b", up):
-            # COMPACT LAKE 'p' [SORT BY (c1, c2)] [DROP TOMBSTONES]:
+            # COMPACT LAKE 'p' [SORT BY (c1, c2) | ZORDER BY (c1, c2)]
+            #   [DROP TOMBSTONES]:
             # fold MOR deltas to one resolved file set per bucket
             # (Iceberg rewrite_data_files); SORT BY triggers the
             # sort-order rewrite that makes row-group + manifest-stats
-            # pruning maximal.
+            # pruning maximal; ZORDER BY the Morton-interleave rewrite
+            # that keeps EVERY listed column's bounds tight (Delta
+            # OPTIMIZE ZORDER BY analogue).
             m = re.match(
                 r"COMPACT\s+LAKE\s+'([^']+)'"
-                r"(?:\s+SORT\s+BY\s+\(([^()]+)\))?"
+                r"(?:\s+(SORT|ZORDER)\s+BY\s+\(([^()]+)\))?"
                 r"(\s+DROP\s+TOMBSTONES)?\s*$",
                 stmt,
                 re.IGNORECASE,
@@ -749,13 +752,16 @@ class ScriptEngine:
             from qwery_spark.lake.merge import compact
             from qwery_spark.lake.table import LakeTable
 
+            cols = (
+                [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+            )
+            is_z = (m.group(2) or "").upper() == "ZORDER"
             res = compact(
                 self.spark,
                 LakeTable(m.group(1)),
-                sort_cols=(
-                    [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
-                ),
-                drop_tombstones=bool(m.group(3)),
+                sort_cols=None if is_z else cols,
+                zorder_cols=cols if is_z else None,
+                drop_tombstones=bool(m.group(4)),
             )
             return self.spark.createDataFrame(
                 [(res["compacted_buckets"],)], "compacted_buckets int"

@@ -303,6 +303,7 @@ def compact(
     drop_tombstones: bool = False,
     max_records_per_file: int = 2_000_000,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Fold MOR delta files back into one resolved file per bucket
     (Iceberg rewrite_data_files analogue). With drop_tombstones=True,
@@ -316,15 +317,23 @@ def compact(
     is per-partition (sortWithinPartitions after the bucket
     repartition), never a global sort.
 
+    ``zorder_cols`` (mutually exclusive with sort_cols) sorts each
+    bucket by the columns' Morton interleave instead (Delta OPTIMIZE
+    ZORDER BY analogue, operators/zorder.py): every listed column's
+    per-file bounds stay tight SIMULTANEOUSLY, so files(col_ranges=)
+    prunes on any of them — a 1D sort only serves its leading column.
+
     Default scope: the unresolved (delta-bearing) buckets — EXCEPT when
-    ``sort_cols`` is given, where the point is the whole table's sort
-    order, so the default widens to every bucket (a user asking for a
-    sort-order rewrite would otherwise silently get only the buckets
-    that happened to carry deltas). Pass ``buckets`` to narrow."""
+    a sort/zorder is given, where the point is the whole table's
+    clustering, so the default widens to every bucket (a user asking
+    for a sort-order rewrite would otherwise silently get only the
+    buckets that happened to carry deltas). Pass ``buckets`` to narrow."""
+    if sort_cols and zorder_cols:
+        raise ValueError("compact: sort_cols and zorder_cols are exclusive")
     snap = table.snapshot()
     if buckets is not None:
         target = buckets
-    elif sort_cols:
+    elif sort_cols or zorder_cols:
         target = set(range(snap.n_buckets))
     else:
         target = snap.unresolved_buckets or set(range(snap.n_buckets))
@@ -337,7 +346,21 @@ def compact(
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
     )
-    if sort_cols:
+    if zorder_cols:
+        from qwery_spark.operators.zorder import column_bounds, zorder_col
+
+        bounds = column_bounds(df, zorder_cols)
+        df = (
+            df.withColumn("_z", zorder_col(bounds, zorder_cols))
+            .repartition(max(len(target), 1), "_bucket")
+            .sortWithinPartitions("_bucket", "_z")
+            .drop("_z")  # projection preserves the within-partition order
+        )
+        new_files = _stage_write(
+            df, table, snap.schema_version, len(target), max_records_per_file,
+            repartition=False, stats_col=key,
+        )
+    elif sort_cols:
         df = df.repartition(max(len(target), 1), "_bucket").sortWithinPartitions(
             "_bucket", *sort_cols
         )
