@@ -247,3 +247,85 @@ def test_chunking_query_no_shuffle(spark):
 def test_decontaminate_broadcasts_benchmark(spark):
     p = _plan(spark, "text_decontaminate")
     assert "BroadcastHashJoin" in p
+
+
+def test_sigindex_candidates_bucket_join(spark, tmp_path):
+    """index_candidates: the (band, minhash) self-join must be an
+    equi-join over the durable index parquet — never a nested loop or
+    cartesian — and no signature recomputation subtree (no explode of
+    shingles; the only explodes unpack the stored sigs arrays)."""
+    from pyspark.sql import functions as F, types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.sigindex import (
+        build_signature_index,
+        index_candidates,
+    )
+
+    docs = LakeTable.create(
+        str(tmp_path / "docs"),
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]),
+        n_buckets=2, key_col="doc_id", write_mode="mor",
+    )
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} tail words", "U", i)
+            for i in range(30)]
+    append_changes(spark, docs, spark.createDataFrame(
+        rows, "doc_id long, text string, op string, ordinal long"))
+    idx = build_signature_index(spark, docs, str(tmp_path / "idx"))
+    p = (
+        index_candidates(spark, idx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # both sides read the index parquet (sigs struct in the scan
+    # schema), never the docs table (its text column would appear)
+    assert "sigs:array<struct<band" in p
+    assert "text:string" not in p
+
+
+def test_incremental_agg_delta_single_shuffle(spark, tmp_path):
+    """update_agg's delta fold: ONE exchange on the group column sized
+    by the window (partial-agg'd map-side), then a broadcast merge into
+    the small rollup — the base table never rescanned."""
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.changes import read_changes
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+
+    src = LakeTable.create(
+        str(tmp_path / "src"),
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("lang", T.StringType()),
+                      T.StructField("n_chars", T.LongType())]),
+        n_buckets=2, key_col="doc_id", write_mode="mor",
+    )
+    ddl = "doc_id long, lang string, n_chars long, op string, ordinal long"
+    append_changes(spark, src, spark.createDataFrame(
+        [(i, "en", 10 * i, "U", i) for i in range(40)], ddl))
+    v1 = src.current_version()
+    append_changes(spark, src, spark.createDataFrame(
+        [(0, "de", 999, "U", 100)], ddl))
+    from pyspark.sql import functions as F
+
+    feed = read_changes(spark, src, v1, include_preimages=True)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    deltas = (
+        feed.filter(F.col("lang").isNotNull())
+        .select("lang", sign.alias("_sign"),
+                F.col("n_chars").cast("double").alias("n_chars"))
+        .groupBy("lang")
+        .agg(F.sum("_sign").alias("d_n"),
+             F.sum(F.coalesce(F.col("n_chars"), F.lit(0.0)) * F.col("_sign"))
+             .alias("d"))
+    )
+    p = deltas._jdf.queryExecution().executedPlan().toString()
+    # partial + final HashAggregate around exactly one group-by exchange
+    assert p.count("Exchange hashpartitioning(lang") == 1
+    assert "HashAggregate" in p
