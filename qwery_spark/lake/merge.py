@@ -106,11 +106,12 @@ def _stage_write(
     read), enabling manifest-level file skipping on key predicates."""
     stage = f"snap-{uuid.uuid4().hex[:12]}"
     stage_dir = os.path.join(table.path, DATA_DIR, stage)
+    snap = table.snapshot()  # one manifest read for codec + stats_cols
     if repartition:
         df = df.repartition(max(n_partitions, 1), "_bucket")
     (
         df.write.option("maxRecordsPerFile", max_records_per_file)
-        .option("compression", table.snapshot().codec)
+        .option("compression", snap.codec)
         .partitionBy("_bucket")
         .parquet(stage_dir)
     )
@@ -126,67 +127,72 @@ def _stage_write(
                     "bucket": b,
                     "schema_version": schema_version,
                 }
-                if stats_col is not None:
-                    mm = _footer_min_max(
-                        os.path.join(table.path, entry["path"]), stats_col
+                # key bounds + the table's stats_cols payload bounds
+                # (Iceberg column bounds) in ONE footer open per file
+                want = ([stats_col] if stats_col else []) + snap.stats_cols
+                if want:
+                    fstats = _footer_stats(
+                        os.path.join(table.path, entry["path"]), want
                     )
-                    if mm is not None:
-                        entry["key_min"], entry["key_max"] = mm
-                # payload-column bounds for the table's stats_cols
-                # (Iceberg column bounds): footer-only reads, recorded
-                # once per file, serving files(col_ranges=) skipping
-                cstats = {}
-                for c in table.snapshot().stats_cols:
-                    mm = _footer_min_max(
-                        os.path.join(table.path, entry["path"]), c
-                    )
-                    if mm is not None and all(
-                        isinstance(v, (int, float, str, bool)) for v in mm
-                    ):
-                        cstats[c] = list(mm)
-                if cstats:
-                    entry["col_stats"] = cstats
+                    if stats_col is not None and stats_col in fstats:
+                        entry["key_min"], entry["key_max"] = fstats[stats_col]
+                    cstats = {
+                        c: list(fstats[c])
+                        for c in snap.stats_cols
+                        if c in fstats
+                    }
+                    if cstats:
+                        entry["col_stats"] = cstats
                 new_files.append(entry)
     return new_files
 
 
 def _footer_min_max(path: str, col: str):
-    """(min, max) of a top-level column across the file's row groups,
-    read from the parquet footer only. Returns None when any row group
-    lacks statistics (the file then simply isn't skippable — pruning
-    stays conservative). This is the local stand-in for Iceberg's
-    per-data-file column bounds, which write tasks report on a real
-    cluster; here the driver reads footers of the files it just staged
-    (O(files) metadata reads, no data)."""
+    """(min, max) of one column from the parquet footer (None when not
+    skippable). Thin wrapper over _footer_stats."""
+    return _footer_stats(path, [col]).get(col)
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """{col: (min, max)} for every requested top-level column, from ONE
+    parquet-footer open (metadata only, no data read). A column missing
+    from the result simply isn't skippable — any row group without
+    statistics, or a stat type that doesn't serialize to JSON, drops
+    that column (pruning stays conservative). This is the local
+    stand-in for Iceberg's per-data-file column bounds, which write
+    tasks report on a real cluster; here the driver reads footers of
+    the files it just staged (O(files) metadata reads)."""
+    out: dict = {}
     try:
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(path)
-        idx = next(
-            (
-                i
-                for i in range(pf.metadata.num_columns)
-                if pf.schema.column(i).path == col
-            ),
-            None,
-        )
-        if idx is None:
-            return None
-        lo = hi = None
-        for rg in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
-            return None
-        # manifest is JSON: only store plainly serializable stat types
-        if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
-            return None
-        return lo, hi
+        name_to_idx = {
+            pf.schema.column(i).path: i
+            for i in range(pf.metadata.num_columns)
+        }
+        for col in cols:
+            idx = name_to_idx.get(col)
+            if idx is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            # manifest is JSON: only store plainly serializable types
+            if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
+                continue
+            out[col] = (lo, hi)
     except Exception:
-        return None  # stats are an optimization; never fail a write
+        pass  # stats are an optimization; never fail a write
+    return out
 
 
 def append_changes(
@@ -331,6 +337,22 @@ def compact(
     if sort_cols and zorder_cols:
         raise ValueError("compact: sort_cols and zorder_cols are exclusive")
     snap = table.snapshot()
+    if zorder_cols:
+        # the Morton rank code comes from width_bucket — numeric only;
+        # fail before any scan with an actionable message (a string
+        # column would otherwise surface as an opaque float() error)
+        types = {f["name"]: f["type"] for f in snap.fields()}
+        numeric = ("int", "bigint", "smallint", "tinyint", "float",
+                   "double", "decimal")
+        bad = [
+            c for c in zorder_cols
+            if c not in types or not types[c].startswith(numeric)
+        ]
+        if bad:
+            raise ValueError(
+                f"compact: ZORDER BY needs numeric columns, got {bad} "
+                f"(types: {[types.get(c) for c in bad]})"
+            )
     if buckets is not None:
         target = buckets
     elif sort_cols or zorder_cols:
@@ -346,9 +368,13 @@ def compact(
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
     )
+    cached = None
     if zorder_cols:
         from qwery_spark.operators.zorder import column_bounds, zorder_col
 
+        # the bounds aggregate and the write would otherwise each run
+        # the full resolve-LWW scan — persist it across the two jobs
+        cached = df = df.persist()
         bounds = column_bounds(df, zorder_cols)
         df = (
             df.withColumn("_z", zorder_col(bounds, zorder_cols))
@@ -356,23 +382,22 @@ def compact(
             .sortWithinPartitions("_bucket", "_z")
             .drop("_z")  # projection preserves the within-partition order
         )
-        new_files = _stage_write(
-            df, table, snap.schema_version, len(target), max_records_per_file,
-            repartition=False, stats_col=key,
-        )
+        repart = False
     elif sort_cols:
         df = df.repartition(max(len(target), 1), "_bucket").sortWithinPartitions(
             "_bucket", *sort_cols
         )
-        new_files = _stage_write(
-            df, table, snap.schema_version, len(target), max_records_per_file,
-            repartition=False, stats_col=key,
-        )
+        repart = False
     else:
+        repart = True
+    try:
         new_files = _stage_write(
             df, table, snap.schema_version, len(target), max_records_per_file,
-            stats_col=key,
+            repartition=repart, stats_col=key,
         )
+    finally:
+        if cached is not None:
+            cached.unpersist()
     newsnap = table.commit_rewrite(
         base=snap,
         new_files=new_files,

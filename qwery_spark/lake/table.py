@@ -199,12 +199,25 @@ class Snapshot:
         if not col_ranges:
             return fs
 
+        # stats are keyed by NAME but only trustworthy when the name
+        # denotes the SAME field id in the file's schema version as in
+        # the current schema — a rename chain that reuses a name would
+        # otherwise let an old file's stats (describing a different
+        # logical column) wrongly prune it
+        cur_ids = {f["name"]: f["id"] for f in self.fields()}
+        id_by_sv: dict[int, dict] = {}
+
+        def _trusted(sv: int, c: str) -> bool:
+            if sv not in id_by_sv:
+                id_by_sv[sv] = {f["name"]: f["id"] for f in self.fields(sv)}
+            return id_by_sv[sv].get(c) == cur_ids.get(c)
+
         def _overlaps(f: dict) -> bool:
             cs = f.get("col_stats") or {}
             for c, (lo, hi) in col_ranges.items():
                 st = cs.get(c)
-                if st is None:
-                    continue  # no stats: conservative keep
+                if st is None or not _trusted(f["schema_version"], c):
+                    continue  # no stats / untrusted: conservative keep
                 mn, mx = st
                 if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                     return False
@@ -296,6 +309,10 @@ class LakeTable:
             schemas = dict(s["schemas"])
             schemas[str(sc["schema_version"])] = sc["fields"]
             s["schemas"] = schemas
+        if rec.get("stats_cols") is not None:
+            # rename_column remaps stats_cols so footer stats keep
+            # being recorded under the column's current name
+            s["stats_cols"] = rec["stats_cols"]
         if rec.get("n_buckets") is not None:
             # partition-spec evolution (rebucket): the bucket count is
             # per-snapshot state, so time travel before this commit
@@ -767,6 +784,7 @@ class LakeTable:
         summary: dict,
         max_retries: int = 5,
         base: Snapshot | None = None,
+        new_stats_cols: list[str] | None = None,
     ) -> Snapshot:
         """Metadata-only commit: new schema version, files untouched.
         Retries over interleaved DATA commits (they can't invalidate a
@@ -801,6 +819,8 @@ class LakeTable:
                 },
                 "summary": summary,
             }
+            if new_stats_cols is not None:
+                rec["stats_cols"] = new_stats_cols
             try:
                 return self._commit_record(rec, self._fold(latest.m, rec))
             except FileExistsError:
@@ -914,8 +934,13 @@ class LakeTable:
         for f in fields:
             if f["name"] == old:
                 f["name"] = new
+        stats = latest.stats_cols
+        new_stats = (
+            [new if c == old else c for c in stats] if old in stats else None
+        )
         return self.commit_schema_change(
-            fields, {"operation": "rename_column", "from": old, "to": new}, base=latest
+            fields, {"operation": "rename_column", "from": old, "to": new},
+            base=latest, new_stats_cols=new_stats,
         )
 
     def drop_column(self, name: str) -> Snapshot:

@@ -139,6 +139,49 @@ def build_agg(
     return agg
 
 
+def agg_deltas(
+    feed: DataFrame, group_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """Fold one preimage/postimage change window into per-group deltas
+    — ONE group-column shuffle sized by the window, partial-aggregated
+    map-side (plan-gated in tests/test_plans.py). Accumulator deltas
+    treat a NULL value as 0 (SQL SUM skips nulls) and coalesce the
+    aggregate itself so an all-NULL window can never null out the
+    running accumulator; the non-null count delta (dnn_*) decides when
+    the EXPOSED sum is NULL."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    return (
+        feed.filter(F.col(f"`{group_col}`").isNotNull())
+        .select(
+            F.col(f"`{group_col}`"),
+            sign.alias("_sign"),
+            *[F.col(f"`{c}`").cast("double").alias(c) for c in sum_cols],
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("_sign").cast("long").alias("d_n"),
+            *[
+                F.coalesce(
+                    F.sum(F.coalesce(F.col(f"`{c}`"), F.lit(0.0)) * F.col("_sign")),
+                    F.lit(0.0),
+                ).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(f"`{c}`").isNotNull(), F.col("_sign"))
+                    ).cast("long"),
+                    F.lit(0),
+                ).alias(f"dnn_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+
+
 def update_agg(
     spark: SparkSession,
     src: LakeTable,
@@ -173,42 +216,7 @@ def update_agg(
             spark, src, from_version, to_version, granular=False,
             include_preimages=True,
         )
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
-    deltas = (
-        feed.filter(F.col(f"`{group_col}`").isNotNull())
-        .select(
-            F.col(f"`{group_col}`"),
-            sign.alias("_sign"),
-            *[F.col(f"`{c}`").cast("double").alias(c) for c in sum_cols],
-        )
-        .groupBy(group_col)
-        .agg(
-            F.sum("_sign").cast("long").alias("d_n"),
-            # accumulator deltas treat a NULL value as 0 (SQL SUM skips
-            # nulls) and coalesce the aggregate itself so an all-NULL
-            # window can never null out the running accumulator; the
-            # non-null count delta decides when the EXPOSED sum is NULL
-            *[
-                F.coalesce(
-                    F.sum(F.coalesce(F.col(f"`{c}`"), F.lit(0.0)) * F.col("_sign")),
-                    F.lit(0.0),
-                ).alias(f"d_{c}")
-                for c in sum_cols
-            ],
-            *[
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col(f"`{c}`").isNotNull(), F.col("_sign"))
-                    ).cast("long"),
-                    F.lit(0),
-                ).alias(f"dnn_{c}")
-                for c in sum_cols
-            ],
-        )
-    )
-    deltas = deltas.persist()
+    deltas = agg_deltas(feed, group_col, sum_cols).persist()
     try:
         stats.groups_touched = deltas.count()
         if stats.groups_touched == 0:

@@ -94,3 +94,51 @@ def test_col_stats_absent_means_conservative(spark, tmp_table_dir):
     snap = tbl.snapshot()
     assert all("col_stats" not in f for f in snap.files())
     assert snap.files(col_ranges={"v": (100, 200)}) == snap.files()
+
+
+def test_rename_remaps_stats_cols_and_distrusts_stale_stats(spark, tmp_table_dir):
+    """Renaming a stats column keeps stats flowing under the new name,
+    and a rename chain that REUSES a name cannot let old files' stats
+    (describing a different logical column) prune wrongly."""
+    from pyspark.sql import types as T
+
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t",
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("a", T.LongType()),
+                      T.StructField("c", T.LongType())]),
+        n_buckets=1, key_col="doc_id", write_mode="mor", stats_cols=["a"],
+    )
+    ddl = "doc_id long, a long, c long, op string, ordinal long"
+    append_changes(spark, tbl, spark.createDataFrame(
+        [(i, i, 1000 + i, "U", i) for i in range(40)], ddl))
+    old_files = tbl.snapshot().files()
+    assert all("col_stats" in f and "a" in f["col_stats"] for f in old_files)
+
+    # rename a -> b: stats_cols follows, new writes record under 'b'
+    tbl.rename_column("a", "b")
+    assert tbl.snapshot().stats_cols == ["b"]
+    append_changes(spark, tbl, spark.createDataFrame(
+        [(100 + i, 7, 2000, "U", 100 + i) for i in range(5)], ddl.replace(" a ", " b ")))
+    newest = tbl.snapshot().files()[-1]
+    assert "b" in (newest.get("col_stats") or {})
+
+    # rename chain reusing 'a': c -> a. Old files' col_stats['a'] now
+    # describe a DIFFERENT logical column (today's b) — a range read on
+    # the reincarnated 'a' must NOT prune them (field-id distrust)
+    tbl.rename_column("c", "a")
+    snap = tbl.snapshot()
+    # old files' stale 'a' stats (0..39) are disjoint from (900, None),
+    # but their real a-values (old c: 1000+) DO match — must be kept
+    kept = snap.files(col_ranges={"a": (900, None)})
+    for f in old_files:
+        assert any(k["path"] == f["path"] for k in kept)
+    got = sorted(
+        r["doc_id"]
+        for r in tbl.read(spark, col_ranges={"a": (900, None)})
+        .filter("a >= 900").collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in tbl.read(spark).filter("a >= 900").collect()
+    )
+    assert got == want and len(got) >= 40

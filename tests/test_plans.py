@@ -310,21 +310,11 @@ def test_incremental_agg_delta_single_shuffle(spark, tmp_path):
     v1 = src.current_version()
     append_changes(spark, src, spark.createDataFrame(
         [(0, "de", 999, "U", 100)], ddl))
-    from pyspark.sql import functions as F
+    from qwery_spark.operators.materialize import agg_deltas
 
     feed = read_changes(spark, src, v1, include_preimages=True)
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
-    deltas = (
-        feed.filter(F.col("lang").isNotNull())
-        .select("lang", sign.alias("_sign"),
-                F.col("n_chars").cast("double").alias("n_chars"))
-        .groupBy("lang")
-        .agg(F.sum("_sign").alias("d_n"),
-             F.sum(F.coalesce(F.col("n_chars"), F.lit(0.0)) * F.col("_sign"))
-             .alias("d"))
-    )
+    # the PRODUCT delta builder (update_agg calls this exact function)
+    deltas = agg_deltas(feed, "lang", ["n_chars"])
     p = deltas._jdf.queryExecution().executedPlan().toString()
     # partial + final HashAggregate around exactly one group-by exchange
     assert p.count("Exchange hashpartitioning(lang") == 1

@@ -110,3 +110,19 @@ def test_compact_zorder_statement(spark, tmp_table_dir):
     assert res["compacted_buckets"] == 1
     snap = tbl.snapshot()
     assert all("col_stats" in f for f in snap.files())
+
+
+def test_zorder_rejects_non_numeric_columns(spark, tmp_table_dir):
+    from pyspark.sql import types as T
+    import pytest
+
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t",
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("lang", T.StringType())]),
+        n_buckets=1, key_col="doc_id", write_mode="mor",
+    )
+    append_changes(spark, tbl, spark.createDataFrame(
+        [(1, "en", "U", 1)], "doc_id long, lang string, op string, ordinal long"))
+    with pytest.raises(ValueError, match="numeric"):
+        compact(spark, tbl, zorder_cols=["lang"])
