@@ -47,6 +47,11 @@ class CompactionPolicy:
     min_due_buckets: int = 1
     expire_keep: int | None = None
     vacuum: bool = False
+    # clustering applied to triggered compactions: maintenance rewrites
+    # are the natural (free) moment to restore sort/z-order — the data
+    # is being rewritten anyway
+    sort_cols: list | None = None
+    zorder_cols: list | None = None
 
     def due_buckets(self, snap: Snapshot) -> set[int]:
         counts = Counter(f["bucket"] for f in snap.files())
@@ -81,11 +86,16 @@ def maybe_compact(
         return rep
     from qwery_spark.lake.merge import compact
 
-    compact(spark, table, buckets=due)
+    compact(
+        spark, table, buckets=due,
+        sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
+    )
     rep.triggered = True
     if policy.expire_keep:
         rep.snapshots_expired = table.expire_snapshots(keep_last=policy.expire_keep)
     if policy.vacuum:
+        # default grace protects concurrent writers' staged files (the
+        # policy daemon is explicitly allowed to run beside a writer)
         rep.files_vacuumed = table.vacuum()
     rep.files_after = len(table.snapshot().files())
     return rep

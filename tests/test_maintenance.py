@@ -209,3 +209,23 @@ def test_mor_replica_accumulates_deltas_and_policy_bounds_them(
     assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
         map(tuple, src.read(spark).collect())
     )
+
+
+def test_policy_applies_clustering_on_trigger(spark, tmp_table_dir):
+    """A policy with sort_cols restores the sort order on every
+    triggered compaction — per-file key bounds come out disjoint."""
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=1, write_mode="mor"
+    )
+    for i in range(6):
+        _append_one(spark, tbl, f"doc-{i:03d}", 100 + i)
+    rep = maybe_compact(
+        spark, tbl,
+        CompactionPolicy(max_files_per_bucket=3, sort_cols=["doc_id"]),
+    )
+    assert rep.triggered
+    files = tbl.snapshot().files()
+    assert all("key_min" in f for f in files)
+    spans = sorted((f["key_min"], f["key_max"]) for f in files)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # sorted rewrite: non-overlapping key ranges
