@@ -23,23 +23,21 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from qwery_spark.compiler import grammar as G
+
 
 @dataclass
 class Stmt:
     kind: str
     props: dict = field(default_factory=dict)
 
-    def __eq__(self, other):
-        return (
-            isinstance(other, Stmt)
-            and self.kind == other.kind
-            and self.props == other.props
-        )
-
 
 def _ws(s: str) -> str:
-    """Collapse runs of whitespace (for clause fragments that carry no
-    string literals — column lists, type names)."""
+    """Collapse runs of whitespace — ONLY for clause fragments that can
+    never carry string literals (column lists, type names). Fragments
+    that can (SET assignments, WHERE predicates, SELECT bodies) pass
+    through stripped-but-verbatim: normalizing them would rewrite the
+    literal content."""
     return re.sub(r"\s+", " ", s.strip())
 
 
@@ -49,14 +47,7 @@ def parse_statement(stmt: str) -> Stmt:
     s = stmt.strip().rstrip(";").strip()
     up = s.upper()
 
-    m = re.match(
-        r"CREATE\s+LAKE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*\((.*)\)"
-        r"\s+KEYED\s+ON\s+(\w+)"
-        r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?"
-        r"(?:\s+CODEC\s+(\w+))?"
-        r"(?:\s+STATS\s*\(([\w,\s]+)\))?\s*$",
-        s, re.IGNORECASE | re.DOTALL,
-    )
+    m = G.CREATE_LAKE.match(s)
     if m:
         return Stmt("create_lake", {
             "if_not_exists": bool(m.group(1)),
@@ -69,14 +60,14 @@ def parse_statement(stmt: str) -> Stmt:
             "stats": [c.strip() for c in (m.group(8) or "").split(",") if c.strip()] or None,
         })
 
-    m = re.match(r"DROP\s+LAKE\s+(IF\s+EXISTS\s+)?'([^']+)'\s*$", s, re.IGNORECASE)
+    m = G.DROP_LAKE.match(s)
     if m:
         return Stmt("drop_lake", {"if_exists": bool(m.group(1)), "path": m.group(2)})
 
     m = re.match(
         r"ALTER\s+LAKE\s+'([^']+)'\s+(.+)$", s, re.IGNORECASE | re.DOTALL
     )
-    if m and up.startswith("ALTER LAKE"):
+    if m and re.match(r"ALTER\s+LAKE\b", up):
         path, verb = m.group(1), _ws(m.group(2))
         vu = verb.upper()
         for pat, kind, keys in (
@@ -93,11 +84,7 @@ def parse_statement(stmt: str) -> Stmt:
                     props[k] = _ws(v) if k == "type" else v
                 return Stmt("alter_lake", props)
 
-    m = re.match(
-        r"(UPSERT\s+INTO|UPDATE)\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
-        r"(?:\s+ORDINAL\s+(\w+))?\s+((?:SELECT|WITH)\b.*)$",
-        s, re.IGNORECASE | re.DOTALL,
-    )
+    m = G.UPSERT.match(s)
     if m:
         return Stmt("upsert", {
             "matched_only": m.group(1).upper().startswith("UPDATE"),
@@ -107,37 +94,24 @@ def parse_statement(stmt: str) -> Stmt:
             "select": m.group(5).strip(),
         })
 
-    m = re.match(
-        r"UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+KEYED\s+ON\s+(\w+)"
-        r"(?:\s+ORDINAL\s+(\d+))?(?:\s+WHERE\s+(.+))?$",
-        s, re.IGNORECASE | re.DOTALL,
-    )
+    m = G.UPDATE_SET.match(s)
     if m:
         return Stmt("update_set", {
             "path": m.group(1),
-            "assignments": _ws(m.group(2)),
+            "assignments": m.group(2).strip(),
             "key": m.group(3),
             "ordinal": int(m.group(4)) if m.group(4) else None,
-            "where": _ws(m.group(5)) if m.group(5) else None,
+            "where": m.group(5).strip() if m.group(5) else None,
         })
 
-    m = re.match(
-        r"DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
-        r"\s+ORDINAL\s+(\d+)(?:\s+WHERE\s+(.+))?$",
-        s, re.IGNORECASE | re.DOTALL,
-    )
+    m = G.DELETE.match(s)
     if m:
         return Stmt("delete", {
             "path": m.group(1), "key": m.group(2), "ordinal": int(m.group(3)),
-            "where": _ws(m.group(4)) if m.group(4) else None,
+            "where": m.group(4).strip() if m.group(4) else None,
         })
 
-    m = re.match(
-        r"COMPACT\s+LAKE\s+'([^']+)'"
-        r"(?:\s+(SORT|ZORDER)\s+BY\s+\(([^()]+)\))?"
-        r"(\s+DROP\s+TOMBSTONES)?\s*$",
-        s, re.IGNORECASE,
-    )
+    m = G.COMPACT.match(s)
     if m:
         return Stmt("compact", {
             "path": m.group(1),
@@ -146,32 +120,25 @@ def parse_statement(stmt: str) -> Stmt:
             "drop_tombstones": bool(m.group(4)),
         })
 
-    m = re.match(
-        r"VACUUM\s+LAKE\s+'([^']+)'(?:\s+GRACE\s+(\d+))?\s*$", s, re.IGNORECASE
-    )
+    m = G.VACUUM.match(s)
     if m:
         return Stmt("vacuum", {
             "path": m.group(1),
             "grace": int(m.group(2)) if m.group(2) is not None else None,
         })
 
-    m = re.match(
-        r"EXPIRE\s+SNAPSHOTS\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$", s, re.IGNORECASE
-    )
+    m = G.EXPIRE.match(s)
     if m:
         return Stmt("expire", {
             "path": m.group(1),
             "keep": int(m.group(2)) if m.group(2) else None,
         })
 
-    m = re.match(r"SHOW\s+SNAPSHOTS\s+'([^']+)'\s*$", s, re.IGNORECASE)
+    m = G.SHOW_SNAPSHOTS.match(s)
     if m:
         return Stmt("show_snapshots", {"path": m.group(1)})
 
-    m = re.match(
-        r"SHOW\s+CHANGES\s+'([^']+)'(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?\s*$",
-        s, re.IGNORECASE,
-    )
+    m = G.SHOW_CHANGES.match(s)
     if m:
         return Stmt("show_changes", {
             "path": m.group(1),
@@ -179,7 +146,7 @@ def parse_statement(stmt: str) -> Stmt:
             "to": int(m.group(3)) if m.group(3) else None,
         })
 
-    m = re.match(r"DESCRIBE\s+LAKE\s+'([^']+)'\s*$", s, re.IGNORECASE)
+    m = G.DESCRIBE_LAKE.match(s)
     if m:
         return Stmt("describe_lake", {"path": m.group(1)})
 

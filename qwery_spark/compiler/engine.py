@@ -32,6 +32,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from qwery_spark.compiler import grammar as G
 from qwery_spark.sources import read_source, write_sink
 
 # the hint block allows ONE level of nesting so the reference's
@@ -499,7 +500,7 @@ class ScriptEngine:
             # lake ops surface (Iceberg's snapshots metadata table shape):
             # one row per commit record in the delta log — version, epoch,
             # operation, files added/buckets replaced by THAT commit
-            m = re.match(r"SHOW\s+SNAPSHOTS\s+'([^']+)'", stmt, re.IGNORECASE)
+            m = G.SHOW_SNAPSHOTS.match(stmt)
             if not m:
                 raise ValueError("SHOW SNAPSHOTS needs a quoted table path")
             from qwery_spark.lake.table import LakeTable
@@ -538,12 +539,7 @@ class ScriptEngine:
             # creation, TO to the current head) — downstream consumers
             # read incremental change rows instead of re-scanning the
             # table. Beyond-reference (the reference has no change feed).
-            m = re.match(
-                r"SHOW\s+CHANGES\s+'([^']+)'"
-                r"(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?\s*$",
-                stmt,
-                re.IGNORECASE,
-            )
+            m = G.SHOW_CHANGES.match(stmt)
             if not m:
                 raise ValueError(
                     f"bad SHOW CHANGES (want SHOW CHANGES 'path' [FROM n] [TO n]): {stmt}"
@@ -581,7 +577,7 @@ class ScriptEngine:
             raise ValueError(f"unknown SHOW target: {what}")
 
         if re.match(r"DESCRIBE\s+LAKE\b", up):
-            m = re.match(r"DESCRIBE\s+LAKE\s+'([^']+)'", stmt, re.IGNORECASE)
+            m = G.DESCRIBE_LAKE.match(stmt)
             if not m:
                 raise ValueError("DESCRIBE LAKE needs a quoted table path")
             from qwery_spark.lake.table import LakeTable
@@ -630,15 +626,7 @@ class ScriptEngine:
             # load, evolve, maintain and drop a table without the API
             # greedy (.*) pairs with the LAST ')' before KEYED ON, so
             # paren-bearing types (decimal(12,2), varchar(8)) parse
-            m = re.match(
-                r"CREATE\s+LAKE\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'\s*\((.*)\)"
-                r"\s+KEYED\s+ON\s+(\w+)"
-                r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?"
-                r"(?:\s+CODEC\s+(\w+))?"
-                r"(?:\s+STATS\s*\(([\w,\s]+)\))?\s*$",
-                stmt,
-                re.IGNORECASE | re.DOTALL,
-            )
+            m = G.CREATE_LAKE.match(stmt)
             if not m:
                 raise ValueError(f"bad CREATE LAKE: {stmt}")
             from pyspark.sql.types import StructType
@@ -690,9 +678,7 @@ class ScriptEngine:
             # data). Refuses paths that aren't lake tables (no manifest
             # dir) so a typo can't delete arbitrary directories; IF
             # EXISTS makes teardown-then-create scripts rerunnable.
-            m = re.match(
-                r"DROP\s+LAKE\s+(IF\s+EXISTS\s+)?'([^']+)'\s*$", stmt, re.IGNORECASE
-            )
+            m = G.DROP_LAKE.match(stmt)
             if not m:
                 raise ValueError(f"bad DROP LAKE: {stmt}")
             from qwery_spark.lake.table import LakeTable, _invalidate
@@ -716,10 +702,7 @@ class ScriptEngine:
         if re.match(r"EXPIRE\s+SNAPSHOTS\b", up):
             # lake maintenance (Iceberg expire_snapshots):
             # EXPIRE SNAPSHOTS 'path' [KEEP n]
-            m = re.match(
-                r"EXPIRE\s+SNAPSHOTS\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$",
-                stmt, re.IGNORECASE,
-            )
+            m = G.EXPIRE.match(stmt)
             if not m:
                 raise ValueError(f"bad EXPIRE SNAPSHOTS: {stmt}")
             from qwery_spark.lake.table import LakeTable
@@ -740,13 +723,7 @@ class ScriptEngine:
             # pruning maximal; ZORDER BY the Morton-interleave rewrite
             # that keeps EVERY listed column's bounds tight (Delta
             # OPTIMIZE ZORDER BY analogue).
-            m = re.match(
-                r"COMPACT\s+LAKE\s+'([^']+)'"
-                r"(?:\s+(SORT|ZORDER)\s+BY\s+\(([^()]+)\))?"
-                r"(\s+DROP\s+TOMBSTONES)?\s*$",
-                stmt,
-                re.IGNORECASE,
-            )
+            m = G.COMPACT.match(stmt)
             if not m:
                 raise ValueError(f"bad COMPACT LAKE: {stmt}")
             from qwery_spark.lake.merge import compact
@@ -772,10 +749,7 @@ class ScriptEngine:
             # VACUUM LAKE 'path' [GRACE <seconds>]
             # default grace = 1h protects a concurrent writer's staged
             # files; GRACE 0 for provably single-writer scripts
-            m = re.match(
-                r"VACUUM\s+LAKE\s+'([^']+)'(?:\s+GRACE\s+(\d+))?\s*$",
-                stmt, re.IGNORECASE,
-            )
+            m = G.VACUUM.match(stmt)
             if not m:
                 raise ValueError(f"bad VACUUM LAKE: {stmt}")
             from qwery_spark.lake.table import LakeTable
@@ -863,16 +837,11 @@ class ScriptEngine:
                 [(plan["dialect"], plan["merge_sql"])], "dialect string, merge_sql string"
             )
 
-        m = re.match(
-            r"(?:UPSERT\s+INTO|UPDATE)\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
-            r"(?:\s+ORDINAL\s+(\w+))?\s+(SELECT|WITH)(.*)$",
-            stmt,
-            re.IGNORECASE | re.DOTALL,
-        )
+        m = G.UPSERT.match(stmt)
         if not m:
             raise ValueError(f"bad UPSERT: {stmt}")
-        path, key, ordinal, kw, rest = m.groups()
-        df = self._compile_select(f"{kw}{rest}")
+        _head, path, key, ordinal, select = m.groups()
+        df = self._compile_select(select)
         if ordinal and ordinal != "ordinal":
             df = df.withColumnRenamed(ordinal, "ordinal")
         if "ordinal" not in df.columns:
@@ -929,12 +898,7 @@ class ScriptEngine:
         from qwery_spark.lake.merge import ENGINE_COLS, merge_changes
         from qwery_spark.lake.table import LakeTable
 
-        m = re.match(
-            r"UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+KEYED\s+ON\s+(\w+)"
-            r"(?:\s+ORDINAL\s+(\d+))?(?:\s+WHERE\s+(.+))?$",
-            stmt,
-            re.IGNORECASE | re.DOTALL,
-        )
+        m = G.UPDATE_SET.match(stmt)
         if not m:
             raise ValueError(f"bad UPDATE ... SET: {stmt}")
         path, set_raw, key, ordinal_raw, pred = m.groups()
@@ -1019,12 +983,7 @@ class ScriptEngine:
         from qwery_spark.lake.merge import append_changes, merge_changes
         from qwery_spark.lake.table import LakeTable
 
-        m = re.match(
-            r"DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+KEYED\s+ON\s+(\w+)"
-            r"\s+ORDINAL\s+(\d+)(?:\s+WHERE\s+(.+))?$",
-            stmt,
-            re.IGNORECASE | re.DOTALL,
-        )
+        m = G.DELETE.match(stmt)
         if not m:
             raise ValueError(f"bad DELETE: {stmt}")
         path, key, ordinal, pred = m.group(1), m.group(2), int(m.group(3)), m.group(4)

@@ -52,6 +52,17 @@ class CompactionPolicy:
     # is being rewritten anyway
     sort_cols: list | None = None
     zorder_cols: list | None = None
+    max_records_per_file: int = 2_000_000
+
+    def __post_init__(self):
+        # a policy misconfiguration must fail at CONSTRUCTION, not at
+        # the first triggered tick hours into a stream
+        if self.sort_cols and self.zorder_cols:
+            raise ValueError(
+                "CompactionPolicy: sort_cols and zorder_cols are exclusive"
+            )
+        if self.max_files_per_bucket < 1:
+            raise ValueError("CompactionPolicy: max_files_per_bucket >= 1")
 
     def due_buckets(self, snap: Snapshot) -> set[int]:
         counts = Counter(f["bucket"] for f in snap.files())
@@ -79,6 +90,21 @@ def maybe_compact(
     if snap.write_mode != "mor":
         rep.files_after = rep.files_before
         return rep
+    if policy.zorder_cols:
+        # surface a bad zorder spec on EVERY tick (cheap dict lookups),
+        # not only when a bucket finally crosses the threshold
+        types = {f["name"]: f["type"] for f in snap.fields()}
+        numeric = ("int", "bigint", "smallint", "tinyint", "float",
+                   "double", "decimal")
+        bad = [
+            c for c in policy.zorder_cols
+            if c not in types or not types[c].startswith(numeric)
+        ]
+        if bad:
+            raise ValueError(
+                f"CompactionPolicy.zorder_cols needs numeric table "
+                f"columns, got {bad}"
+            )
     due = policy.due_buckets(snap)
     rep.due_buckets = due
     if len(due) < max(policy.min_due_buckets, 1):
@@ -89,6 +115,7 @@ def maybe_compact(
     compact(
         spark, table, buckets=due,
         sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
+        max_records_per_file=policy.max_records_per_file,
     )
     rep.triggered = True
     if policy.expire_keep:

@@ -132,3 +132,42 @@ try:
         assert parse_statement(render(ast)) == ast
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_string_literals_survive_decompilation_verbatim():
+    """SET assignments and WHERE predicates can carry string literals
+    whose INNER whitespace is semantic — the canonical form must keep
+    them byte-identical (review finding: _ws used to collapse them)."""
+    s = (
+        "update lake '/t' set note = 'a  b   c' keyed on doc_id "
+        "where tag = 'x  y'"
+    )
+    ast = parse_statement(s)
+    assert ast.props["assignments"] == "note = 'a  b   c'"
+    assert ast.props["where"] == "tag = 'x  y'"
+    canon = decompile(s)
+    assert "'a  b   c'" in canon and "'x  y'" in canon
+
+    d = "delete from lake '/t' keyed on doc_id ordinal 5 where note = 'p  q'"
+    assert "'p  q'" in decompile(d)
+
+    u = ("upsert into lake '/t' keyed on doc_id "
+         "SELECT 'v  w' AS doc_id, 1L AS ordinal")
+    assert "'v  w'" in decompile(u)
+
+
+def test_alter_with_extra_spaces_still_canonicalizes():
+    s = "alter  lake '/t'   rebucket 4"
+    ast = parse_statement(s)
+    assert ast.kind == "alter_lake" and ast.props["verb"] == "rebucket"
+    assert decompile(s) == "ALTER LAKE '/t' REBUCKET 4"
+
+
+def test_engine_and_decompiler_share_one_grammar():
+    """Drift guard: both modules must reference the same compiled
+    pattern objects."""
+    import qwery_spark.compiler.decompiler as D
+    import qwery_spark.compiler.engine as E
+    from qwery_spark.compiler import grammar
+
+    assert E.G is grammar and D.G is grammar

@@ -217,15 +217,36 @@ def test_policy_applies_clustering_on_trigger(spark, tmp_table_dir):
     tbl = LakeTable.create(
         tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=1, write_mode="mor"
     )
-    for i in range(6):
+    for i in range(8):
         _append_one(spark, tbl, f"doc-{i:03d}", 100 + i)
     rep = maybe_compact(
         spark, tbl,
-        CompactionPolicy(max_files_per_bucket=3, sort_cols=["doc_id"]),
+        CompactionPolicy(max_files_per_bucket=3, sort_cols=["doc_id"],
+                         max_records_per_file=2),
     )
     assert rep.triggered
     files = tbl.snapshot().files()
+    assert len(files) >= 3  # small max_records_per_file: a REAL multi-
+    # file layout, so the disjointness loop below actually executes
     assert all("key_min" in f for f in files)
     spans = sorted((f["key_min"], f["key_max"]) for f in files)
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo  # sorted rewrite: non-overlapping key ranges
+
+
+def test_policy_rejects_bad_clustering_specs(spark, tmp_table_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="exclusive"):
+        CompactionPolicy(sort_cols=["a"], zorder_cols=["b"])
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        CompactionPolicy(max_files_per_bucket=0)
+    # a non-numeric zorder column surfaces on the FIRST tick, before
+    # any threshold is crossed
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        maybe_compact(
+            spark, tbl, CompactionPolicy(zorder_cols=["source"])
+        )
