@@ -108,7 +108,9 @@ def test_policy_noop_on_cow_and_min_due_batching(spark, tmp_table_dir):
     tbl = LakeTable.create(
         tmp_table_dir + "/cow", TARGET_SCHEMA, n_buckets=2, write_mode="cow"
     )
-    rep = maybe_compact(spark, tbl, CompactionPolicy(max_files_per_bucket=0))
+    # threshold 1 would trigger on any MOR table with >1 file per
+    # bucket — on a COW table the tick must still no-op entirely
+    rep = maybe_compact(spark, tbl, CompactionPolicy(max_files_per_bucket=1))
     assert not rep.triggered
     # min_due_buckets=2 defers a single-bucket trigger
     mor = LakeTable.create(
