@@ -77,6 +77,10 @@ class MaintenanceReport:
     files_after: int = 0
     snapshots_expired: int = 0
     files_vacuumed: int = 0
+    # a concurrent writer won the commit race this tick; the next tick
+    # retries against the new head (the due buckets are by definition
+    # the hot buckets a live ingest writer appends to)
+    conflict: bool = False
 
 
 def maybe_compact(
@@ -93,30 +97,35 @@ def maybe_compact(
     if policy.zorder_cols:
         # surface a bad zorder spec on EVERY tick (cheap dict lookups),
         # not only when a bucket finally crosses the threshold
-        types = {f["name"]: f["type"] for f in snap.fields()}
-        numeric = ("int", "bigint", "smallint", "tinyint", "float",
-                   "double", "decimal")
-        bad = [
-            c for c in policy.zorder_cols
-            if c not in types or not types[c].startswith(numeric)
-        ]
-        if bad:
-            raise ValueError(
-                f"CompactionPolicy.zorder_cols needs numeric table "
-                f"columns, got {bad}"
-            )
+        from qwery_spark.lake.merge import validate_zorder_cols
+
+        validate_zorder_cols(
+            snap, policy.zorder_cols, "CompactionPolicy.zorder_cols"
+        )
     due = policy.due_buckets(snap)
     rep.due_buckets = due
     if len(due) < max(policy.min_due_buckets, 1):
         rep.files_after = rep.files_before
         return rep
     from qwery_spark.lake.merge import compact
+    from qwery_spark.lake.table import CommitConflict
 
-    compact(
-        spark, table, buckets=due,
-        sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
-        max_records_per_file=policy.max_records_per_file,
-    )
+    try:
+        compact(
+            spark, table, buckets=due,
+            sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
+            max_records_per_file=policy.max_records_per_file,
+        )
+    except CommitConflict:
+        # the advertised concurrent mode's COMMON case: an ingest
+        # append to a due (hot) bucket landed between our snapshot
+        # read and the rewrite commit, beyond what commit_rewrite's
+        # disjoint-bucket rebase can absorb. Losing the race is not an
+        # error for a policy daemon — the work is still due, the next
+        # tick resnapshots and retries against the new head.
+        rep.conflict = True
+        rep.files_after = len(table.snapshot().files())
+        return rep
     rep.triggered = True
     if policy.expire_keep:
         rep.snapshots_expired = table.expire_snapshots(keep_last=policy.expire_keep)

@@ -302,6 +302,31 @@ def append_changes(
     return stats
 
 
+# exact numeric base types for zorder validation — startswith('int')
+# would also accept e.g. 'interval day to second'
+_ZORDER_NUMERIC = {
+    "int", "bigint", "smallint", "tinyint", "float", "double", "decimal"
+}
+
+
+def validate_zorder_cols(snap: Snapshot, cols: list, ctx: str) -> None:
+    """Fail a z-order spec before any scan: every column must exist and
+    have an exactly-numeric base type (the Morton rank code is built on
+    width_bucket). Shared by compact() and the compaction policy so the
+    two paths cannot drift."""
+    types = {f["name"]: f["type"] for f in snap.fields()}
+    bad = [
+        c for c in cols
+        if c not in types
+        or types[c].split("(", 1)[0].strip() not in _ZORDER_NUMERIC
+    ]
+    if bad:
+        raise ValueError(
+            f"{ctx}: ZORDER BY needs numeric columns, got {bad} "
+            f"(types: {[types.get(c) for c in bad]})"
+        )
+
+
 def compact(
     spark: SparkSession,
     table: LakeTable,
@@ -338,21 +363,7 @@ def compact(
         raise ValueError("compact: sort_cols and zorder_cols are exclusive")
     snap = table.snapshot()
     if zorder_cols:
-        # the Morton rank code comes from width_bucket — numeric only;
-        # fail before any scan with an actionable message (a string
-        # column would otherwise surface as an opaque float() error)
-        types = {f["name"]: f["type"] for f in snap.fields()}
-        numeric = ("int", "bigint", "smallint", "tinyint", "float",
-                   "double", "decimal")
-        bad = [
-            c for c in zorder_cols
-            if c not in types or not types[c].startswith(numeric)
-        ]
-        if bad:
-            raise ValueError(
-                f"compact: ZORDER BY needs numeric columns, got {bad} "
-                f"(types: {[types.get(c) for c in bad]})"
-            )
+        validate_zorder_cols(snap, zorder_cols, "compact")
     if buckets is not None:
         target = buckets
     elif sort_cols or zorder_cols:

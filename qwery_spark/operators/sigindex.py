@@ -125,7 +125,10 @@ def build_signature_index(
     )
     from qwery_spark.lake.merge import append_changes
 
-    append_changes(spark, idx, batch, epoch_id=None)
+    # keyed by the source version the build reflects: a crashed-and-
+    # replayed build against the same docs version is a commit-level
+    # no-op instead of a duplicate delta append
+    append_changes(spark, idx, batch, epoch_id=f"sigidx:build:{snap.version}")
     return idx
 
 
@@ -193,7 +196,13 @@ def update_signature_index(
             b = batches[0]
             for extra in batches[1:]:
                 b = b.unionByName(extra)
-            r = append_changes(spark, index, b, epoch_id=None)
+            # window-keyed epoch (like update_agg/update_scd2): a
+            # crashed-and-replayed window is a true commit-level no-op,
+            # not an LWW-converging duplicate append that grows the
+            # file count
+            r = append_changes(
+                spark, index, b, epoch_id=f"sigidx:{to_version}"
+            )
             stats.snapshot_version = r.snapshot_version
         return stats
     finally:

@@ -252,3 +252,61 @@ def test_policy_rejects_bad_clustering_specs(spark, tmp_table_dir):
         maybe_compact(
             spark, tbl, CompactionPolicy(zorder_cols=["source"])
         )
+
+
+def test_zorder_validator_exact_base_types():
+    """startswith('int') would wrongly accept 'interval day to second';
+    the shared validator matches exact base types (decimal(10,2) OK)."""
+    import pytest
+
+    from qwery_spark.lake.merge import validate_zorder_cols
+
+    class FakeSnap:
+        def fields(self):
+            return [
+                {"name": "iv", "type": "interval day to second"},
+                {"name": "d", "type": "decimal(10,2)"},
+                {"name": "n", "type": "bigint"},
+                {"name": "s", "type": "string"},
+            ]
+
+    snap = FakeSnap()
+    validate_zorder_cols(snap, ["d", "n"], "t")  # numerics pass
+    with pytest.raises(ValueError, match=r"\['iv'\]"):
+        validate_zorder_cols(snap, ["iv"], "t")
+    with pytest.raises(ValueError, match=r"\['s'\]"):
+        validate_zorder_cols(snap, ["s", "n"], "t")
+    with pytest.raises(ValueError, match="missing"):
+        validate_zorder_cols(snap, ["missing"], "t")
+
+
+def test_policy_tick_survives_commit_conflict(spark, tmp_table_dir, monkeypatch):
+    """A policy daemon beside a live writer loses the commit race on a
+    hot bucket: the tick must report conflict=True and return, NOT
+    propagate CommitConflict out of the loop."""
+    from qwery_spark.lake import merge as merge_mod
+    from qwery_spark.lake.table import CommitConflict
+
+    n_buckets = 2
+    tbl = LakeTable.create(
+        tmp_table_dir + "/c", TARGET_SCHEMA, n_buckets=n_buckets,
+        write_mode="mor",
+    )
+    d = _doc_for_bucket(0, n_buckets)
+    for i in range(4):
+        _append_one(spark, tbl, d, i)
+
+    def conflicted(*a, **k):
+        raise CommitConflict("concurrent overlapping commit (simulated)")
+
+    monkeypatch.setattr(merge_mod, "compact", conflicted)
+    policy = CompactionPolicy(max_files_per_bucket=2)
+    rep = maybe_compact(spark, tbl, policy)
+    assert rep.conflict and not rep.triggered
+    assert rep.due_buckets == {0}
+    assert rep.files_after == rep.files_before  # nothing committed
+    # next tick (no conflict) retries and succeeds against the new head
+    monkeypatch.undo()
+    rep2 = maybe_compact(spark, tbl, policy)
+    assert rep2.triggered and not rep2.conflict
+    assert max(_files_per_bucket(tbl).values()) <= 2

@@ -90,10 +90,16 @@ def test_update_window_is_idempotent(spark, tmp_path, corpus_rows):
     append_changes(spark, docs, batch)
     update_signature_index(spark, docs, idx, from_version=v1)
     once = sorted(tuple(r) for r in index_candidates(spark, idx).collect())
-    # re-apply the same window: LWW ordinal guard absorbs the replay
+    files_once = len(idx.snapshot().files())
+    ver_once = idx.current_version()
+    # re-apply the same window: the window-keyed epoch makes the replay
+    # a COMMIT-level no-op (no new delta files, no new version) — not
+    # just an LWW-converging duplicate append
     update_signature_index(spark, docs, idx, from_version=v1)
     twice = sorted(tuple(r) for r in index_candidates(spark, idx).collect())
     assert once == twice
+    assert len(idx.snapshot().files()) == files_once
+    assert idx.current_version() == ver_once
 
 
 def test_incremental_candidates_cover_the_delta(spark, tmp_path, corpus_rows):
