@@ -13,6 +13,12 @@ Headline: wall-clock of a deterministic change-event replay (validation
 -> fused LWW-dedup+bucket-layout single-shuffle -> merge-on-read delta
 append -> final compaction) through the real engine at
 local[$SPARK_GRAFT_CPUS] on $SPARK_GRAFT_SF_DIR-scaled input.
+Instrumentation (round-5): the headline runs FIRST (before the scaling
+ladder heats the host), best-of-3 for both MOR and COW, with every run
+and its per-epoch + compact wall breakdown recorded in
+``headline_runs`` — a slow recorded headline is now localizable
+(which epoch/stage) and auditable (the other runs are visible),
+closing the r4 verdict's "min() of 2 hides the answer" finding.
 
 Scaling evidence (BASELINE.md target #5; sandbox proxy for N vs 4N
 executors per the driver instruction): the same replay at two
@@ -107,7 +113,7 @@ def _fresh_spark_cluster(n_exec: int, cores: int = 4, worker_mb: int = 3072):
 
 def _replay(spark, files: list[str], n_buckets: int, n_batches: int,
             mode: str = "mor", compact_at_end: bool = False,
-            tmp_dir: str | None = None) -> float:
+            tmp_dir: str | None = None, breakdown: dict | None = None) -> float:
     from qwery_spark.cdc.apply import apply_changes
     from qwery_spark.lake.merge import compact
     from qwery_spark.lake.table import LakeTable
@@ -119,13 +125,21 @@ def _replay(spark, files: list[str], n_buckets: int, n_batches: int,
         per_batch = max(len(files) // n_batches, 1)
         t0 = time.monotonic()
         for b in range(n_batches):
+            tb = time.monotonic()
             chunk = files[b * per_batch : (b + 1) * per_batch] or files[-1:]
             df = spark.read.schema(EVENT_SCHEMA).parquet(*chunk)
             # collect_stats rides the write job via the Observation API —
             # full lineage metrics are free, so the bench keeps them on
             apply_changes(spark, tbl, df, epoch_id=b, collect_stats=True, scan_ddl=False)
+            if breakdown is not None:
+                breakdown.setdefault("epochs", []).append(
+                    round(time.monotonic() - tb, 3)
+                )
         if compact_at_end:
+            tc = time.monotonic()
             compact(spark, tbl)
+            if breakdown is not None:
+                breakdown["compact"] = round(time.monotonic() - tc, 3)
         return time.monotonic() - t0
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -170,6 +184,29 @@ def main():
         events = make_events(N_EVENTS, seed=42, max_len=MAX_LEN)
         write_event_chunks(events, tmp + "/head", N_BATCHES * 2)
         head_files = _chunk_paths(tmp + "/head")
+
+        # ---- headline replay FIRST (before the ~15-min scaling ladder
+        # heats the host), instrumented like the ladder rungs: one warm,
+        # then 3 recorded runs each for MOR and COW with ALL runs AND a
+        # per-epoch + compact wall breakdown in the JSON, so a slow run
+        # is visible and localizable (scan/merge epochs vs final
+        # compaction) instead of silently folded into a min() ----
+        spark = _fresh_spark(CPUS)
+        _replay(spark, head_files, N_BUCKETS, N_BATCHES, tmp_dir=FAST_TMP)  # warm
+        mor_runs, cow_runs = [], []
+        for _ in range(3):
+            bd = {}
+            t = _replay(spark, head_files, N_BUCKETS, N_BATCHES,
+                        compact_at_end=True, tmp_dir=FAST_TMP, breakdown=bd)
+            mor_runs.append({"sec": round(t, 3), **bd})
+        for _ in range(3):
+            bd = {}
+            t = _replay(spark, head_files, N_BUCKETS, N_BATCHES, mode="cow",
+                        tmp_dir=FAST_TMP, breakdown=bd)
+            cow_runs.append({"sec": round(t, 3), **bd})
+        replay_sec = min(r["sec"] for r in mor_runs)
+        cow_sec = min(r["sec"] for r in cow_runs)
+        spark.stop()
 
         scaling = {}
         if DO_SCALING:
@@ -269,20 +306,6 @@ def main():
             }
 
         spark = _fresh_spark(CPUS)
-        # tmpfs + best-of-2: the shared host's disk variance must not leak
-        # into the recorded headline
-        _replay(spark, head_files, N_BUCKETS, N_BATCHES, tmp_dir=FAST_TMP)  # warm
-        replay_sec = min(
-            _replay(spark, head_files, N_BUCKETS, N_BATCHES, compact_at_end=True,
-                    tmp_dir=FAST_TMP)
-            for _ in range(2)
-        )
-        # write-amplification evidence: same replay through the COW MERGE
-        cow_sec = min(
-            _replay(spark, head_files, N_BUCKETS, N_BATCHES, mode="cow", tmp_dir=FAST_TMP)
-            for _ in range(2)
-        )
-
         from qwery_spark.suite import REGISTRY
 
         qtimes = {}
@@ -304,6 +327,8 @@ def main():
             "mode": "mor+final_compact",
             "cow_replay_sec": round(cow_sec, 3),
             "cow_events_per_sec": round(N_EVENTS / cow_sec, 1),
+            "headline_selection": "best_of_3 (all runs + per-epoch breakdown listed)",
+            "headline_runs": {"mor": mor_runs, "cow": cow_runs},
             "scaling": scaling,
         }
         print(json.dumps(out))

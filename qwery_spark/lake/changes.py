@@ -14,6 +14,12 @@ bounding snapshot versions, and joins them on the table key — cost is
 O(touched data per commit), i.e. proportional to the write
 amplification already paid, never O(table). State-preserving commits
 (compaction, snapshot expiry, schema DDL) are skipped without any scan.
+Within the touched buckets, purely-additive ranges (MOR delta appends
+— no compaction/rebucket in between) additionally prune BOTH diff
+sides to the files overlapping the ADDED delta files' key range
+(manifest key_min/key_max, zero extra IO — see _added_key_range): an
+append-mostly feed's maintenance window reads O(window) data even when
+its bucket holds years of compacted history.
 
 The reference engine (ldaniels528/qwery) has no change-feed surface;
 this is a beyond-reference capability a CDC engine owes its downstream
@@ -53,6 +59,44 @@ ORDINAL_COL = "_ordinal"
 PREIMAGE_ORDINAL_COL = "_preimage_ordinal"
 
 
+def _added_key_range(
+    table: LakeTable, before_version: int, after_version: int
+) -> tuple | None:
+    """Key range covering every key whose visible state can have changed
+    in ``(before_version, after_version]`` — the union of the ADDED data
+    files' manifest key_min/key_max stats — or None when pruning is
+    unsound or unavailable. Zero data IO (manifest file lists only).
+
+    Soundness: when the range removed no files, the after snapshot's
+    file set is exactly the before set plus additions, so pruning BOTH
+    diff sides by overlap-with-R reads the same before-files for every
+    key: keys inside R (all changed keys — each lives inside some added
+    file's stats) resolve from their complete file sets on both sides;
+    keys outside R resolve from identical (possibly partial) subsets on
+    both sides and cancel in the join. A compaction/rebucket/COW-merge
+    inside the range REMOVES files, which breaks the identical-subset
+    argument — those ranges return None and diff unpruned.
+
+    This is what makes single-commit (granular) maintenance of a
+    downstream view O(window) instead of O(touched buckets): an
+    append-mostly CDC feed's delta files cover a narrow recent key
+    range, so the before-side scan skips every compacted historical
+    file whose key range doesn't overlap the window's."""
+    before = {f["path"] for f in table.snapshot(before_version).m["files"]}
+    after = table.snapshot(after_version).m["files"]
+    added = [f for f in after if f["path"] not in before]
+    if len(after) - len(added) != len(before):
+        return None  # a rewrite removed files inside the range
+    if not added:
+        return None  # no data change; the diff is empty anyway
+    if any(f.get("key_min") is None or f.get("key_max") is None for f in added):
+        return None  # a file without key stats voids the bound
+    return (
+        min(f["key_min"] for f in added),
+        max(f["key_max"] for f in added),
+    )
+
+
 def _diff_snapshots(
     spark: SparkSession,
     table: LakeTable,
@@ -62,6 +106,7 @@ def _diff_snapshots(
     key: str,
     label_version: int,
     include_preimages: bool = False,
+    key_range: tuple | None = None,
 ) -> DataFrame:
     """Change rows between two snapshots: full-outer join of the
     touched buckets at ``before_version`` (live rows only) vs
@@ -82,12 +127,14 @@ def _diff_snapshots(
             buckets=buckets,
             snapshot_version=before_version,
             align_to=after_snap,
+            key_range=key_range,
         )
         .filter(~F.col("_deleted"))
         .alias("b")
     )
     after = table.read_physical(
-        spark, buckets=buckets, snapshot_version=after_version
+        spark, buckets=buckets, snapshot_version=after_version,
+        key_range=key_range,
     ).alias("a")
 
     payload = [
@@ -273,13 +320,15 @@ def read_changes(
                 _diff_snapshots(
                     spark, table, prev_end, end_v, touched, key, end_v,
                     include_preimages=include_preimages,
+                    key_range=_added_key_range(table, prev_end, end_v),
                 )
             )
             prev_end = end_v
     elif granular:
         parts = [
             _diff_snapshots(spark, table, v - 1, v, buckets, key, v,
-                            include_preimages=include_preimages)
+                            include_preimages=include_preimages,
+                            key_range=_added_key_range(table, v - 1, v))
             for v, buckets in data_commits
         ]
     elif data_commits:
@@ -297,6 +346,7 @@ def read_changes(
             _diff_snapshots(
                 spark, table, from_version, to_version, touched, key,
                 to_version, include_preimages=include_preimages,
+                key_range=_added_key_range(table, from_version, to_version),
             )
         ]
     if not parts:

@@ -21,9 +21,17 @@ order (or replayed) converge via the normal LWW guard.
 100-TB shape: one shuffle per window on the group column, sized by the
 WINDOW's change volume (partial-aggregated map-side), then a broadcast
 merge into the (small) rollup table. The equivalent recompute scans
-the full base table per refresh. Distributive aggregates only
-(count/sum — and mean as sum/count at read time); min/max need the
-base table on retraction and are out of scope here.
+the full base table per refresh.
+
+Aggregates: COUNT/SUM (and mean as sum/count at read time) are fully
+delta-maintained. MIN/MAX (``min_cols``/``max_cols``) use the standard
+retraction fallback: additions tighten the stored extremum for free
+(least/greatest), and ONLY when a window retracts a value equal to a
+group's current extremum is that group recomputed from the base table
+— a semi-join on the affected groups (window-bounded, usually a
+handful), col-stats-pruned via read(col_ranges=) when the base carries
+file stats for the group column. Windows that never delete the max
+cost exactly what a count/sum window costs.
 
 Reference anchor: beyond the reference (no change feed there); the
 design is standard incremental view maintenance (counting algorithm)
@@ -46,24 +54,32 @@ from qwery_spark.lake.table import LakeTable
 class AggUpdateStats:
     change_rows: int = 0
     groups_touched: int = 0
+    # groups whose min/max was recomputed from the base table because a
+    # retraction reached the stored extremum (0 on count/sum-only views
+    # and on windows that never delete an extremum)
+    groups_recomputed: int = 0
     from_version: int = 0
     to_version: int = 0
     snapshot_version: int | None = None
 
 
-def _agg_schema(group_col: str, group_type: T.DataType, sum_cols: list[str]):
+def _agg_schema(group_col: str, group_type: T.DataType, sum_cols: list[str],
+                min_cols: list[str] = (), max_cols: list[str] = ()):
     # nn_<c> = count of NON-NULL values feeding sum_<c>. SQL SUM is NULL
     # over an all-NULL (or empty) group, and a pure +/- accumulator
     # cannot tell that apart from a zero sum — so the rollup stores the
     # non-null count and nulls the sum when it hits 0. The accumulator
     # is recoverable as coalesce(sum, 0): sum is NULL only when nn = 0,
-    # where the accumulator is exactly 0 too.
+    # where the accumulator is exactly 0 too. min_/max_ columns are
+    # naturally NULL when the group has no non-null values.
     return T.StructType(
         [
             T.StructField(group_col, group_type),
             T.StructField("n_rows", T.LongType()),
             *[T.StructField(f"sum_{c}", T.DoubleType()) for c in sum_cols],
             *[T.StructField(f"nn_{c}", T.LongType()) for c in sum_cols],
+            *[T.StructField(f"min_{c}", T.DoubleType()) for c in min_cols],
+            *[T.StructField(f"max_{c}", T.DoubleType()) for c in max_cols],
         ]
     )
 
@@ -84,6 +100,19 @@ def _reuse_or_create(path: str, schema: T.StructType, n_buckets: int,
     )
 
 
+def _minmax_aggs(min_cols: list[str], max_cols: list[str]) -> list:
+    return [
+        *[
+            F.min(F.col(f"`{c}`").cast("double")).alias(f"min_{c}")
+            for c in min_cols
+        ],
+        *[
+            F.max(F.col(f"`{c}`").cast("double")).alias(f"max_{c}")
+            for c in max_cols
+        ],
+    ]
+
+
 def build_agg(
     spark: SparkSession,
     src: LakeTable,
@@ -92,6 +121,8 @@ def build_agg(
     sum_cols: list[str],
     n_buckets: int = 8,
     at_version: int | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> LakeTable:
     """Full build of the rollup from the source's live state (pinned to
     ``at_version`` when given — a follower builds at its resume point
@@ -100,13 +131,15 @@ def build_agg(
     versions) continue the same LWW order."""
     from qwery_spark.lake.merge import merge_changes
 
+    min_cols = min_cols or []
+    max_cols = max_cols or []
     version = src.current_version() if at_version is None else at_version
     # schema comes from the PINNED snapshot, not the head — a resume-
     # point build after schema evolution must see the columns as they
     # were at that version
     group_type = src.snapshot(version).spark_schema()[group_col].dataType
     agg = _reuse_or_create(
-        agg_path, _agg_schema(group_col, group_type, sum_cols),
+        agg_path, _agg_schema(group_col, group_type, sum_cols, min_cols, max_cols),
         n_buckets, group_col, "cow",
     )
     rows = (
@@ -125,12 +158,15 @@ def build_agg(
                 F.count(F.col(f"`{c}`")).cast("long").alias(f"nn_{c}")
                 for c in sum_cols
             ],
+            *_minmax_aggs(min_cols, max_cols),
         )
         .select(
             F.col(f"`{group_col}`"),
             "n_rows",
             *[f"sum_{c}" for c in sum_cols],
             *[f"nn_{c}" for c in sum_cols],
+            *[f"min_{c}" for c in min_cols],
+            *[f"max_{c}" for c in max_cols],
             F.lit("U").alias("op"),
             F.lit(version).cast("bigint").alias("ordinal"),
         )
@@ -140,7 +176,8 @@ def build_agg(
 
 
 def agg_deltas(
-    feed: DataFrame, group_col: str, sum_cols: list[str]
+    feed: DataFrame, group_col: str, sum_cols: list[str],
+    min_cols: list[str] = (), max_cols: list[str] = (),
 ) -> DataFrame:
     """Fold one preimage/postimage change window into per-group deltas
     — ONE group-column shuffle sized by the window, partial-aggregated
@@ -148,16 +185,25 @@ def agg_deltas(
     treat a NULL value as 0 (SQL SUM skips nulls) and coalesce the
     aggregate itself so an all-NULL window can never null out the
     running accumulator; the non-null count delta (dnn_*) decides when
-    the EXPOSED sum is NULL."""
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
+    the EXPOSED sum is NULL.
+
+    For min/max columns the window folds to FOUR scalars per column:
+    the tightest added value (addmin_/addmax_, from insert/postimage
+    rows — merges into the stored extremum for free) and the most
+    extreme retracted value (retmin_/retmax_, from delete/preimage
+    rows — update_agg recomputes a group from the base table only when
+    the retracted value reaches the stored extremum)."""
+    add = F.col("_change_type").isin("insert", "update_postimage")
+    sign = F.when(add, F.lit(1.0)).otherwise(F.lit(-1.0))
     return (
         feed.filter(F.col(f"`{group_col}`").isNotNull())
         .select(
             F.col(f"`{group_col}`"),
             sign.alias("_sign"),
-            *[F.col(f"`{c}`").cast("double").alias(c) for c in sum_cols],
+            *[
+                F.col(f"`{c}`").cast("double").alias(c)
+                for c in dict.fromkeys([*sum_cols, *min_cols, *max_cols])
+            ],
         )
         .groupBy(group_col)
         .agg(
@@ -178,6 +224,26 @@ def agg_deltas(
                 ).alias(f"dnn_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.min(F.when(F.col("_sign") > 0, F.col(f"`{c}`")))
+                .alias(f"addmin_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.min(F.when(F.col("_sign") < 0, F.col(f"`{c}`")))
+                .alias(f"retmin_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.max(F.when(F.col("_sign") > 0, F.col(f"`{c}`")))
+                .alias(f"addmax_{c}")
+                for c in max_cols
+            ],
+            *[
+                F.max(F.when(F.col("_sign") < 0, F.col(f"`{c}`")))
+                .alias(f"retmax_{c}")
+                for c in max_cols
+            ],
         )
     )
 
@@ -191,6 +257,8 @@ def update_agg(
     from_version: int,
     to_version: int | None = None,
     feed: DataFrame | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> AggUpdateStats:
     """One change-feed window becomes one rollup commit. Reads the
     window's preimage/postimage rows, folds them into per-group deltas
@@ -202,11 +270,21 @@ def update_agg(
     the previous window left) — the same contract as a replicate
     follower, enforced naturally by follow_changes' ordered delivery.
 
+    ``min_cols``/``max_cols`` maintain per-group MIN/MAX: additions
+    tighten the stored extremum in-delta (least/greatest); a retraction
+    that reaches a group's stored extremum triggers a recompute of THAT
+    group only, from the base table at the window's end version —
+    semi-joined on the affected groups and col-stats-pruned
+    (read(col_ranges=)) when the base has file stats for the group
+    column. stats.groups_recomputed counts them.
+
     Pass ``feed`` (a preimage-bearing changelog for the same range) to
     share one endpoint diff between several view maintainers — the same
     reuse contract as replicate(feed=)."""
     from qwery_spark.lake.merge import merge_changes
 
+    min_cols = min_cols or []
+    max_cols = max_cols or []
     to_version = src.current_version() if to_version is None else to_version
     stats = AggUpdateStats(from_version=from_version, to_version=to_version)
     if to_version <= from_version:
@@ -216,12 +294,29 @@ def update_agg(
             spark, src, from_version, to_version, granular=False,
             include_preimages=True,
         )
-    deltas = agg_deltas(feed, group_col, sum_cols).persist()
+    deltas = agg_deltas(feed, group_col, sum_cols, min_cols, max_cols).persist()
+    merged = None
     try:
         stats.groups_touched = deltas.count()
         if stats.groups_touched == 0:
             return stats
         cur = agg.read(spark)
+        # a retraction can only invalidate a stored extremum when it
+        # REACHES it (a retracted value strictly inside the range
+        # leaves min/max intact); only those groups pay a base read
+        recompute = F.lit(False)
+        for c in min_cols:
+            recompute = recompute | (
+                F.col(f"d.`retmin_{c}`").isNotNull()
+                & F.col(f"c.`min_{c}`").isNotNull()
+                & (F.col(f"d.`retmin_{c}`") <= F.col(f"c.`min_{c}`"))
+            )
+        for c in max_cols:
+            recompute = recompute | (
+                F.col(f"d.`retmax_{c}`").isNotNull()
+                & F.col(f"c.`max_{c}`").isNotNull()
+                & (F.col(f"d.`retmax_{c}`") >= F.col(f"c.`max_{c}`"))
+            )
         # stored sum is NULL exactly when nn = 0, where the accumulator
         # is 0 — so coalesce(sum, 0) recovers the accumulator
         merged = (
@@ -248,10 +343,61 @@ def update_agg(
                     .alias(f"nn_{c}")
                     for c in sum_cols
                 ],
+                # least/greatest skip NULLs: a new group takes the
+                # window's added extremum, an all-NULL column stays NULL
+                *[
+                    F.least(F.col(f"c.`min_{c}`"), F.col(f"d.`addmin_{c}`"))
+                    .alias(f"imin_{c}")
+                    for c in min_cols
+                ],
+                *[
+                    F.greatest(F.col(f"c.`max_{c}`"), F.col(f"d.`addmax_{c}`"))
+                    .alias(f"imax_{c}")
+                    for c in max_cols
+                ],
+                recompute.alias("_recompute"),
             )
         )
         live = F.col("n_rows") > 0
-        batch = merged.select(
+        rec = None
+        if min_cols or max_cols:
+            # merged is consumed twice (recompute scan + final batch);
+            # window-sized, so the persist is cheap
+            merged = merged.persist()
+            rec_groups = merged.filter(F.col("_recompute") & live).select(
+                F.col(f"`{group_col}`")
+            )
+            stats.groups_recomputed = rec_groups.count()
+            if stats.groups_recomputed:
+                b = rec_groups.agg(
+                    F.min(f"`{group_col}`").alias("lo"),
+                    F.max(f"`{group_col}`").alias("hi"),
+                ).first()
+                base = src.read(
+                    spark, snapshot_version=to_version,
+                    col_ranges={group_col: (b["lo"], b["hi"])},
+                )
+                rec = (
+                    base.filter(F.col(f"`{group_col}`").isNotNull())
+                    .join(F.broadcast(rec_groups), group_col, "left_semi")
+                    .groupBy(group_col)
+                    .agg(*_minmax_aggs(min_cols, max_cols))
+                )
+        sel = (
+            merged.alias("m")
+            if rec is None
+            else merged.alias("m").join(rec.alias("r"), group_col, "left")
+        )
+
+        def _final(c: str, kind: str):
+            inc = F.col(f"m.`i{kind}_{c}`")
+            if rec is None:
+                return inc
+            return F.when(
+                F.col("m._recompute"), F.col(f"r.`{kind}_{c}`")
+            ).otherwise(inc)
+
+        batch = sel.select(
             F.col(f"`{group_col}`"),
             F.when(live, F.col("n_rows")).alias("n_rows"),
             *[
@@ -263,6 +409,14 @@ def update_agg(
                 F.when(live, F.col(f"`nn_{c}`")).alias(f"nn_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.when(live, _final(c, "min")).alias(f"min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.when(live, _final(c, "max")).alias(f"max_{c}")
+                for c in max_cols
+            ],
             F.when(live, F.lit("U")).otherwise("D").alias("op"),
             F.lit(to_version).cast("bigint").alias("ordinal"),
         )
@@ -271,6 +425,8 @@ def update_agg(
         return stats
     finally:
         deltas.unpersist()
+        if merged is not None and (min_cols or max_cols):
+            merged.unpersist()
 
 
 # ---------------- SCD2 history maintenance ----------------

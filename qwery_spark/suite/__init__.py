@@ -74,17 +74,22 @@ _WINDOW_50 = [
     # round-4 flagship: incremental dedup over the persisted signature
     # index (takes always-green tok_vocab_stats' slot)
     "dedup_incremental_candidates",
-    # text dedup pipeline + analysis + splits/sampling
-    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_candidates",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_pipeline_survivors",
-    "text_token_stats", "text_quality", "text_fingerprint",
-    "lang_id_markers", "text_bpe_token_count",
-    "split_assignment", "sample_stratified",
+    # text dedup pipeline + analysis + splits/sampling. Round-5
+    # rotation (r4 verdict task 3): twelve always-green judge-covered
+    # slots (dedup_minhash_signatures, dedup_ngram_jaccard,
+    # dedup_simhash, text_token_stats, text_fingerprint, lang_id_markers,
+    # text_bpe_token_count, split_assignment, sample_stratified,
+    # mm_metadata_rollup, ann_lsh_buckets, ann_ivf_cells) yield to the
+    # ten queries that NEVER had a driver
+    # row plus the two new round-5 operators (min/max IVM retraction,
+    # per-commit SCD2 fidelity), appended at the end of this list.
+    "dedup_exact", "dedup_minhash_candidates",
+    "dedup_pipeline_survivors", "text_quality",
     # multimodal plumbing
-    "mm_binary_features", "mm_metadata_rollup", "mm_frame_sample",
+    "mm_binary_features", "mm_frame_sample",
     # ANN / embedding dedup
-    "ann_cosine_topk", "ann_lsh_buckets", "ann_lsh_topk",
-    "embedding_label_stats", "ann_ivf_cells", "ann_ivf_topk",
+    "ann_cosine_topk", "ann_lsh_topk",
+    "embedding_label_stats", "ann_ivf_topk",
     "dedup_embedding_cosine_pairs", "dedup_clusters", "ann_ivf_kmeans_topk",
     # core flagships named by the r2 verdict + headline TPC-H-ish
     "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",
@@ -97,6 +102,14 @@ _WINDOW_50 = [
     "cdc_range_join_windows", "cdc_change_feed", "tok_chunking",
     # round-4 rotation: first-ever driver rows for these three
     "q_grouping_sets", "q_sessionize", "sample_cap_per_group",
+    # round-5 rotation: first-ever driver rows — the full never-rowed
+    # set from the r4 verdict...
+    "q_semi_join", "q_anti_join", "q_distinct", "q_cube", "q_percentiles",
+    "emb_quantize_int8", "emb_l2_normalize",
+    "text_pii_scrub", "text_decontaminate", "cdc_interval_overlap_join",
+    # ...plus the two new round-5 operators: MIN/MAX materialized-
+    # aggregate retraction and per-commit SCD2 history fidelity
+    "cdc_incremental_agg_minmax", "cdc_scd2_fidelity",
 ]
 
 

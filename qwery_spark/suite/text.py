@@ -449,6 +449,108 @@ def cdc_incremental_agg(spark, sf_dir):
 
 
 @register(
+    "cdc_incremental_agg_minmax",
+    f"""
+    SELECT lang, count(*) AS n_rows,
+           CAST(min(n_chars) AS DOUBLE) AS min_n_chars,
+           CAST(max(n_chars) AS DOUBLE) AS max_n_chars
+    FROM ({_AGG_FINAL_SQL}) f
+    GROUP BY lang
+    """,
+    doc="MIN/MAX materialized aggregate with retraction fallback "
+    "(operators/materialize.update_agg(min_cols=/max_cols=)): same "
+    "2-epoch lifecycle as cdc_incremental_agg but applied as TWO "
+    "in-order windows — adds+group-moves (retracting moved docs' old "
+    "values, some of which ARE their group's extremum), then deletes "
+    "(certainly deleting group maxima). Additions tighten min/max "
+    "in-delta; only groups whose stored extremum was retracted are "
+    "recomputed from the base (semi-join on affected groups, "
+    "col-stats-prunable). The DuckDB oracle recomputes min/max from "
+    "scratch over the final corpus — value equality proves the "
+    "retraction fallback exact, including delete-the-max windows.",
+)
+def cdc_incremental_agg_minmax(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.materialize import build_agg, update_agg
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"), h2.alias("h2"),
+    )
+    mm = dict(min_cols=["n_chars"], max_cols=["n_chars"])
+
+    tag = hashlib.md5(f"{sf_dir}|inc_agg_mm".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_inc_agg_mm_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_inc_agg_mm_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            n_buckets=8,
+            key_col="doc_id",
+            write_mode="mor",
+        )
+        ep0 = tagged.filter(F.col("h2") % 4 != 0).select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        )
+        append_changes(spark, src, ep0)
+        v1 = src.current_version()
+        agg = build_agg(spark, src, d + "/agg", "lang", [], **mm)
+        adds = tagged.filter(F.col("h2") % 4 == 0).select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            (F.col("doc_id") + 1_000_000).alias("ordinal"),
+        )
+        moves = tagged.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
+        ).select(
+            "doc_id", F.lit("moved").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        )
+        # window A: adds + group-moves (each move retracts its old
+        # group's value — extremum hits trigger per-group recompute)
+        append_changes(spark, src, adds.unionAll(moves))
+        v2 = src.current_version()
+        update_agg(spark, src, agg, "lang", [], from_version=v1, **mm)
+        # window B: deletes — guaranteed to retract some group's max
+        dels = tagged.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
+        ).select(
+            "doc_id", F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, src, dels)
+        update_agg(spark, src, agg, "lang", [], from_version=v2, **mm)
+        agg.read(spark).select(
+            "lang", "n_rows", "min_n_chars", "max_n_chars"
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "cdc_scd2_materialized",
     """
     WITH t AS (
@@ -535,6 +637,117 @@ def cdc_scd2_materialized(spark, sf_dir):
         )
         append_changes(spark, src, upd.unionAll(dels))
         update_scd2(spark, src, hist, from_version=v1)
+        hist.read(spark).select(
+            "doc_id", "lang", "n_chars", "valid_from", "valid_to"
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "cdc_scd2_fidelity",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  AS INTEGER) AS h2
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(doc_id AS BIGINT) AS valid_from,
+           CAST(CASE WHEN h2 % 5 = 1 THEN doc_id + 2000000
+                     WHEN h2 % 5 = 2 THEN doc_id + 4000000 END
+                AS BIGINT) AS valid_to
+    FROM t
+    UNION ALL
+    SELECT doc_id, 'moved', CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+           CAST(doc_id + 2000000 AS BIGINT) AS valid_from,
+           CAST(doc_id + 3000000 AS BIGINT) AS valid_to
+    FROM t WHERE h2 % 5 = 1
+    UNION ALL
+    SELECT doc_id, 'moved2', CAST(n_chars + 2000 AS BIGINT) AS n_chars,
+           CAST(doc_id + 3000000 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to
+    FROM t WHERE h2 % 5 = 1
+    """,
+    doc="SCD2 mid-window fidelity (r4 verdict task 7): the same keys "
+    "change TWICE across separate commits, then the history is "
+    "maintained per-commit (granular windows, the follow_changes "
+    "delivery shape) — so the MIDDLE version, which a coarse "
+    "endpoint-diff window would never materialize (it appears and dies "
+    "inside the window), gets its own history row with exact "
+    "valid_from/valid_to ordinal bounds. The oracle enumerates the "
+    "FULL expected version history, not just the final state.",
+)
+def cdc_scd2_fidelity(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.materialize import build_scd2, update_scd2
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"), h2.alias("h2"),
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|scd2fid".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_scd2fid_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_scd2fid_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            n_buckets=8,
+            key_col="doc_id",
+            write_mode="mor",
+        )
+        ep0 = tagged.select(
+            "doc_id", "lang", "n_chars", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        )
+        append_changes(spark, src, ep0)
+        v1 = src.current_version()
+        hist = build_scd2(spark, src, d + "/hist")
+        # three separate commits: move, move AGAIN (same keys — the
+        # middle version exists only between commits 1 and 2), delete
+        mv = tagged.filter(F.col("h2") % 5 == 1)
+        append_changes(spark, src, mv.select(
+            "doc_id", F.lit("moved").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        ))
+        append_changes(spark, src, mv.select(
+            "doc_id", F.lit("moved2").alias("lang"),
+            (F.col("n_chars") + 2000).alias("n_chars"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        ))
+        append_changes(spark, src, tagged.filter(F.col("h2") % 5 == 2).select(
+            "doc_id", F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 4_000_000).alias("ordinal"),
+        ))
+        # per-commit maintenance: window = exactly one source commit
+        for v in range(v1, src.current_version()):
+            update_scd2(spark, src, hist, from_version=v, to_version=v + 1)
         hist.read(spark).select(
             "doc_id", "lang", "n_chars", "valid_from", "valid_to"
         ).write.mode("overwrite").parquet(out_dir)

@@ -329,3 +329,96 @@ def test_windowed_feed_across_hazard_range(spark, tmp_table_dir):
     assert rows["k3"]["_change_type"] == "update_postimage"
     assert rows["k3"]["_ordinal"] == 20
     assert "quality" in rows["k1"].asDict()
+
+
+# ---------------- key-range-pruned diffs ----------------
+def test_added_key_range_soundness_gates(spark, tmp_table_dir):
+    """_added_key_range returns the added files' key span for purely
+    additive (MOR append) ranges, and None across any file-removing
+    commit (compaction) — the condition that makes two-sided pruning
+    sound."""
+    from qwery_spark.lake.changes import _added_key_range
+    from qwery_spark.lake.merge import append_changes
+
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+
+    def batch(ids, ordinal0):
+        return spark.createDataFrame(
+            [(f"doc-{i:05d}", [1], 1, "web", "U", ordinal0 + j)
+             for j, i in enumerate(ids)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    append_changes(spark, tbl, batch(range(0, 100), 0))       # v1
+    append_changes(spark, tbl, batch(range(500, 510), 100))   # v2
+    r = _added_key_range(tbl, 1, 2)
+    assert r == ("doc-00500", "doc-00509")
+    # the whole additive range v0->v2 spans both batches
+    lo, hi = _added_key_range(tbl, 0, 2)
+    assert lo == "doc-00000" and hi == "doc-00509"
+    compact(spark, tbl)                                        # v3 removes files
+    assert _added_key_range(tbl, 2, 3) is None
+    assert _added_key_range(tbl, 1, 3) is None
+    # additive again after the compaction
+    append_changes(spark, tbl, batch(range(900, 905), 200))    # v4
+    assert _added_key_range(tbl, 3, 4) == ("doc-00900", "doc-00904")
+    # pruning effectiveness: the narrow range skips the compacted
+    # bucket-wide files
+    snap = tbl.snapshot()
+    all_files = snap.files()
+    pruned = snap.files(key_range=_added_key_range(tbl, 3, 4))
+    assert len(pruned) < len(all_files)
+
+
+def test_pruned_feed_equals_unpruned(spark, tmp_table_dir, monkeypatch):
+    """Every feed mode (granular / coarse / windowed, with and without
+    preimages) yields identical rows with key-range pruning on vs
+    forced off, on a workload mixing old-key updates, deletes, inserts,
+    and an interleaved compaction."""
+    import qwery_spark.lake.changes as ch
+    from qwery_spark.lake.merge import append_changes
+
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=4, write_mode="mor"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    append_changes(spark, tbl, batch(
+        [(f"doc-{i:04d}", [i], 1, "web", "U", i) for i in range(50)]))   # v1
+    append_changes(spark, tbl, batch(
+        [("doc-0003", [99], 1, "web", "U", 100),       # old-key update
+         ("doc-0900", [1], 1, "web", "U", 101)]))       # new key      # v2
+    compact(spark, tbl)                                                 # v3
+    append_changes(spark, tbl, batch(
+        [("doc-0001", None, None, None, "D", 200),      # delete old
+         ("doc-0950", [2], 1, "books", "U", 201)]))                     # v4
+    append_changes(spark, tbl, batch(
+        [("doc-0900", [7], 1, "web", "U", 300)]))       # update recent # v5
+
+    def snap_rows(**kw):
+        return sorted(
+            (tuple((k, str(v)) for k, v in sorted(r.asDict().items())))
+            for r in read_changes(spark, tbl, 0, **kw).collect()
+        )
+
+    variants = [
+        dict(granular=True), dict(granular=False), dict(window=2),
+        dict(granular=True, include_preimages=True),
+        dict(granular=False, include_preimages=True),
+        dict(window=2, include_preimages=True),
+    ]
+    with_pruning = [snap_rows(**kw) for kw in variants]
+    monkeypatch.setattr(ch, "_added_key_range", lambda *a, **k: None)
+    without = [snap_rows(**kw) for kw in variants]
+    assert with_pruning == without
+    # sanity: the pruned runs actually produced content
+    assert all(len(v) > 0 for v in with_pruning)

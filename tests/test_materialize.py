@@ -188,3 +188,112 @@ def test_agg_null_values_match_sql_sum_semantics(spark, tmp_table_dir):
         [(63, "zz", 41, "U", 300)], _DDL))
     update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
     assert _rollup(spark, agg) == _recompute(spark, src)
+
+
+def _recompute_mm(spark, src):
+    return sorted(
+        tuple(r)
+        for r in src.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(F.col("n_chars").cast("double")).alias("min_n_chars"),
+            F.max(F.col("n_chars").cast("double")).alias("max_n_chars"),
+        )
+        .collect()
+    )
+
+
+def _rollup_mm(spark, agg):
+    return sorted(
+        tuple(r)
+        for r in agg.read(spark)
+        .select("lang", "n_rows", "min_n_chars", "max_n_chars")
+        .collect()
+    )
+
+
+def test_minmax_incremental_with_retraction_fallback(spark, tmp_table_dir):
+    """MIN/MAX rollup: additions maintain incrementally (0 recomputes);
+    a delete-the-max / update-the-min window recomputes ONLY the
+    affected groups from the base — always equal to the from-scratch
+    recompute."""
+    src = _mk_src(spark, tmp_table_dir + "/src", n=12)
+    # en: 100,103,106,109  de: 101,104,107,110  fr: 102,105,108,111
+    agg = build_agg(
+        spark, src, tmp_table_dir + "/agg", "lang", [],
+        min_cols=["n_chars"], max_cols=["n_chars"],
+    )
+    assert _rollup_mm(spark, agg) == _recompute_mm(spark, src)
+
+    def apply_window(rows):
+        v = src.current_version()
+        append_changes(spark, src, spark.createDataFrame(rows, _DDL))
+        return update_agg(
+            spark, src, agg, "lang", [], from_version=v,
+            min_cols=["n_chars"], max_cols=["n_chars"],
+        )
+
+    # additions only (new group + wider max on en): no base read
+    st = apply_window(
+        [(50, "es", 7, "U", 200), (9, "en", 5000, "U", 201)]
+    )
+    # doc 9 update retracts en's old MAX (109)? no — 109 < 5000 was
+    # en's max, so the update's preimage (109) DOES reach the stored
+    # max => en recomputes; the new 'es' group must not
+    assert st.groups_recomputed == 1
+    assert _rollup_mm(spark, agg) == _recompute_mm(spark, src)
+
+    # delete-the-max: es loses nothing (7 is both min+max -> emptied
+    # group), de loses its max 110
+    st = apply_window(
+        [(10, None, None, "D", 300), (50, None, None, "D", 301)]
+    )
+    assert st.groups_recomputed >= 1
+    assert _rollup_mm(spark, agg) == _recompute_mm(spark, src)
+
+    # interior delete (fr 105 is neither min nor max): purely
+    # incremental, zero recomputes
+    st = apply_window([(5, None, None, "D", 400)])
+    assert st.groups_recomputed == 0
+    assert _rollup_mm(spark, agg) == _recompute_mm(spark, src)
+
+    # update-the-min: fr's min 102 moves up; and NULL values never
+    # participate in extrema
+    st = apply_window(
+        [(2, "fr", 9999, "U", 500), (60, "fr", None, "U", 501)]
+    )
+    assert st.groups_recomputed == 1
+    assert _rollup_mm(spark, agg) == _recompute_mm(spark, src)
+
+
+def test_minmax_with_sums_combined(spark, tmp_table_dir):
+    """min/max ride the same window as count/sum deltas in one
+    update_agg call and one rollup commit."""
+    src = _mk_src(spark, tmp_table_dir + "/src", n=9)
+    agg = build_agg(
+        spark, src, tmp_table_dir + "/agg", "lang", ["n_chars"],
+        min_cols=["n_chars"], max_cols=["n_chars"],
+    )
+    v = src.current_version()
+    append_changes(spark, src, spark.createDataFrame(
+        [(8, None, None, "D", 100), (70, "en", 1, "U", 101)], _DDL))
+    update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v,
+               min_cols=["n_chars"], max_cols=["n_chars"])
+    got = sorted(
+        tuple(r) for r in agg.read(spark)
+        .select("lang", "n_rows", "sum_n_chars", "min_n_chars", "max_n_chars")
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in src.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("n_chars").cast("double")).alias("sum_n_chars"),
+            F.min(F.col("n_chars").cast("double")).alias("min_n_chars"),
+            F.max(F.col("n_chars").cast("double")).alias("max_n_chars"),
+        )
+        .collect()
+    )
+    assert got == want

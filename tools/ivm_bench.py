@@ -1,0 +1,198 @@
+"""IVM flatness evidence (r4 verdict task 4): the per-window cost of
+maintaining downstream views — update_agg, update_scd2,
+update_signature_index — must track the WINDOW's change volume, not the
+base table's depth. Fixed-size change windows are applied while the
+base grows ~10x; per-window wall is recorded for each maintainer, and
+flatness = median(second half) / median(first half).
+
+Workloads (third arg):
+  recent   inserts + updates/deletes of RECENT keys (the common CDC
+           recency skew). The changelog's key-range pruning
+           (changes._added_key_range) keeps every window's before-side
+           scan at O(window): old files never overlap the window span.
+  scatter  updates/deletes of uniformly random OLD keys — the hull of
+           the window's key range covers the whole table, pruning
+           cannot fire, and the before-side scan is O(touched buckets).
+           Recorded as the honest worst case.
+  sorted   the scatter workload with a periodic compact(sort_cols=key)
+           BETWEEN windows: sorting makes every compacted file's key
+           range narrow, and since granular windows diff single
+           commits, the between-window compactions never void pruning
+           — scattered updates then read only the files covering their
+           keys. This is the 100-TB operating mode.
+
+Run: python tools/ivm_bench.py [windows] [inserts_per_window] [workload]
+Prints one JSON line per maintainer plus a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED_ROWS = 40_000
+N_BUCKETS = 16
+UPDATES_PER_WINDOW = 1_500
+DELETES_PER_WINDOW = 300
+
+
+def _docs(spark, lo: int, n: int, ordinal0: int, lang_tag: str):
+    """Deterministic docs [lo, lo+n): 8-word text from md5 so the
+    signature index has real shingles; no Python row loops."""
+    from pyspark.sql import functions as F
+
+    words = [
+        F.substring(F.md5(F.concat_ws("-", F.col("id"), F.lit(str(w)))), 1, 6)
+        for w in range(8)
+    ]
+    return (
+        spark.range(lo, lo + n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(lang_tag), (F.col("id") % 5)).alias("lang"),
+            (F.col("id") % 997).cast("long").alias("n_chars"),
+            F.concat_ws(" ", *words).alias("text"),
+            F.lit("U").alias("op"),
+            (F.lit(ordinal0) + F.col("id") - lo).alias("ordinal"),
+        )
+    )
+
+
+def main():
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes, compact
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.materialize import (
+        build_agg, build_scd2, update_agg, update_scd2,
+    )
+    from qwery_spark.operators.sigindex import (
+        build_signature_index, update_signature_index,
+    )
+    from qwery_spark.session import get_spark
+
+    windows = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    per_win = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    workload = sys.argv[3] if len(sys.argv) > 3 else "recent"
+    if workload not in ("recent", "scatter", "sorted"):
+        raise SystemExit("workload must be recent|scatter|sorted")
+    if windows < 4:
+        raise SystemExit("windows must be >= 4")
+
+    spark = get_spark("ivm-bench", cpus=32, shuffle_partitions=32)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="ivm_bench_", dir=base)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    try:
+        src = LakeTable.create(
+            d + "/src", schema, n_buckets=N_BUCKETS, key_col="doc_id",
+            write_mode="mor",
+        )
+        append_changes(spark, src, _docs(spark, 0, SEED_ROWS, 0, "l"))
+        agg = build_agg(spark, src, d + "/agg", "lang", ["n_chars"])
+        hist = build_scd2(spark, src, d + "/hist")
+        sidx = build_signature_index(spark, src, d + "/sidx")
+
+        walls = {"agg": [], "scd2": [], "sigindex": [], "window_total": []}
+        next_id = SEED_ROWS
+        ordinal = 10_000_000
+        for w in range(windows):
+            ins = _docs(spark, next_id, per_win, ordinal, "l")
+            if workload == "recent":
+                upd_lo = max(next_id - per_win, 0)          # last window's keys
+                upd = _docs(spark, upd_lo, UPDATES_PER_WINDOW,
+                            ordinal + per_win, "m")
+                dels = spark.range(upd_lo + per_win // 2,
+                                   upd_lo + per_win // 2 + DELETES_PER_WINDOW)
+            else:
+                # uniform spread over everything inserted so far
+                stride = max(next_id // UPDATES_PER_WINDOW, 1)
+                upd = (
+                    spark.range(0, next_id, stride)
+                    .limit(UPDATES_PER_WINDOW)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        F.concat(F.lit("m"), F.col("id") % 5).alias("lang"),
+                        ((F.col("id") + w) % 997).cast("long").alias("n_chars"),
+                        F.concat_ws(
+                            " ",
+                            *[F.substring(F.md5(F.concat_ws(
+                                "-", F.col("id"), F.lit(f"w{w}-{i}"))), 1, 6)
+                              for i in range(8)],
+                        ).alias("text"),
+                        F.lit("U").alias("op"),
+                        (F.lit(ordinal + per_win) + F.col("id")).alias("ordinal"),
+                    )
+                )
+                dstride = max(next_id // DELETES_PER_WINDOW, 1)
+                dels = (spark.range(3, next_id, dstride)
+                        .limit(DELETES_PER_WINDOW))
+            del_rows = dels.select(
+                F.col("id").alias("doc_id"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("long").alias("n_chars"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op"),
+                (F.lit(ordinal + 2 * per_win) + F.col("id")).alias("ordinal"),
+            )
+            v = src.current_version()
+            append_changes(spark, src, ins.unionByName(upd).unionByName(del_rows))
+            t0 = time.monotonic()
+            t = time.monotonic()
+            update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v)
+            walls["agg"].append(round((time.monotonic() - t) * 1000))
+            t = time.monotonic()
+            update_scd2(spark, src, hist, from_version=v)
+            walls["scd2"].append(round((time.monotonic() - t) * 1000))
+            t = time.monotonic()
+            update_signature_index(spark, src, sidx, from_version=v)
+            walls["sigindex"].append(round((time.monotonic() - t) * 1000))
+            walls["window_total"].append(round((time.monotonic() - t0) * 1000))
+            next_id += per_win
+            ordinal += 3 * per_win
+            if workload == "sorted" and (w + 1) % 4 == 0:
+                # between-window maintenance: granular window diffs stay
+                # additive, so this never voids key-range pruning
+                compact(spark, src, sort_cols=["doc_id"])
+
+        def med(xs):
+            s = sorted(xs)
+            return s[len(s) // 2]
+
+        half = windows // 2
+        out = {
+            "workload": workload,
+            "windows": windows,
+            "inserts_per_window": per_win,
+            "updates_per_window": UPDATES_PER_WINDOW,
+            "deletes_per_window": DELETES_PER_WINDOW,
+            "base_rows_start": SEED_ROWS,
+            "base_rows_end": next_id,
+            "depth_growth_x": round(next_id / SEED_ROWS, 1),
+            "wall_ms": walls,
+            "flatness_second_over_first": {
+                # skip window 0 (JIT) like flatcost_bench
+                k: round(med(v[half:]) / med(v[1:half]), 3)
+                for k, v in walls.items()
+            },
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
