@@ -102,7 +102,15 @@ def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> Da
         import tempfile
         import urllib.request
 
-        suffix = os.path.splitext(path.split("?")[0])[1] or ".txt"
+        # keep the FULL extension chain: 'data.csv.gz' must land in a
+        # '*.csv.gz' temp file or format inference (which strips one
+        # trailing .gz before looking at the extension) sees no format
+        # and falls through to parquet
+        base = os.path.basename(path.split("?")[0])
+        if base.endswith(".gz"):
+            suffix = (os.path.splitext(base[:-3])[1] or ".txt") + ".gz"
+        else:
+            suffix = os.path.splitext(base)[1] or ".txt"
         fd, local = tempfile.mkstemp(suffix=suffix, prefix="qwery_http_")
         os.close(fd)
         urllib.request.urlretrieve(path, local)  # noqa: S310
