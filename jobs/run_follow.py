@@ -63,6 +63,14 @@ def main(argv=None):
     p.add_argument("--agg-sum", default="",
                    help="comma-separated numeric columns to SUM for "
                         "--agg-table")
+    p.add_argument("--agg-min", default="",
+                   help="comma-separated numeric columns to MIN for "
+                        "--agg-table (retraction of a group's stored "
+                        "extremum recomputes ONLY that group from the "
+                        "base)")
+    p.add_argument("--agg-max", default="",
+                   help="comma-separated numeric columns to MAX for "
+                        "--agg-table (same retraction fallback)")
     p.add_argument("--scd2-table",
                    help="maintain an incremental SCD2 history lake table "
                         "at this path from each window (built from the "
@@ -121,12 +129,14 @@ def main(argv=None):
         return LakeTable(path).current_version() == 0
 
     agg_sum = [c for c in args.agg_sum.split(",") if c]
+    agg_min = [c for c in args.agg_min.split(",") if c]
+    agg_max = [c for c in args.agg_max.split(",") if c]
     if args.agg_table:
         from qwery_spark.operators.materialize import build_agg, update_agg
 
         if _needs_build(args.agg_table):
             build_agg(spark, table, args.agg_table, args.agg_group, agg_sum,
-                      at_version=start)
+                      at_version=start, min_cols=agg_min, max_cols=agg_max)
     if args.scd2_table:
         from qwery_spark.operators.materialize import build_scd2, update_scd2
 
@@ -171,7 +181,8 @@ def main(argv=None):
             try:
                 if args.agg_table:
                     update_agg(spark, table, LakeTable(args.agg_table),
-                               args.agg_group, agg_sum, lo, hi, feed=pfeed)
+                               args.agg_group, agg_sum, lo, hi, feed=pfeed,
+                               min_cols=agg_min, max_cols=agg_max)
                 if args.scd2_table:
                     update_scd2(spark, table, LakeTable(args.scd2_table),
                                 lo, hi, feed=pfeed)

@@ -59,6 +59,32 @@ ORDINAL_COL = "_ordinal"
 PREIMAGE_ORDINAL_COL = "_preimage_ordinal"
 
 
+# key-set pruning gate: collect the window's exact changed-key set only
+# when the added row count is known and bounded (a driver-side list this
+# size is a normal pushdown predicate, not a data collect)
+_KEY_SET_MAX_ROWS = 50_000
+# ...and only against a scan deep enough to repay the key-collect job's
+# fixed cost (~0.3-1 s): measured crossover is ~4M kept rows at 100-1000
+# window keys (tools/keyprune_bench.py — 2.4x at 8M/100, 1.1-1.3x at
+# 8M/1000, a mild loss at 2M/1000)
+_KEY_SET_MIN_KEPT_ROWS = 4_000_000
+
+
+def _added_files(
+    table: LakeTable, before_version: int, after_version: int
+) -> list | None:
+    """Manifest entries of files ADDED in ``(before, after]``, or None
+    when the range also removed files (rewrite inside the range — the
+    two-sided pruning soundness argument needs a purely additive
+    range). Metadata only, zero data IO."""
+    before = {f["path"] for f in table.snapshot(before_version).m["files"]}
+    after = table.snapshot(after_version).m["files"]
+    added = [f for f in after if f["path"] not in before]
+    if len(after) - len(added) != len(before):
+        return None
+    return added
+
+
 def _added_key_range(
     table: LakeTable, before_version: int, after_version: int
 ) -> tuple | None:
@@ -82,19 +108,87 @@ def _added_key_range(
     append-mostly CDC feed's delta files cover a narrow recent key
     range, so the before-side scan skips every compacted historical
     file whose key range doesn't overlap the window's."""
-    before = {f["path"] for f in table.snapshot(before_version).m["files"]}
-    after = table.snapshot(after_version).m["files"]
-    added = [f for f in after if f["path"] not in before]
-    if len(after) - len(added) != len(before):
-        return None  # a rewrite removed files inside the range
+    added = _added_files(table, before_version, after_version)
     if not added:
-        return None  # no data change; the diff is empty anyway
+        return None  # rewrite inside the range, or no data change
     if any(f.get("key_min") is None or f.get("key_max") is None for f in added):
         return None  # a file without key stats voids the bound
     return (
         min(f["key_min"] for f in added),
         max(f["key_max"] for f in added),
     )
+
+
+def _diff_pruning(
+    spark: SparkSession,
+    table: LakeTable,
+    before_version: int,
+    after_version: int,
+    key: str,
+) -> tuple:
+    """(key_range, key_set) scan restrictions for one diff range.
+
+    key_range: the added files' key hull (see _added_key_range) —
+    always applied when the range is additive; file-level pruning.
+
+    key_set: the EXACT set of keys the window touched, read from the
+    added delta files' key column (window-sized columnar scan) and
+    applied as a pushed-down In filter on BOTH diff sides — parquet
+    row-group stats then prune INSIDE the files the hull kept. This is
+    what keeps scattered-update windows O(window) after a
+    compact(sort_cols=[key]) made historical files key-narrow: the
+    hull of a scattered window spans the whole table (no file pruning),
+    but each of its ~thousands of keys hits one row group. Gated to
+    windows whose added row count (manifest, exact) is <= 50k AND whose
+    hull still keeps substantially more files than the window added —
+    small tables and already-tight hulls skip the extra key read.
+
+    Soundness (same shape as the hull argument): every changed key
+    appears in an added file, so restricting both sides to the set
+    keeps all changed keys; unchanged keys inside the set resolve
+    identically on both sides and cancel in the join; keys outside the
+    set are provably untouched (additive range) and emit nothing."""
+    rng = _added_key_range(table, before_version, after_version)
+    if rng is None:
+        return None, None
+    added = _added_files(table, before_version, after_version)
+    rows = [f.get("rows") for f in added]
+    if any(r is None for r in rows) or sum(rows) > _KEY_SET_MAX_ROWS:
+        return rng, None
+    # pay the key read only when the hull-kept scan is substantially
+    # bigger than the window itself — by ROWS when the manifest knows
+    # them (a compacted bucket is one huge file; counting files would
+    # miss it), by file count otherwise
+    touched = {f["bucket"] for f in added}
+    kept = table.snapshot(before_version).files(touched, rng)
+    kept_rows = [f.get("rows") for f in kept]
+    if kept and all(r is not None for r in kept_rows):
+        if sum(kept_rows) < max(_KEY_SET_MIN_KEPT_ROWS, 100 * sum(rows)):
+            return rng, None  # scan too small to repay the key read
+    elif len(kept) <= 2 * len(added) + 4:
+        return rng, None  # rows unknown (pre-round-5 manifest): by file count
+    import os as _os
+
+    snap = table.snapshot(after_version)
+    cur = next((f for f in snap.fields() if f["name"] == key), None)
+    if cur is None:
+        return rng, None
+    keys: set = set()
+    by_sv: dict[int, list] = {}
+    for f in added:
+        by_sv.setdefault(f["schema_version"], []).append(f)
+    for sv, fs in by_sv.items():
+        old = next(
+            (f for f in snap.fields(sv) if f["id"] == cur["id"]), None
+        )
+        if old is None:
+            return rng, None  # key column absent at that version
+        paths = [_os.path.join(table.path, f["path"]) for f in fs]
+        kdf = spark.read.parquet(*paths).select(F.col(f"`{old['name']}`"))
+        keys.update(r[0] for r in kdf.distinct().collect())
+    if not keys:
+        return rng, None
+    return rng, sorted(keys)
 
 
 def _diff_snapshots(
@@ -107,6 +201,7 @@ def _diff_snapshots(
     label_version: int,
     include_preimages: bool = False,
     key_range: tuple | None = None,
+    key_set: list | None = None,
 ) -> DataFrame:
     """Change rows between two snapshots: full-outer join of the
     touched buckets at ``before_version`` (live rows only) vs
@@ -121,21 +216,25 @@ def _diff_snapshots(
     null-fill on the before side, renames map old data to the new name,
     drops vanish from both sides."""
     after_snap = table.snapshot(after_version)
-    before = (
-        table.read_physical(
-            spark,
-            buckets=buckets,
-            snapshot_version=before_version,
-            align_to=after_snap,
-            key_range=key_range,
-        )
-        .filter(~F.col("_deleted"))
-        .alias("b")
-    )
-    after = table.read_physical(
+    before_df = table.read_physical(
+        spark,
+        buckets=buckets,
+        snapshot_version=before_version,
+        align_to=after_snap,
+        key_range=key_range,
+    ).filter(~F.col("_deleted"))
+    after_df = table.read_physical(
         spark, buckets=buckets, snapshot_version=after_version,
         key_range=key_range,
-    ).alias("a")
+    )
+    if key_set is not None:
+        # pushed-down In predicate: parquet row-group stats prune
+        # inside the hull-kept files (both sides identically — see
+        # _diff_pruning soundness note)
+        before_df = before_df.where(F.col(f"`{key}`").isin(key_set))
+        after_df = after_df.where(F.col(f"`{key}`").isin(key_set))
+    before = before_df.alias("b")
+    after = after_df.alias("a")
 
     payload = [
         c
@@ -316,21 +415,24 @@ def read_changes(
                     touched = None
                     break
                 touched |= buckets
+            rng, keys = _diff_pruning(spark, table, prev_end, end_v, key)
             parts.append(
                 _diff_snapshots(
                     spark, table, prev_end, end_v, touched, key, end_v,
                     include_preimages=include_preimages,
-                    key_range=_added_key_range(table, prev_end, end_v),
+                    key_range=rng, key_set=keys,
                 )
             )
             prev_end = end_v
     elif granular:
-        parts = [
-            _diff_snapshots(spark, table, v - 1, v, buckets, key, v,
-                            include_preimages=include_preimages,
-                            key_range=_added_key_range(table, v - 1, v))
-            for v, buckets in data_commits
-        ]
+        parts = []
+        for v, buckets in data_commits:
+            rng, keys = _diff_pruning(spark, table, v - 1, v, key)
+            parts.append(
+                _diff_snapshots(spark, table, v - 1, v, buckets, key, v,
+                                include_preimages=include_preimages,
+                                key_range=rng, key_set=keys)
+            )
     elif data_commits:
         # bucket ids in commit summaries are relative to each commit's
         # OWN layout — a rebucket inside the range invalidates them for
@@ -342,11 +444,12 @@ def read_changes(
                 touched = None  # unknown somewhere: scan all buckets
                 break
             touched |= buckets
+        rng, keys = _diff_pruning(spark, table, from_version, to_version, key)
         parts = [
             _diff_snapshots(
                 spark, table, from_version, to_version, touched, key,
                 to_version, include_preimages=include_preimages,
-                key_range=_added_key_range(table, from_version, to_version),
+                key_range=rng, key_set=keys,
             )
         ]
     if not parts:

@@ -136,6 +136,8 @@ def _stage_write(
                     )
                     if stats_col is not None and stats_col in fstats:
                         entry["key_min"], entry["key_max"] = fstats[stats_col]
+                    if "__num_rows" in fstats:
+                        entry["rows"] = fstats["__num_rows"]
                     cstats = {
                         c: list(fstats[c])
                         for c in snap.stats_cols
@@ -190,6 +192,10 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
             if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
                 continue
             out[col] = (lo, hi)
+        # row count rides the same footer open — the changelog's
+        # key-set pruning gate (changes._diff_pruning) sizes windows
+        # with it, zero extra IO
+        out["__num_rows"] = pf.metadata.num_rows
     except Exception:
         pass  # stats are an optimization; never fail a write
     return out

@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the changelog's key-set pruning (changes._diff_pruning) pushes
+        # a window's exact key list into the parquet scan; above this
+        # threshold Spark would degrade the In to a [min,max] range,
+        # which a scattered window's hull makes useless — keep exact In
+        # evaluation (parquet checks row-group bounds per value) up to
+        # the _KEY_SET_MAX_ROWS gate
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -422,3 +422,57 @@ def test_pruned_feed_equals_unpruned(spark, tmp_table_dir, monkeypatch):
     assert with_pruning == without
     # sanity: the pruned runs actually produced content
     assert all(len(v) > 0 for v in with_pruning)
+
+
+def test_key_set_pruning_fires_and_stays_exact(spark, tmp_table_dir, monkeypatch):
+    """A small scattered-update window on a many-file table passes the
+    key-set gate: _diff_pruning returns the window's exact keys, and
+    the feed equals the unpruned feed."""
+    import qwery_spark.lake.changes as ch
+    from qwery_spark.lake.changes import _diff_pruning
+    from qwery_spark.lake.merge import append_changes
+
+    # the depth floor exists to amortize the key-read job at real scale;
+    # drop it so the test table qualifies
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    # 10 seed commits -> ~10 files per bucket, keys doc-0000..doc-0499
+    # (>=100x the window's 3 rows so the ratio gate passes)
+    for c in range(10):
+        append_changes(spark, tbl, batch(
+            [(f"doc-{c * 50 + i:04d}", [i], 1, "web", "U", c * 50 + i)
+             for i in range(50)]))
+    v = tbl.current_version()
+    # scattered window: first and last keys (hull spans everything)
+    append_changes(spark, tbl, batch(
+        [("doc-0000", [91], 1, "web", "U", 900),
+         ("doc-0100", [92], 1, "web", "U", 901),
+         ("doc-0499", None, None, None, "D", 902)]))
+
+    rng, keys = _diff_pruning(spark, tbl, v, v + 1, "doc_id")
+    assert rng == ("doc-0000", "doc-0499")      # hull prunes nothing here
+    assert keys == ["doc-0000", "doc-0100", "doc-0499"]
+
+    def rows():
+        return sorted(
+            tuple(sorted((k, str(x)) for k, x in r.asDict().items()))
+            for r in read_changes(
+                spark, tbl, v, include_preimages=True
+            ).collect()
+        )
+
+    pruned = rows()
+    monkeypatch.setattr(ch, "_added_key_range", lambda *a, **k: None)
+    assert pruned == rows()
+    types = {dict(t)["_change_type"] for t in pruned}
+    assert types == {"update_preimage", "update_postimage", "delete"}

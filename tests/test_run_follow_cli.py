@@ -111,6 +111,7 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     r = _run_follow([
         "--table", table, "--state", state, "--from-version", "1",
         "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
+        "--agg-min", "n_tok", "--agg-max", "n_tok",
         "--scd2-table", scd2, "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
@@ -121,6 +122,7 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     r = _run_follow([
         "--table", table, "--state", state,
         "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
+        "--agg-min", "n_tok", "--agg-max", "n_tok",
         "--scd2-table", scd2, "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
@@ -128,7 +130,8 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     got = sorted(
         tuple(x)
         for x in LakeTable(agg).read(spark)
-        .select("source", "n_rows", "sum_n_tok").collect()
+        .select("source", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok")
+        .collect()
     )
     want = sorted(
         tuple(x)
@@ -137,6 +140,8 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.col("n_tok").cast("double")).alias("sum_n_tok"),
+            F.min(F.col("n_tok").cast("double")).alias("min_n_tok"),
+            F.max(F.col("n_tok").cast("double")).alias("max_n_tok"),
         )
         .collect()
     )

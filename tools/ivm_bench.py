@@ -15,11 +15,15 @@ Workloads (third arg):
            cannot fire, and the before-side scan is O(touched buckets).
            Recorded as the honest worst case.
   sorted   the scatter workload with a periodic compact(sort_cols=key)
-           BETWEEN windows: sorting makes every compacted file's key
-           range narrow, and since granular windows diff single
-           commits, the between-window compactions never void pruning
-           — scattered updates then read only the files covering their
-           keys. This is the 100-TB operating mode.
+           BETWEEN windows: proves between-window compaction never
+           voids pruning (granular windows diff single commits, which
+           stay additive) and bounds delta accumulation. The
+           row-group-level win sorting enables (exact key-set In
+           pushdown inside big sorted files) needs a deep base to
+           amortize the key-read job — measured separately by
+           tools/keyprune_bench.py (2.4x at 8M rows / 100-key window);
+           at THIS bench's scale the gate (changes._KEY_SET_MIN_KEPT_
+           ROWS) correctly keeps the key-set layer off.
 
 Run: python tools/ivm_bench.py [windows] [inserts_per_window] [workload]
 Prints one JSON line per maintainer plus a summary.
