@@ -199,9 +199,13 @@ def update_signature_index(
             # window-keyed epoch (like update_agg/update_scd2): a
             # crashed-and-replayed window is a true commit-level no-op,
             # not an LWW-converging duplicate append that grows the
-            # file count
+            # file count. BOTH ends go into the key — unlike the agg/
+            # scd2 maintainers this index advertises out-of-order
+            # window convergence, and (0,5] must not no-op just
+            # because (3,5] already landed
             r = append_changes(
-                spark, index, b, epoch_id=f"sigidx:{to_version}"
+                spark, index, b,
+                epoch_id=f"sigidx:{from_version}:{to_version}",
             )
             stats.snapshot_version = r.snapshot_version
         return stats
