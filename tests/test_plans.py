@@ -319,3 +319,42 @@ def test_incremental_agg_delta_single_shuffle(spark, tmp_path):
     # partial + final HashAggregate around exactly one group-by exchange
     assert p.count("Exchange hashpartitioning(lang") == 1
     assert "HashAggregate" in p
+
+
+def test_changelog_key_set_reaches_parquet_scan(spark, tmp_path, monkeypatch):
+    """The key-set diff restriction must land as a pushed-down In
+    predicate on the parquet scans of BOTH diff sides — the row-group
+    pruning it exists for happens nowhere else."""
+    import qwery_spark.lake.changes as ch
+    from qwery_spark.lake.changes import read_changes
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    tbl = LakeTable.create(
+        str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    for c in range(10):
+        append_changes(spark, tbl, batch(
+            [(f"doc-{c * 50 + i:04d}", [i], 1, "web", "U", c * 50 + i)
+             for i in range(50)]))
+    v = tbl.current_version()
+    append_changes(spark, tbl, batch(
+        [("doc-0000", [9], 1, "web", "U", 900),
+         ("doc-0499", [9], 1, "web", "U", 901)]))
+
+    df = read_changes(spark, tbl, v)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    with_in = [p for p in pushed if "In(doc_id" in p]
+    # both the before side and the after side scans carry the In
+    assert len(with_in) >= 2, plan[:4000]
