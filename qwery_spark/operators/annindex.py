@@ -1,0 +1,215 @@
+"""Persisted IVF (inverted-file) ANN index over an embedding lake
+table, maintained incrementally from the change feed — the vector
+analogue of the MinHash signature index (operators/sigindex.py).
+
+The index is itself a MOR lake table keyed like the source, one row per
+live vector: ``(key, cell int, embedding array<double>)`` where
+``cell`` = argmin-distance centroid id (ties → lower id, the same
+deterministic rule as operators/kmeans.assign_cells). Centroids are
+FIXED at build time (caller-supplied — trained via kmeans_fit or any
+deterministic rule) and broadcast as plan literals: assignment is a
+pure map, no join, no shuffle.
+
+Maintenance is one change-feed window → one index commit:
+inserted/updated vectors re-assign (ONLY those — the corpus is never
+rescanned; an embedding update that crosses a cell boundary just
+upserts the new cell under LWW), deleted vectors become tombstones at
+the deleting ordinal. Window-keyed epochs (both ends — out-of-order
+overlapping windows must not no-op, see sigindex) make replays
+commit-level no-ops.
+
+Search (`index_topk`) probes the ``n_probe`` cells nearest the query
+and runs exact cosine inside them only — candidates ≈ corpus/K ×
+n_probe read from durable parquet, no recomputation. The index table
+declares ``stats_cols=["cell"]`` so a `compact(sort_cols=["cell"])`
+clusters cells into files and the probe's ``col_ranges`` hint skips
+the files of every unprobed cell — at 100 TB a probe reads a few
+files, not the index.
+
+100-TB shape: build = one map over the corpus + the bucketed index
+write; the daily increment costs |changed vectors| assignments; a
+probe reads cell-pruned files. Reference anchor: beyond the reference
+(no vector surface there); the IVF design is standard (inverted file
+from coarse quantization) restated on the lake's feed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.operators.kmeans import assign_cells
+from qwery_spark.operators.similarity import as_double, dot
+
+
+@dataclass
+class AnnIndexUpdateStats:
+    vectors_reassigned: int = 0
+    vectors_deleted: int = 0
+    from_version: int = 0
+    to_version: int = 0
+    snapshot_version: int | None = None
+
+
+def _index_schema(key: str, key_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key, key_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+def _assigned(df: DataFrame, key: str, emb_col: str,
+              centroids: list[list[float]]) -> DataFrame:
+    return assign_cells(df, centroids, emb_col).select(
+        F.col(f"`{key}`"),
+        F.col("cell").cast("int").alias("cell"),
+        as_double(F.col(f"`{emb_col}`")).alias("embedding"),
+        F.col("ordinal"),
+    )
+
+
+def build_ann_index(
+    spark: SparkSession,
+    src: LakeTable,
+    index_path: str,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    n_buckets: int = 8,
+) -> LakeTable:
+    """Full build: assign the source's live vectors once (map-only),
+    write the index as a MOR lake table keyed like the source. Each
+    index row carries the source row's last_ordinal so later
+    incremental windows slot into the same LWW order. Keyed by the
+    source version it reflects — a crashed-and-replayed build is a
+    commit-level no-op."""
+    from qwery_spark.lake.merge import append_changes
+
+    snap = src.snapshot()
+    key = snap.m["key_col"]
+    key_type = snap.spark_schema()[key].dataType
+    idx = LakeTable.create(
+        index_path, _index_schema(key, key_type), n_buckets=n_buckets,
+        key_col=key, write_mode="mor", stats_cols=["cell"],
+    )
+    live = src.read_physical(spark).filter(~F.col("_deleted")).select(
+        key, emb_col, F.col("last_ordinal").alias("ordinal")
+    )
+    batch = _assigned(live, key, emb_col, centroids).select(
+        F.col(f"`{key}`"), "cell", "embedding",
+        F.lit("U").alias("op"), F.col("ordinal"),
+    )
+    append_changes(spark, idx, batch, epoch_id=f"annidx:build:{snap.version}")
+    return idx
+
+
+def update_ann_index(
+    spark: SparkSession,
+    src: LakeTable,
+    index: LakeTable,
+    centroids: list[list[float]],
+    from_version: int,
+    to_version: int | None = None,
+    emb_col: str = "embedding",
+) -> AnnIndexUpdateStats:
+    """One source change-feed window becomes one index commit: changed
+    vectors re-assign against the SAME fixed centroids (only those —
+    the corpus is never rescanned), deletes tombstone at the deleting
+    ordinal. Idempotent per window via the (from,to)-keyed epoch;
+    out-of-order overlapping windows converge via LWW ordinals."""
+    from qwery_spark.lake.changes import read_changes
+    from qwery_spark.lake.merge import append_changes
+
+    to_version = src.current_version() if to_version is None else to_version
+    stats = AnnIndexUpdateStats(from_version=from_version,
+                                to_version=to_version)
+    if to_version <= from_version:
+        return stats
+    key = src.snapshot().m["key_col"]
+    feed = read_changes(
+        spark, src, from_version, to_version, granular=False
+    ).persist()
+    try:
+        ups = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(key, emb_col, F.col("_ordinal").alias("ordinal"))
+        dels = feed.filter(F.col("_change_type") == "delete").select(
+            key, F.col("_ordinal").alias("ordinal")
+        )
+        stats.vectors_reassigned = ups.count()
+        stats.vectors_deleted = dels.count()
+        batches = []
+        if stats.vectors_reassigned:
+            batches.append(
+                _assigned(ups, key, emb_col, centroids).select(
+                    F.col(f"`{key}`"), "cell", "embedding",
+                    F.lit("U").alias("op"), F.col("ordinal"),
+                )
+            )
+        if stats.vectors_deleted:
+            batches.append(
+                dels.select(
+                    F.col(f"`{key}`"),
+                    F.lit(None).cast("int").alias("cell"),
+                    F.lit(None).cast("array<double>").alias("embedding"),
+                    F.lit("D").alias("op"),
+                    F.col("ordinal"),
+                )
+            )
+        if batches:
+            b = batches[0]
+            for extra in batches[1:]:
+                b = b.unionByName(extra)
+            r = append_changes(
+                spark, index, b,
+                epoch_id=f"annidx:{from_version}:{to_version}",
+            )
+            stats.snapshot_version = r.snapshot_version
+        return stats
+    finally:
+        feed.unpersist()
+
+
+def index_topk(
+    spark: SparkSession,
+    index: LakeTable,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    exclude_key=None,
+) -> DataFrame:
+    """IVF probe against the PERSISTED index: pick the ``n_probe``
+    cells nearest the query driver-side (K centroid distances — pure
+    Python), read only those cells' rows (files skipped via the
+    index's `cell` column stats after a sorted compaction), exact
+    cosine inside. Returns (key, cosine) top-k."""
+    import math
+
+    d2 = [
+        sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+        for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:n_probe]
+    key = index.snapshot().m["key_col"]
+    rows = index.read(
+        spark, col_ranges={"cell": (min(probe), max(probe))}
+    ).filter(F.col("cell").isin(probe))
+    if exclude_key is not None:
+        rows = rows.filter(F.col(f"`{key}`") != exclude_key)
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    qd = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col("embedding")
+    cos = dot(v, qd) / (F.sqrt(dot(v, v)) * F.lit(qn))
+    return (
+        rows.select(key, cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(f"`{key}`"))
+        .limit(k)
+        .select(key, F.round("_cos", 6).alias("cosine"))
+    )

@@ -87,9 +87,10 @@ _WINDOW_50 = [
     "dedup_pipeline_survivors", "text_quality",
     # multimodal plumbing
     "mm_binary_features", "mm_frame_sample",
-    # ANN / embedding dedup
+    # ANN / embedding dedup (round-5: the persisted incremental IVF
+    # index takes always-green embedding_label_stats' slot)
     "ann_cosine_topk", "ann_lsh_topk",
-    "embedding_label_stats", "ann_ivf_topk",
+    "ann_index_incremental_topk", "ann_ivf_topk",
     "dedup_embedding_cosine_pairs", "dedup_clusters", "ann_ivf_kmeans_topk",
     # core flagships named by the r2 verdict + headline TPC-H-ish
     "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",

@@ -599,3 +599,132 @@ def emb_l2_normalize(spark, sf_dir):
             )
         ).alias("unit_md5"),
     )
+
+
+# ---- persisted incremental IVF index (operators/annindex.py) ----
+# Same deterministic 2-epoch lifecycle as the signature index, over
+# embeddings: epoch 1 adds vectors, REVERSES some embeddings (a
+# deterministic "drift" both engines can express — the new vector
+# usually lands in a different cell), deletes others. The index is
+# maintained purely from the change feed; the oracle reassigns the
+# FINAL corpus to the same build-time-fixed centroids from scratch.
+_ANN_IDX_SQL = f"""
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))
+                              AS INTEGER) AS h2
+                  FROM embeddings),
+    e AS (SELECT vec_id,
+                 CASE WHEN h2 % 4 <> 0 AND h2 % 5 = 1
+                      THEN list_reverse(emb) ELSE emb END AS emb
+          FROM base WHERE NOT (h2 % 4 <> 0 AND h2 % 5 = 2)),
+    c0 AS (SELECT vec_id AS cid, emb AS cent FROM base WHERE vec_id < {_IVF_K}),
+    af AS ({_km_assign("c0")}),
+    q AS (SELECT emb AS qemb FROM base WHERE vec_id = {_QUERY_VEC_ID}),
+    probe AS (SELECT cid FROM c0 CROSS JOIN
+                (SELECT emb AS qemb FROM base WHERE vec_id = {_QUERY_VEC_ID}) qq
+              ORDER BY {_km_sqdist("qq.qemb", "c0.cent")}, cid LIMIT 2)
+    SELECT af.vec_id, round({_KM_COS}, 6) AS cosine
+    FROM af JOIN probe ON af.cell = probe.cid CROSS JOIN q
+    WHERE af.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {_KM_COS} DESC, af.vec_id
+    LIMIT {_TOPK}
+"""
+
+
+@register(
+    "ann_index_incremental_topk",
+    _ANN_IDX_SQL,
+    doc="Persisted incremental IVF index (operators/annindex.py — the "
+    "vector analogue of the MinHash signature index): built once from "
+    "the lake source's live vectors against fixed centroids, then "
+    "maintained from ONE change-feed window (adds assign, embedding "
+    "drift re-assigns — usually crossing cells, deletes tombstone), "
+    "compacted sorted-by-cell so the probe's col_ranges hint skips "
+    "unprobed cells' files, then searched with an n_probe=2 exact-"
+    "cosine probe READ FROM THE INDEX. The oracle reassigns the final "
+    "corpus from scratch in DuckDB — value equality proves the "
+    "incremental maintenance exact (stale cells, lost drift, or "
+    "resurrected deletes would all change the top-k). At 100 TB the "
+    "daily increment costs |changed vectors| map-side assignments and "
+    "a probe reads a few cell-clustered files.",
+)
+def ann_index_incremental_topk(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes, compact
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.annindex import (
+        build_ann_index, index_topk, update_ann_index,
+    )
+
+    h2 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    base = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("emb"),
+        h2.alias("h2"),
+    )
+    fixed = base.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    centroids = [list(r["emb"]) for r in fixed]
+    qvec = list(
+        base.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["emb"]
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|annidx".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_annidx_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_annidx_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src",
+            T.StructType([
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]),
+            n_buckets=8, key_col="vec_id", write_mode="mor",
+        )
+        ep0 = base.filter(F.col("h2") % 4 != 0).select(
+            "vec_id", F.col("emb").alias("embedding"),
+            F.lit("U").alias("op"), F.col("vec_id").alias("ordinal"),
+        )
+        append_changes(spark, src, ep0)
+        v1 = src.current_version()
+        idx = build_ann_index(spark, src, d + "/idx", centroids)
+        adds = base.filter(F.col("h2") % 4 == 0).select(
+            "vec_id", F.col("emb").alias("embedding"),
+            F.lit("U").alias("op"),
+            (F.col("vec_id") + 1_000_000).alias("ordinal"),
+        )
+        drifts = base.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
+        ).select(
+            "vec_id", F.reverse(F.col("emb")).alias("embedding"),
+            F.lit("U").alias("op"),
+            (F.col("vec_id") + 2_000_000).alias("ordinal"),
+        )
+        dels = base.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
+        ).select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("D").alias("op"),
+            (F.col("vec_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, src, adds.unionAll(drifts).unionAll(dels))
+        update_ann_index(spark, src, idx, centroids, from_version=v1)
+        # cluster the index by cell: the probe's col_ranges hint then
+        # skips unprobed cells' files entirely
+        compact(spark, idx, sort_cols=["cell"])
+        index_topk(
+            spark, idx, centroids, qvec, k=_TOPK, n_probe=2,
+            exclude_key=_QUERY_VEC_ID,
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
