@@ -86,7 +86,8 @@ def _added_files(
 
 
 def _added_key_range(
-    table: LakeTable, before_version: int, after_version: int
+    table: LakeTable, before_version: int, after_version: int,
+    added: list | None = None,
 ) -> tuple | None:
     """Key range covering every key whose visible state can have changed
     in ``(before_version, after_version]`` — the union of the ADDED data
@@ -108,7 +109,8 @@ def _added_key_range(
     append-mostly CDC feed's delta files cover a narrow recent key
     range, so the before-side scan skips every compacted historical
     file whose key range doesn't overlap the window's."""
-    added = _added_files(table, before_version, after_version)
+    if added is None:
+        added = _added_files(table, before_version, after_version)
     if not added:
         return None  # rewrite inside the range, or no data change
     if any(f.get("key_min") is None or f.get("key_max") is None for f in added):
@@ -148,10 +150,12 @@ def _diff_pruning(
     keeps all changed keys; unchanged keys inside the set resolve
     identically on both sides and cancel in the join; keys outside the
     set are provably untouched (additive range) and emit nothing."""
-    rng = _added_key_range(table, before_version, after_version)
-    if rng is None:
-        return None, None
     added = _added_files(table, before_version, after_version)
+    # the hull goes through the module-level name so pruning stays
+    # monkeypatch-disableable as one switch (tests, keyprune_bench)
+    rng = _added_key_range(table, before_version, after_version, added)
+    if rng is None or not added:
+        return None, None
     rows = [f.get("rows") for f in added]
     if any(r is None for r in rows) or sum(rows) > _KEY_SET_MAX_ROWS:
         return rng, None

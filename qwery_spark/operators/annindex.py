@@ -83,22 +83,27 @@ def build_ann_index(
     emb_col: str = "embedding",
     n_buckets: int = 8,
 ) -> LakeTable:
-    """Full build: assign the source's live vectors once (map-only),
+    """Full build: assign the source's live vectors once (map-only,
+    PINNED to the snapshot whose version keys the build epoch — a
+    concurrent writer must not slip newer data under an older key),
     write the index as a MOR lake table keyed like the source. Each
     index row carries the source row's last_ordinal so later
-    incremental windows slot into the same LWW order. Keyed by the
-    source version it reflects — a crashed-and-replayed build is a
-    commit-level no-op."""
+    incremental windows slot into the same LWW order. A crashed-and-
+    replayed build adopts the existing table (reuse-or-create) and its
+    version-keyed epoch no-ops the duplicate append."""
     from qwery_spark.lake.merge import append_changes
+    from qwery_spark.operators.materialize import _reuse_or_create
 
     snap = src.snapshot()
     key = snap.m["key_col"]
     key_type = snap.spark_schema()[key].dataType
-    idx = LakeTable.create(
+    idx = _reuse_or_create(
         index_path, _index_schema(key, key_type), n_buckets=n_buckets,
         key_col=key, write_mode="mor", stats_cols=["cell"],
     )
-    live = src.read_physical(spark).filter(~F.col("_deleted")).select(
+    live = src.read_physical(
+        spark, snapshot_version=snap.version
+    ).filter(~F.col("_deleted")).select(
         key, emb_col, F.col("last_ordinal").alias("ordinal")
     )
     batch = _assigned(live, key, emb_col, centroids).select(
@@ -198,9 +203,19 @@ def index_topk(
     ]
     probe = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:n_probe]
     key = index.snapshot().m["key_col"]
-    rows = index.read(
-        spark, col_ranges={"cell": (min(probe), max(probe))}
-    ).filter(F.col("cell").isin(probe))
+    # one POINT col_ranges read per probed cell, unioned: centroid ids
+    # carry no spatial order, so the nearest cells are routinely far
+    # apart in id space and a single (min,max) hull would keep the
+    # files of every cell in between — per-cell reads keep the file
+    # pruning tight at any n_probe
+    parts = [
+        index.read(spark, col_ranges={"cell": (c, c)})
+        for c in probe
+    ]
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    rows = rows.filter(F.col("cell").isin(probe))
     if exclude_key is not None:
         rows = rows.filter(F.col(f"`{key}`") != exclude_key)
     qn = math.sqrt(sum(x * x for x in query_vec))

@@ -85,18 +85,21 @@ def _agg_schema(group_col: str, group_type: T.DataType, sum_cols: list[str],
 
 
 def _reuse_or_create(path: str, schema: T.StructType, n_buckets: int,
-                     key_col: str, write_mode: str) -> LakeTable:
+                     key_col: str, write_mode: str,
+                     stats_cols: list | None = None) -> LakeTable:
     """Create the view table, or adopt an existing EMPTY one (version 0
     = a build that crashed between create and its first merge). A
     non-empty table is also adopted as-is — the build merge's epoch key
-    makes re-building a completed view a no-op."""
+    makes re-building a completed view a no-op. Shared by every derived
+    artifact whose build advertises replay idempotency (agg/SCD2
+    rollups, signature index, ANN index)."""
     import os
 
     if os.path.exists(path):
         return LakeTable(path)
     return LakeTable.create(
         path, schema, n_buckets=n_buckets, key_col=key_col,
-        write_mode=write_mode,
+        write_mode=write_mode, stats_cols=stats_cols,
     )
 
 
@@ -289,6 +292,24 @@ def update_agg(
     stats = AggUpdateStats(from_version=from_version, to_version=to_version)
     if to_version <= from_version:
         return stats
+    # a rollup built without these aggregate columns would otherwise
+    # fail every window with an opaque unresolved-column error (e.g. a
+    # follower restarted with new --agg-min/--agg-max flags against an
+    # old rollup) — fail ONCE with the actionable mismatch instead
+    have = {f["name"] for f in agg.snapshot().fields()}
+    need = (
+        ["n_rows"]
+        + [f"sum_{c}" for c in sum_cols] + [f"nn_{c}" for c in sum_cols]
+        + [f"min_{c}" for c in min_cols] + [f"max_{c}" for c in max_cols]
+    )
+    missing = [c for c in need if c not in have]
+    if missing:
+        raise ValueError(
+            f"update_agg: rollup {agg.path!r} lacks columns {missing} — "
+            f"it was built with different sum/min/max column sets; "
+            f"rebuild it (new path or delete it) or match the original "
+            f"aggregate spec"
+        )
     if feed is None:
         feed = read_changes(
             spark, src, from_version, to_version, granular=False,

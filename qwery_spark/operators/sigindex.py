@@ -100,18 +100,26 @@ def build_signature_index(
     n: int = 3,
     n_buckets: int = 16,
 ) -> LakeTable:
-    """Full build: shingle the docs table's live state once, write the
-    index as a MOR lake table keyed like the source. Each index row
+    """Full build: shingle the docs table's live state once (PINNED to
+    the snapshot whose version keys the build epoch — a concurrent
+    writer must not slip newer data under an older epoch key), write
+    the index as a MOR lake table keyed like the source. Each index row
     carries the source row's last_ordinal, so later incremental windows
-    (which carry feed ordinals) slot into the same LWW order."""
+    (which carry feed ordinals) slot into the same LWW order. A
+    crashed-and-replayed build adopts the existing table (reuse-or-
+    create) and its version-keyed epoch no-ops the duplicate append."""
+    from qwery_spark.operators.materialize import _reuse_or_create
+
     snap = docs.snapshot()
     key = snap.m["key_col"]
     key_type = snap.spark_schema()[key].dataType
-    idx = LakeTable.create(
+    idx = _reuse_or_create(
         index_path, _index_schema(key, key_type), n_buckets=n_buckets,
         key_col=key, write_mode="mor",
     )
-    live = docs.read_physical(spark).filter(~F.col("_deleted"))
+    live = docs.read_physical(
+        spark, snapshot_version=snap.version
+    ).filter(~F.col("_deleted"))
     sigs = _sig_rows(live.select(key, text_col, "last_ordinal"), key, text_col,
                      n_bands, n)
     batch = (

@@ -135,3 +135,17 @@ def test_sorted_compaction_clusters_cells_for_probe_pruning(spark, tmp_table_dir
     # a probe of cell 0 skips every file whose cell range excludes it
     kept = snap.files(col_ranges={"cell": (0, 0)})
     assert len(kept) < len(snap.files())
+
+
+def test_build_replay_is_commit_noop(spark, tmp_table_dir):
+    """A crashed-and-replayed build must adopt the existing index and
+    no-op via the version-keyed epoch — not crash in create, not append
+    a duplicate corpus."""
+    src = _mk_src(spark, tmp_table_dir + "/src", n=12)
+    idx = build_ann_index(spark, src, tmp_table_dir + "/idx", _CENTROIDS)
+    files = len(idx.snapshot().files())
+    ver = idx.current_version()
+    again = build_ann_index(spark, src, tmp_table_dir + "/idx", _CENTROIDS)
+    assert len(again.snapshot().files()) == files
+    assert again.current_version() == ver
+    assert _cells(spark, again) == {i: i % 4 for i in range(12)}

@@ -297,3 +297,18 @@ def test_minmax_with_sums_combined(spark, tmp_table_dir):
         .collect()
     )
     assert got == want
+
+
+def test_update_agg_schema_mismatch_fails_actionably(spark, tmp_table_dir):
+    """A rollup built without min/max columns + an update asking for
+    them must fail ONCE with the mismatch named — not crash every
+    window with an unresolved-column error (the restarted-follower-
+    with-new-flags case)."""
+    src = _mk_src(spark, tmp_table_dir + "/src", n=9)
+    agg = build_agg(spark, src, tmp_table_dir + "/agg", "lang", ["n_chars"])
+    v = src.current_version()
+    append_changes(spark, src, spark.createDataFrame(
+        [(50, "es", 7, "U", 100)], _DDL))
+    with pytest.raises(ValueError, match="min_n_chars"):
+        update_agg(spark, src, agg, "lang", ["n_chars"], from_version=v,
+                   min_cols=["n_chars"])

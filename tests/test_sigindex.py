@@ -130,3 +130,13 @@ def test_incremental_candidates_cover_the_delta(spark, tmp_path, corpus_rows):
     assert all(300 in p for p in inc)
     # doc 300 is a near-dup of 3/103: candidates must appear
     assert any(300 in p for p in after - before)
+
+
+def test_build_replay_is_commit_noop(spark, tmp_path, corpus_rows):
+    docs = _mk_docs(spark, str(tmp_path / "docs"), corpus_rows)
+    idx = build_signature_index(spark, docs, str(tmp_path / "idx"))
+    files = len(idx.snapshot().files())
+    ver = idx.current_version()
+    again = build_signature_index(spark, docs, str(tmp_path / "idx"))
+    assert len(again.snapshot().files()) == files
+    assert again.current_version() == ver
