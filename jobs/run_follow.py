@@ -75,15 +75,34 @@ def main(argv=None):
                    help="maintain an incremental SCD2 history lake table "
                         "at this path from each window (built from the "
                         "source's state at the resume point if missing)")
+    p.add_argument("--sigindex-table",
+                   help="maintain a persisted MinHash signature index "
+                        "(operators/sigindex) at this path from each "
+                        "window; only changed docs re-shingle")
+    p.add_argument("--sigindex-text", default="text",
+                   help="source text column for --sigindex-table")
+    p.add_argument("--annindex-table",
+                   help="maintain a persisted IVF ANN index "
+                        "(operators/annindex) at this path from each "
+                        "window; only changed vectors re-assign")
+    p.add_argument("--annindex-centroids",
+                   help="JSON file holding the fixed centroid vectors "
+                        "(list of float lists) for --annindex-table")
+    p.add_argument("--annindex-emb", default="embedding",
+                   help="source embedding column for --annindex-table")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="replica maintenance: compact any replica bucket "
                         "whose live-file count exceeds this bound after a "
                         "window applies (state-driven, skew-aware)")
     args = p.parse_args(argv)
-    if not (args.sink or args.replica or args.agg_table or args.scd2_table):
-        p.error("need --sink, --replica, --agg-table and/or --scd2-table")
+    if not (args.sink or args.replica or args.agg_table or args.scd2_table
+            or args.sigindex_table or args.annindex_table):
+        p.error("need --sink, --replica, --agg-table, --scd2-table, "
+                "--sigindex-table and/or --annindex-table")
     if args.agg_table and not args.agg_group:
         p.error("--agg-table requires --agg-group")
+    if args.annindex_table and not args.annindex_centroids:
+        p.error("--annindex-table requires --annindex-centroids")
 
     from pyspark.sql import SparkSession
 
@@ -142,6 +161,30 @@ def main(argv=None):
 
         if _needs_build(args.scd2_table):
             build_scd2(spark, table, args.scd2_table, at_version=start)
+    if args.sigindex_table:
+        from qwery_spark.operators.sigindex import (
+            build_signature_index,
+            update_signature_index,
+        )
+
+        if _needs_build(args.sigindex_table):
+            build_signature_index(spark, table, args.sigindex_table,
+                                  text_col=args.sigindex_text,
+                                  at_version=start)
+    centroids = None
+    if args.annindex_table:
+        import json as _json
+
+        from qwery_spark.operators.annindex import (
+            build_ann_index,
+            update_ann_index,
+        )
+
+        with open(args.annindex_centroids) as fh:
+            centroids = _json.load(fh)
+        if _needs_build(args.annindex_table):
+            build_ann_index(spark, table, args.annindex_table, centroids,
+                            emb_col=args.annindex_emb, at_version=start)
 
     def sink(feed, lo, hi):
         if args.sink:
@@ -169,10 +212,11 @@ def main(argv=None):
                     ),
                 )
         # incremental views share ONE preimage-bearing feed for (lo, hi]
-        # (the sink feed lacks preimages by design); both maintainers
-        # are window-epoch-keyed, so a crashed-and-restarted window
-        # no-ops
-        if args.agg_table or args.scd2_table:
+        # (the sink feed lacks preimages by design); every maintainer
+        # is window-epoch-keyed, so a crashed-and-restarted window
+        # no-ops — the indexes filter the preimage rows out themselves
+        if (args.agg_table or args.scd2_table or args.sigindex_table
+                or args.annindex_table):
             from qwery_spark.lake.changes import read_changes
 
             pfeed = read_changes(
@@ -186,6 +230,17 @@ def main(argv=None):
                 if args.scd2_table:
                     update_scd2(spark, table, LakeTable(args.scd2_table),
                                 lo, hi, feed=pfeed)
+                if args.sigindex_table:
+                    update_signature_index(
+                        spark, table, LakeTable(args.sigindex_table),
+                        lo, hi, text_col=args.sigindex_text, feed=pfeed,
+                    )
+                if args.annindex_table:
+                    update_ann_index(
+                        spark, table, LakeTable(args.annindex_table),
+                        centroids, lo, hi, emb_col=args.annindex_emb,
+                        feed=pfeed,
+                    )
             finally:
                 pfeed.unpersist()
 

@@ -82,6 +82,7 @@ def build_ann_index(
     centroids: list[list[float]],
     emb_col: str = "embedding",
     n_buckets: int = 8,
+    at_version: int | None = None,
 ) -> LakeTable:
     """Full build: assign the source's live vectors once (map-only,
     PINNED to the snapshot whose version keys the build epoch — a
@@ -94,7 +95,9 @@ def build_ann_index(
     from qwery_spark.lake.merge import append_changes
     from qwery_spark.operators.materialize import _reuse_or_create
 
-    snap = src.snapshot()
+    # pin to at_version when given — a follower builds at its resume
+    # point so later windows don't double-apply
+    snap = src.snapshot(at_version)
     key = snap.m["key_col"]
     key_type = snap.spark_schema()[key].dataType
     idx = _reuse_or_create(
@@ -122,12 +125,17 @@ def update_ann_index(
     from_version: int,
     to_version: int | None = None,
     emb_col: str = "embedding",
+    feed: DataFrame | None = None,
 ) -> AnnIndexUpdateStats:
     """One source change-feed window becomes one index commit: changed
     vectors re-assign against the SAME fixed centroids (only those —
     the corpus is never rescanned), deletes tombstone at the deleting
     ordinal. Idempotent per window via the (from,to)-keyed epoch;
-    out-of-order overlapping windows converge via LWW ordinals."""
+    out-of-order overlapping windows converge via LWW ordinals.
+
+    Pass ``feed`` (a caller-persisted changelog for the same range —
+    preimage rows, if present, are filtered out) to share one endpoint
+    diff between several view maintainers."""
     from qwery_spark.lake.changes import read_changes
     from qwery_spark.lake.merge import append_changes
 
@@ -137,9 +145,11 @@ def update_ann_index(
     if to_version <= from_version:
         return stats
     key = src.snapshot().m["key_col"]
-    feed = read_changes(
-        spark, src, from_version, to_version, granular=False
-    ).persist()
+    own_feed = feed is None
+    if own_feed:
+        feed = read_changes(
+            spark, src, from_version, to_version, granular=False
+        ).persist()
     try:
         ups = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -178,7 +188,8 @@ def update_ann_index(
             stats.snapshot_version = r.snapshot_version
         return stats
     finally:
-        feed.unpersist()
+        if own_feed:
+            feed.unpersist()
 
 
 def index_topk(

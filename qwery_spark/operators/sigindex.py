@@ -99,6 +99,7 @@ def build_signature_index(
     n_bands: int = DEFAULT_NBANDS,
     n: int = 3,
     n_buckets: int = 16,
+    at_version: int | None = None,
 ) -> LakeTable:
     """Full build: shingle the docs table's live state once (PINNED to
     the snapshot whose version keys the build epoch — a concurrent
@@ -110,7 +111,9 @@ def build_signature_index(
     create) and its version-keyed epoch no-ops the duplicate append."""
     from qwery_spark.operators.materialize import _reuse_or_create
 
-    snap = docs.snapshot()
+    # pin to at_version when given — a follower builds at its resume
+    # point so later windows don't double-apply
+    snap = docs.snapshot(at_version)
     key = snap.m["key_col"]
     key_type = snap.spark_schema()[key].dataType
     idx = _reuse_or_create(
@@ -149,6 +152,7 @@ def update_signature_index(
     text_col: str = "text",
     n_bands: int = DEFAULT_NBANDS,
     n: int = 3,
+    feed: DataFrame | None = None,
 ) -> IndexUpdateStats:
     """Incremental maintenance: one change-feed window of the docs
     table becomes one index commit. Inserted/updated docs re-shingle
@@ -156,18 +160,25 @@ def update_signature_index(
     input is the feed's postimage rows); deleted docs become index
     tombstones at the deleting ordinal. Idempotent per window via the
     merge layer's LWW ordinal guard: re-applying a window, or applying
-    overlapping windows out of order, converges to the same index."""
+    overlapping windows out of order, converges to the same index.
+
+    Pass ``feed`` (a caller-persisted changelog for the same range —
+    preimage-bearing is fine, the extra rows are filtered out) to share
+    one endpoint diff between several view maintainers, the same reuse
+    contract as update_agg/update_scd2/replicate."""
     from qwery_spark.lake.changes import read_changes
     from qwery_spark.lake.merge import append_changes
 
     to_version = docs.current_version() if to_version is None else to_version
-    # persist the FEED itself (one run of the coarse endpoint diff —
-    # two table scans + a join), then derive both branches from the
-    # cache; persisting the branches separately would execute the diff
-    # once per branch. Bounded by the window's change volume.
-    feed = read_changes(
-        spark, docs, from_version, to_version, granular=False
-    ).persist()
+    own_feed = feed is None
+    if own_feed:
+        # persist the FEED itself (one run of the coarse endpoint diff —
+        # two table scans + a join), then derive both branches from the
+        # cache; persisting the branches separately would execute the
+        # diff once per branch. Bounded by the window's change volume.
+        feed = read_changes(
+            spark, docs, from_version, to_version, granular=False
+        ).persist()
     key = docs.snapshot().m["key_col"]
 
     upserts = feed.filter(
@@ -218,7 +229,8 @@ def update_signature_index(
             stats.snapshot_version = r.snapshot_version
         return stats
     finally:
-        feed.unpersist()
+        if own_feed:
+            feed.unpersist()
 
 
 def _exploded(index_df: DataFrame, key: str) -> DataFrame:

@@ -151,3 +151,94 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     live_keys = src.read(spark).count()
     assert hist.filter("valid_to IS NULL").count() == live_keys
     assert hist.filter("valid_to IS NOT NULL").count() > 0
+
+
+def test_run_follow_cli_maintains_both_indexes(spark, tmp_path):
+    """One follower maintains the MinHash signature index AND the IVF
+    ANN index off a single shared diff per window; both converge to a
+    from-scratch rebuild of the final state."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.annindex import build_ann_index
+    from qwery_spark.operators.sigindex import (
+        build_signature_index,
+        index_candidates,
+    )
+
+    table = str(tmp_path / "src")
+    sig = str(tmp_path / "sig")
+    ann = str(tmp_path / "ann")
+    state = str(tmp_path / "state.json")
+    cent_file = str(tmp_path / "centroids.json")
+    centroids = [[10.0, 0.0], [0.0, 10.0]]
+    with open(cent_file, "w") as fh:
+        _json.dump(centroids, fh)
+
+    src = LakeTable.create(
+        table,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+        n_buckets=2, key_col="doc_id", write_mode="mor",
+    )
+
+    def rows(lo, hi, ordinal0, tag):
+        return spark.createDataFrame(
+            [(i, f"doc {i} {tag} " + " ".join(f"w{(i + k) % 9}" for k in range(8)),
+              [9.0 + 0.1 * (i % 3), 0.2] if i % 2 == 0 else [0.2, 9.0 + 0.1 * (i % 3)],
+              "U", ordinal0 + i)
+             for i in range(lo, hi)],
+            "doc_id long, text string, embedding array<double>, op string, "
+            "ordinal long",
+        )
+
+    append_changes(spark, src, rows(0, 20, 0, "alpha"))       # v1
+
+    # window 1: update some docs (text + embedding flip), add, delete
+    append_changes(spark, src, rows(0, 4, 1000, "beta"))       # v2
+    r = _run_follow([
+        "--table", table, "--state", state, "--from-version", "1",
+        "--sigindex-table", sig,
+        "--annindex-table", ann, "--annindex-centroids", cent_file,
+        "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # window 2 on resume
+    append_changes(spark, src, spark.createDataFrame(
+        [(30, "totally new doc gamma one two three four five",
+          [0.1, 9.5], "U", 2000),
+         (7, None, None, "D", 2001)],
+        "doc_id long, text string, embedding array<double>, op string, "
+        "ordinal long",
+    ))                                                          # v3
+    r = _run_follow([
+        "--table", table, "--state", state,
+        "--sigindex-table", sig,
+        "--annindex-table", ann, "--annindex-centroids", cent_file,
+        "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # both maintained artifacts equal from-scratch rebuilds
+    sig_rebuilt = build_signature_index(spark, src, str(tmp_path / "sig2"))
+    got = sorted(tuple(x) for x in index_candidates(spark, LakeTable(sig)).collect())
+    want = sorted(tuple(x) for x in index_candidates(spark, sig_rebuilt).collect())
+    assert got == want
+
+    ann_rebuilt = build_ann_index(spark, src, str(tmp_path / "ann2"), centroids)
+
+    def cells(t):
+        return sorted(
+            tuple(x) for x in t.read(spark).select("doc_id", "cell").collect()
+        )
+
+    assert cells(LakeTable(ann)) == cells(ann_rebuilt)
+    assert (30, 1) in cells(LakeTable(ann))
+    assert all(d != 7 for d, _ in cells(LakeTable(ann)))
