@@ -94,6 +94,13 @@ def main(argv=None):
                    help="replica maintenance: compact any replica bucket "
                         "whose live-file count exceeds this bound after a "
                         "window applies (state-driven, skew-aware)")
+    p.add_argument("--auto-compact-views", type=int, default=None,
+                   help="same manifest-threshold policy applied to the "
+                        "maintained MOR view tables (SCD2 history, "
+                        "signature index, ANN index — each window appends "
+                        "delta files to them too); the ANN index is "
+                        "re-clustered by cell on trigger so probe file "
+                        "pruning stays tight")
     args = p.parse_args(argv)
     if not (args.sink or args.replica or args.agg_table or args.scd2_table
             or args.sigindex_table or args.annindex_table):
@@ -243,6 +250,25 @@ def main(argv=None):
                     )
             finally:
                 pfeed.unpersist()
+            if args.auto_compact_views:
+                from qwery_spark.lake.maintenance import (
+                    CompactionPolicy,
+                    maybe_compact,
+                )
+
+                bound = args.auto_compact_views
+                # the maintained views are derived MOR tables whose
+                # per-window delta appends accumulate exactly like the
+                # replica's — the same read-amplification bound applies.
+                # (the agg rollup is COW and self-compacting.)
+                for path, policy in (
+                    (args.scd2_table, CompactionPolicy(max_files_per_bucket=bound)),
+                    (args.sigindex_table, CompactionPolicy(max_files_per_bucket=bound)),
+                    (args.annindex_table, CompactionPolicy(
+                        max_files_per_bucket=bound, sort_cols=["cell"])),
+                ):
+                    if path:
+                        maybe_compact(spark, LakeTable(path), policy)
 
     last = follow_changes(
         spark,

@@ -222,9 +222,20 @@ def test_run_follow_cli_maintains_both_indexes(spark, tmp_path):
         "--table", table, "--state", state,
         "--sigindex-table", sig,
         "--annindex-table", ann, "--annindex-centroids", cent_file,
+        "--auto-compact-views", "1",
         "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
+
+    # the view-maintenance policy bounded both indexes' per-bucket file
+    # counts (build + 2 window deltas would exceed 1 otherwise)
+    from collections import Counter
+
+    for t in (sig, ann):
+        per_bucket = Counter(
+            f["bucket"] for f in LakeTable(t).snapshot().files()
+        )
+        assert max(per_bucket.values()) <= 1, (t, per_bucket)
 
     # both maintained artifacts equal from-scratch rebuilds
     sig_rebuilt = build_signature_index(spark, src, str(tmp_path / "sig2"))
