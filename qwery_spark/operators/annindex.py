@@ -218,15 +218,19 @@ def index_topk(
     # carry no spatial order, so the nearest cells are routinely far
     # apart in id space and a single (min,max) hull would keep the
     # files of every cell in between — per-cell reads keep the file
-    # pruning tight at any n_probe
+    # pruning tight at any n_probe. Each part filters to EXACTLY its
+    # cell (col_ranges is a file-level hint, so a multi-cell file's
+    # rows would otherwise appear in several parts and duplicate
+    # candidates in the top-k)
     parts = [
-        index.read(spark, col_ranges={"cell": (c, c)})
+        index.read(spark, col_ranges={"cell": (c, c)}).filter(
+            F.col("cell") == c
+        )
         for c in probe
     ]
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)
-    rows = rows.filter(F.col("cell").isin(probe))
     if exclude_key is not None:
         rows = rows.filter(F.col(f"`{key}`") != exclude_key)
     qn = math.sqrt(sum(x * x for x in query_vec))
@@ -238,4 +242,66 @@ def index_topk(
         .orderBy(F.col("_cos").desc(), F.col(f"`{key}`"))
         .limit(k)
         .select(key, F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def index_batch_topk(
+    spark: SparkSession,
+    index: LakeTable,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch IVF probe: top-k neighbours for EVERY query vector in one
+    pass over the index — the curation shape (score a whole reference
+    set against the corpus) where M point probes would re-scan the
+    index M times. Each query maps to its ``n_probe`` nearest cells
+    (literal-centroid argsort, no shuffle), the probe set broadcasts
+    into one join against the index, and a per-query window takes the
+    top-k — candidate volume is bounded by M × probed-cell size, never
+    M × corpus. ``exclude_self`` drops hits whose index key equals the
+    query id (self-match when probing the corpus against itself)."""
+    from pyspark.sql import Window
+
+    from qwery_spark.operators.kmeans import _sq_dist
+
+    key = index.snapshot().m["key_col"]
+    qv = as_double(F.col(f"`{query_emb_col}`"))
+    ranked = F.sort_array(
+        F.array(*[
+            F.struct(_sq_dist(qv, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ])
+    )
+    probes = queries.select(
+        F.col(f"`{query_id_col}`"),
+        qv.alias("_q"),
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int")
+            )
+        ).alias("cell"),
+    )
+    cand = index.read(spark).join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col(f"`{key}`") != F.col(f"`{query_id_col}`"))
+    v = F.col("embedding")
+    cos = dot(v, F.col("_q")) / (
+        F.sqrt(dot(v, v)) * F.sqrt(dot(F.col("_q"), F.col("_q")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(f"`{key}`")
+    )
+    return (
+        cand.select(f"`{query_id_col}`", f"`{key}`", cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            f"`{query_id_col}`", f"`{key}`",
+            F.round("_cos", 6).alias("cosine"),
+        )
     )

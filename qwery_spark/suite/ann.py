@@ -632,6 +632,71 @@ _ANN_IDX_SQL = f"""
 """
 
 
+
+def _annidx_base(spark, sf_dir):
+    h2 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("emb"),
+        h2.alias("h2"),
+    )
+
+
+def _annidx_lifecycle(spark, base, centroids, d):
+    """The shared 2-epoch index lifecycle: seed, build, adds + drift +
+    deletes as one window, incremental update, sorted compaction.
+    Returns the maintained index."""
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes, compact
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.annindex import build_ann_index, update_ann_index
+
+    src = LakeTable.create(
+        d + "/src",
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+        n_buckets=8, key_col="vec_id", write_mode="mor",
+    )
+    ep0 = base.filter(F.col("h2") % 4 != 0).select(
+        "vec_id", F.col("emb").alias("embedding"),
+        F.lit("U").alias("op"), F.col("vec_id").alias("ordinal"),
+    )
+    append_changes(spark, src, ep0)
+    v1 = src.current_version()
+    idx = build_ann_index(spark, src, d + "/idx", centroids)
+    adds = base.filter(F.col("h2") % 4 == 0).select(
+        "vec_id", F.col("emb").alias("embedding"),
+        F.lit("U").alias("op"),
+        (F.col("vec_id") + 1_000_000).alias("ordinal"),
+    )
+    drifts = base.filter(
+        (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
+    ).select(
+        "vec_id", F.reverse(F.col("emb")).alias("embedding"),
+        F.lit("U").alias("op"),
+        (F.col("vec_id") + 2_000_000).alias("ordinal"),
+    )
+    dels = base.filter(
+        (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
+    ).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.lit("D").alias("op"),
+        (F.col("vec_id") + 3_000_000).alias("ordinal"),
+    )
+    append_changes(spark, src, adds.unionAll(drifts).unionAll(dels))
+    update_ann_index(spark, src, idx, centroids, from_version=v1)
+    # cluster the index by cell: probe reads then skip unprobed cells'
+    # files entirely
+    compact(spark, idx, sort_cols=["cell"])
+    return idx
+
+
 @register(
     "ann_index_incremental_topk",
     _ANN_IDX_SQL,
@@ -655,22 +720,9 @@ def ann_index_incremental_topk(spark, sf_dir):
     import shutil
     import tempfile
 
-    from pyspark.sql import types as T
+    from qwery_spark.operators.annindex import index_topk
 
-    from qwery_spark.lake.merge import append_changes, compact
-    from qwery_spark.lake.table import LakeTable
-    from qwery_spark.operators.annindex import (
-        build_ann_index, index_topk, update_ann_index,
-    )
-
-    h2 = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
-    base = load(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        _as_double(F.col("embedding")).alias("emb"),
-        h2.alias("h2"),
-    )
+    base = _annidx_base(spark, sf_dir)
     fixed = base.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
     centroids = [list(r["emb"]) for r in fixed]
     qvec = list(
@@ -681,50 +733,87 @@ def ann_index_incremental_topk(spark, sf_dir):
     out_dir = os.path.join(tempfile.gettempdir(), f"qwery_annidx_{tag}")
     d = tempfile.mkdtemp(prefix="qwery_annidx_tbl_")
     try:
-        src = LakeTable.create(
-            d + "/src",
-            T.StructType([
-                T.StructField("vec_id", T.LongType()),
-                T.StructField("embedding", T.ArrayType(T.DoubleType())),
-            ]),
-            n_buckets=8, key_col="vec_id", write_mode="mor",
-        )
-        ep0 = base.filter(F.col("h2") % 4 != 0).select(
-            "vec_id", F.col("emb").alias("embedding"),
-            F.lit("U").alias("op"), F.col("vec_id").alias("ordinal"),
-        )
-        append_changes(spark, src, ep0)
-        v1 = src.current_version()
-        idx = build_ann_index(spark, src, d + "/idx", centroids)
-        adds = base.filter(F.col("h2") % 4 == 0).select(
-            "vec_id", F.col("emb").alias("embedding"),
-            F.lit("U").alias("op"),
-            (F.col("vec_id") + 1_000_000).alias("ordinal"),
-        )
-        drifts = base.filter(
-            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
-        ).select(
-            "vec_id", F.reverse(F.col("emb")).alias("embedding"),
-            F.lit("U").alias("op"),
-            (F.col("vec_id") + 2_000_000).alias("ordinal"),
-        )
-        dels = base.filter(
-            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
-        ).select(
-            "vec_id",
-            F.lit(None).cast("array<double>").alias("embedding"),
-            F.lit("D").alias("op"),
-            (F.col("vec_id") + 3_000_000).alias("ordinal"),
-        )
-        append_changes(spark, src, adds.unionAll(drifts).unionAll(dels))
-        update_ann_index(spark, src, idx, centroids, from_version=v1)
-        # cluster the index by cell: the probe's col_ranges hint then
-        # skips unprobed cells' files entirely
-        compact(spark, idx, sort_cols=["cell"])
+        idx = _annidx_lifecycle(spark, base, centroids, d)
         index_topk(
             spark, idx, centroids, qvec, k=_TOPK, n_probe=2,
             exclude_key=_QUERY_VEC_ID,
         ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "ann_index_batch_topk",
+    f"""
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))
+                              AS INTEGER) AS h2
+                  FROM embeddings),
+    e AS (SELECT vec_id,
+                 CASE WHEN h2 % 4 <> 0 AND h2 % 5 = 1
+                      THEN list_reverse(emb) ELSE emb END AS emb
+          FROM base WHERE NOT (h2 % 4 <> 0 AND h2 % 5 = 2)),
+    c0 AS (SELECT vec_id AS cid, emb AS cent FROM base WHERE vec_id < {_IVF_K}),
+    af AS ({_km_assign("c0")}),
+    qs AS (SELECT vec_id AS query_id, emb AS qemb FROM base
+           WHERE vec_id % 37 = 1),
+    pr AS (SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      {_km_sqdist("q.qemb", "c.cent")}, c.cid) AS rn
+             FROM qs q CROSS JOIN c0 c) t
+           WHERE rn <= 2),
+    cand AS (SELECT q.query_id, af.vec_id, {_KM_COS} AS cos
+             FROM af JOIN pr ON af.cell = pr.cid
+                     JOIN qs q ON q.query_id = pr.query_id
+             WHERE af.vec_id <> q.query_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+           round(cos, 6) AS cosine
+    FROM (SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM cand) t
+    WHERE rn <= 5
+    """,
+    doc="Batch IVF probe against the persisted incremental index "
+    "(operators/annindex.index_batch_topk): every query vector of a "
+    "reference set (vec_id % 37 = 1, ~14 queries) gets its top-5 in "
+    "ONE pass over the index — per-query probe cells from a "
+    "literal-centroid argsort (no shuffle), probe set broadcast into "
+    "one join, per-query window for the cut. The curation shape at "
+    "100 TB: M point probes would rescan the index M times; this "
+    "touches it once with candidate volume M x probed-cell size. Same "
+    "maintained-index lifecycle as ann_index_incremental_topk; the "
+    "oracle recomputes assignment + per-query ranking from scratch.",
+)
+def ann_index_batch_topk(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from qwery_spark.operators.annindex import index_batch_topk
+
+    base = _annidx_base(spark, sf_dir)
+    fixed = base.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
+    centroids = [list(r["emb"]) for r in fixed]
+    queries = base.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qvec")
+    )
+
+    tag = hashlib.md5(f"{sf_dir}|annidx_batch".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_annidxb_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_annidxb_tbl_")
+    try:
+        idx = _annidx_lifecycle(spark, base, centroids, d)
+        index_batch_topk(
+            spark, idx, centroids, queries, k=5, n_probe=2,
+            exclude_self=True,
+        ).withColumnRenamed("vec_id", "vec_id").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)

@@ -149,3 +149,16 @@ def test_build_replay_is_commit_noop(spark, tmp_table_dir):
     assert len(again.snapshot().files()) == files
     assert again.current_version() == ver
     assert _cells(spark, again) == {i: i % 4 for i in range(12)}
+
+
+def test_index_topk_multi_probe_no_duplicates(spark, tmp_table_dir):
+    """n_probe=2 with multi-cell files (col_ranges is only a file-level
+    hint): each candidate must appear at most once in the top-k."""
+    src = _mk_src(spark, tmp_table_dir + "/src")
+    idx = build_ann_index(spark, src, tmp_table_dir + "/idx", _CENTROIDS)
+    q = [0.0, 7.0, 7.0, 0.0]  # between cells 1 and 2
+    got = index_topk(spark, idx, _CENTROIDS, q, k=20, n_probe=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids)), ids
+    cells = _cells(spark, idx)
+    assert {cells[i] for i in ids} <= {1, 2}
