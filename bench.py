@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "cdc_incremental_agg",
     "cdc_scd2_materialized",
     "dedup_incremental_candidates",
+    # round-5: persisted incremental IVF index e2e (build + window
+    # update + sorted compaction + probe — construction-dominated by
+    # design, like the other incremental-view entries)
+    "ann_index_incremental_topk",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Property-based soundness of the changelog diff pruning
+(lake/changes._diff_pruning): for RANDOM op sequences — appends,
+old/new-key updates, deletes, interleaved compactions (plain and
+key-sorted) — every feed mode must return exactly the same rows with
+pruning on as with pruning forced off. The key-set depth floor is
+dropped so the exact-key path fires on the tiny tables too.
+
+hypothesis drives the generator (derandomized for driver stability;
+deadline off — Spark latency is not the property)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import qwery_spark.lake.changes as ch
+from qwery_spark.lake.changes import read_changes
+from qwery_spark.lake.merge import append_changes, compact
+from qwery_spark.lake.table import LakeTable
+from qwery_spark.schema import TARGET_SCHEMA
+
+
+@st.composite
+def op_sequences(draw):
+    n_commits = draw(st.integers(min_value=2, max_value=6))
+    rng_seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(rng_seed)
+    commits = []
+    next_key = 0
+    ordinal = 0
+    live = []
+    for _ in range(n_commits):
+        kind = rng.choice(["append", "mixed", "compact", "compact_sorted"],
+                          p=[0.4, 0.35, 0.15, 0.1])
+        if kind in ("compact", "compact_sorted") and not live:
+            kind = "append"
+        if kind.startswith("compact"):
+            commits.append((kind, []))
+            continue
+        rows = []
+        n_new = int(rng.integers(1, 6))
+        for _ in range(n_new):
+            rows.append(("U", f"doc-{next_key:04d}", ordinal))
+            live.append(next_key)
+            next_key += 1
+            ordinal += 1
+        if kind == "mixed" and live:
+            for _ in range(int(rng.integers(1, 4))):
+                k = int(rng.choice(live))
+                op = "D" if rng.random() < 0.4 else "U"
+                rows.append((op, f"doc-{k:04d}", ordinal))
+                ordinal += 1
+        commits.append(("data", rows))
+    lo_frac = draw(st.floats(min_value=0.0, max_value=0.8))
+    window = draw(st.sampled_from([None, 1, 2]))
+    return commits, lo_frac, window, rng_seed
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=op_sequences())
+def test_pruned_feed_always_equals_unpruned(spark, tmp_path_factory, seq,
+                                            monkeypatch):
+    commits, lo_frac, window, _ = seq
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    d = str(tmp_path_factory.mktemp("chprop"))
+    tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=2,
+                           write_mode="mor")
+    for kind, rows in commits:
+        if kind == "compact":
+            compact(spark, tbl)
+            continue
+        if kind == "compact_sorted":
+            compact(spark, tbl, sort_cols=["doc_id"])
+            continue
+        df = spark.createDataFrame(
+            [(k, [1, 2] if op == "U" else None,
+              2 if op == "U" else None,
+              "web" if op == "U" else None, op, o)
+             for op, k, o in rows],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+        append_changes(spark, tbl, df)
+
+    head = tbl.current_version()
+    lo = int(lo_frac * head)
+
+    def feed_rows(**kw):
+        return sorted(
+            tuple(sorted((c, str(v)) for c, v in r.asDict().items()))
+            for r in read_changes(spark, tbl, lo, **kw).collect()
+        )
+
+    variants = [
+        dict(granular=True, include_preimages=True),
+        dict(granular=False, include_preimages=True),
+    ]
+    if window:
+        variants.append(dict(window=window, include_preimages=True))
+    on = [feed_rows(**kw) for kw in variants]
+    real = ch._added_key_range
+    monkeypatch.setattr(ch, "_added_key_range", lambda *a, **k: None)
+    off = [feed_rows(**kw) for kw in variants]
+    monkeypatch.setattr(ch, "_added_key_range", real)
+    assert on == off
