@@ -811,9 +811,7 @@ def ann_index_batch_topk(spark, sf_dir):
         index_batch_topk(
             spark, idx, centroids, queries, k=5, n_probe=2,
             exclude_self=True,
-        ).withColumnRenamed("vec_id", "vec_id").write.mode(
-            "overwrite"
-        ).parquet(out_dir)
+        ).write.mode("overwrite").parquet(out_dir)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
