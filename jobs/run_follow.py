@@ -180,15 +180,13 @@ def main(argv=None):
                                   at_version=start)
     centroids = None
     if args.annindex_table:
-        import json as _json
-
         from qwery_spark.operators.annindex import (
             build_ann_index,
             update_ann_index,
         )
 
         with open(args.annindex_centroids) as fh:
-            centroids = _json.load(fh)
+            centroids = json.load(fh)
         if _needs_build(args.annindex_table):
             build_ann_index(spark, table, args.annindex_table, centroids,
                             emb_col=args.annindex_emb, at_version=start)

@@ -66,8 +66,10 @@ _KEY_SET_MAX_ROWS = 50_000
 # ...and only against a scan deep enough to repay the key-collect job's
 # fixed cost (~0.3-1 s): measured crossover is ~4M kept rows at 100-1000
 # window keys (tools/keyprune_bench.py — 2.4x at 8M/100, 1.1-1.3x at
-# 8M/1000, a mild loss at 2M/1000)
+# 8M/1000, a mild loss at 2M/1000). Both knobs are module-level so the
+# soundness tests can force the path on tiny tables.
 _KEY_SET_MIN_KEPT_ROWS = 4_000_000
+_KEY_SET_MIN_RATIO = 100
 
 
 def _added_files(
@@ -167,7 +169,9 @@ def _diff_pruning(
     kept = table.snapshot(before_version).files(touched, rng)
     kept_rows = [f.get("rows") for f in kept]
     if kept and all(r is not None for r in kept_rows):
-        if sum(kept_rows) < max(_KEY_SET_MIN_KEPT_ROWS, 100 * sum(rows)):
+        if sum(kept_rows) < max(
+            _KEY_SET_MIN_KEPT_ROWS, _KEY_SET_MIN_RATIO * sum(rows)
+        ):
             return rng, None  # scan too small to repay the key read
     elif len(kept) <= 2 * len(added) + 4:
         return rng, None  # rows unknown (pre-round-5 manifest): by file count

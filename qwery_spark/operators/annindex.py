@@ -264,12 +264,18 @@ def index_batch_topk(
     into one join against the index, and a per-query window takes the
     top-k — candidate volume is bounded by M × probed-cell size, never
     M × corpus. ``exclude_self`` drops hits whose index key equals the
-    query id (self-match when probing the corpus against itself)."""
+    query id (self-match when probing the corpus against itself).
+
+    The query id is carried under an internal name through the join, so
+    ``query_id_col`` may equal the index key column (the corpus-vs-
+    itself case, queries = index.read(...)); the output then names the
+    query column ``query_<key>`` to keep the two roles distinct."""
     from pyspark.sql import Window
 
     from qwery_spark.operators.kmeans import _sq_dist
 
     key = index.snapshot().m["key_col"]
+    out_qid = query_id_col if query_id_col != key else f"query_{key}"
     qv = as_double(F.col(f"`{query_emb_col}`"))
     ranked = F.sort_array(
         F.array(*[
@@ -278,7 +284,7 @@ def index_batch_topk(
         ])
     )
     probes = queries.select(
-        F.col(f"`{query_id_col}`"),
+        F.col(f"`{query_id_col}`").alias("_qid"),
         qv.alias("_q"),
         F.explode(
             F.transform(
@@ -288,20 +294,20 @@ def index_batch_topk(
     )
     cand = index.read(spark).join(F.broadcast(probes), "cell")
     if exclude_self:
-        cand = cand.filter(F.col(f"`{key}`") != F.col(f"`{query_id_col}`"))
+        cand = cand.filter(F.col(f"`{key}`") != F.col("_qid"))
     v = F.col("embedding")
     cos = dot(v, F.col("_q")) / (
         F.sqrt(dot(v, v)) * F.sqrt(dot(F.col("_q"), F.col("_q")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
+    w = Window.partitionBy(F.col("_qid")).orderBy(
         F.col("_cos").desc(), F.col(f"`{key}`")
     )
     return (
-        cand.select(f"`{query_id_col}`", f"`{key}`", cos.alias("_cos"))
+        cand.select("_qid", f"`{key}`", cos.alias("_cos"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
-            f"`{query_id_col}`", f"`{key}`",
+            F.col("_qid").alias(out_qid), f"`{key}`",
             F.round("_cos", 6).alias("cosine"),
         )
     )

@@ -2,8 +2,9 @@
 (lake/changes._diff_pruning): for RANDOM op sequences — appends,
 old/new-key updates, deletes, interleaved compactions (plain and
 key-sorted) — every feed mode must return exactly the same rows with
-pruning on as with pruning forced off. The key-set depth floor is
-dropped so the exact-key path fires on the tiny tables too.
+pruning on as with pruning forced off. Both key-set gate knobs (depth
+floor AND kept/added ratio) are dropped so the exact-key path fires on
+the tiny tables too.
 
 hypothesis drives the generator (derandomized for driver stability;
 deadline off — Spark latency is not the property)."""
@@ -15,6 +16,10 @@ from hypothesis import strategies as st
 
 import qwery_spark.lake.changes as ch
 from qwery_spark.lake.changes import read_changes
+
+# captured at import time: the restore target can never be a leaked
+# disable-lambda from an earlier failed example
+_REAL_ADDED_KEY_RANGE = ch._added_key_range
 from qwery_spark.lake.merge import append_changes, compact
 from qwery_spark.lake.table import LakeTable
 from qwery_spark.schema import TARGET_SCHEMA
@@ -66,7 +71,10 @@ def op_sequences(draw):
 def test_pruned_feed_always_equals_unpruned(spark, tmp_path_factory, seq,
                                             monkeypatch):
     commits, lo_frac, window, _ = seq
+    # both gate knobs off so the exact-key-set path actually fires on
+    # the tiny generated tables (floor alone leaves the 100x ratio)
     monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_RATIO", 0)
     d = str(tmp_path_factory.mktemp("chprop"))
     tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=2,
                            write_mode="mor")
@@ -103,8 +111,13 @@ def test_pruned_feed_always_equals_unpruned(spark, tmp_path_factory, seq,
     if window:
         variants.append(dict(window=window, include_preimages=True))
     on = [feed_rows(**kw) for kw in variants]
-    real = ch._added_key_range
-    monkeypatch.setattr(ch, "_added_key_range", lambda *a, **k: None)
-    off = [feed_rows(**kw) for kw in variants]
-    monkeypatch.setattr(ch, "_added_key_range", real)
+    # plain try/finally (NOT the example-spanning monkeypatch fixture):
+    # a Spark error mid-'off' must not leave pruning disabled for every
+    # later hypothesis example, which would make on == off vacuous
+    real = _REAL_ADDED_KEY_RANGE
+    try:
+        ch._added_key_range = lambda *a, **k: None
+        off = [feed_rows(**kw) for kw in variants]
+    finally:
+        ch._added_key_range = real
     assert on == off

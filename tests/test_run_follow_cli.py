@@ -189,9 +189,13 @@ def test_run_follow_cli_maintains_both_indexes(spark, tmp_path):
     )
 
     def rows(lo, hi, ordinal0, tag):
+        # embedding cell depends on (i + tag length) parity: the beta
+        # window's re-upserts FLIP docs 0-3 across cells, so the
+        # follower's cell-migration path is genuinely exercised
         return spark.createDataFrame(
             [(i, f"doc {i} {tag} " + " ".join(f"w{(i + k) % 9}" for k in range(8)),
-              [9.0 + 0.1 * (i % 3), 0.2] if i % 2 == 0 else [0.2, 9.0 + 0.1 * (i % 3)],
+              [9.0 + 0.1 * (i % 3), 0.2] if (i + len(tag)) % 2 == 0
+              else [0.2, 9.0 + 0.1 * (i % 3)],
               "U", ordinal0 + i)
              for i in range(lo, hi)],
             "doc_id long, text string, embedding array<double>, op string, "

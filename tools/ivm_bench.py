@@ -1,7 +1,7 @@
 """IVM flatness evidence (r4 verdict task 4): the per-window cost of
 maintaining downstream views — update_agg, update_scd2,
-update_signature_index — must track the WINDOW's change volume, not the
-base table's depth. Fixed-size change windows are applied while the
+update_signature_index, update_ann_index — must track the WINDOW's
+change volume, not the base table's depth. Fixed-size change windows are applied while the
 base grows ~10x; per-window wall is recorded for each maintainer, and
 flatness = median(second half) / median(first half).
 
@@ -55,6 +55,17 @@ def _docs(spark, lo: int, n: int, ordinal0: int, lang_tag: str):
         F.substring(F.md5(F.concat_ws("-", F.col("id"), F.lit(str(w)))), 1, 6)
         for w in range(8)
     ]
+    emb = F.array(*[
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.col("id"), F.lit(f"e{d}{lang_tag}"))),
+                    1, 4,
+                ), 16, 10,
+            ).cast("double") % 100
+        ) / 10.0
+        for d in range(4)
+    ])
     return (
         spark.range(lo, lo + n)
         .select(
@@ -62,6 +73,7 @@ def _docs(spark, lo: int, n: int, ordinal0: int, lang_tag: str):
             F.concat(F.lit(lang_tag), (F.col("id") % 5)).alias("lang"),
             (F.col("id") % 997).cast("long").alias("n_chars"),
             F.concat_ws(" ", *words).alias("text"),
+            emb.alias("embedding"),
             F.lit("U").alias("op"),
             (F.lit(ordinal0) + F.col("id") - lo).alias("ordinal"),
         )
@@ -76,6 +88,9 @@ def main():
     from qwery_spark.lake.table import LakeTable
     from qwery_spark.operators.materialize import (
         build_agg, build_scd2, update_agg, update_scd2,
+    )
+    from qwery_spark.operators.annindex import (
+        build_ann_index, update_ann_index,
     )
     from qwery_spark.operators.sigindex import (
         build_signature_index, update_signature_index,
@@ -98,7 +113,12 @@ def main():
         T.StructField("lang", T.StringType()),
         T.StructField("n_chars", T.LongType()),
         T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
     ])
+    centroids = [
+        [2.0, 2.0, 2.0, 2.0], [8.0, 2.0, 8.0, 2.0],
+        [2.0, 8.0, 2.0, 8.0], [8.0, 8.0, 8.0, 8.0],
+    ]
     try:
         src = LakeTable.create(
             d + "/src", schema, n_buckets=N_BUCKETS, key_col="doc_id",
@@ -108,8 +128,10 @@ def main():
         agg = build_agg(spark, src, d + "/agg", "lang", ["n_chars"])
         hist = build_scd2(spark, src, d + "/hist")
         sidx = build_signature_index(spark, src, d + "/sidx")
+        aidx = build_ann_index(spark, src, d + "/aidx", centroids)
 
-        walls = {"agg": [], "scd2": [], "sigindex": [], "window_total": []}
+        walls = {"agg": [], "scd2": [], "sigindex": [], "annindex": [],
+                 "window_total": []}
         next_id = SEED_ROWS
         ordinal = 10_000_000
         for w in range(windows):
@@ -136,6 +158,12 @@ def main():
                                 "-", F.col("id"), F.lit(f"w{w}-{i}"))), 1, 6)
                               for i in range(8)],
                         ).alias("text"),
+                        F.array(*[
+                            (F.conv(F.substring(F.md5(F.concat_ws(
+                                "-", F.col("id"), F.lit(f"u{w}-{dd}"))), 1, 4),
+                                16, 10).cast("double") % 100) / 10.0
+                            for dd in range(4)
+                        ]).alias("embedding"),
                         F.lit("U").alias("op"),
                         (F.lit(ordinal + per_win) + F.col("id")).alias("ordinal"),
                     )
@@ -148,6 +176,7 @@ def main():
                 F.lit(None).cast("string").alias("lang"),
                 F.lit(None).cast("long").alias("n_chars"),
                 F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<double>").alias("embedding"),
                 F.lit("D").alias("op"),
                 (F.lit(ordinal + 2 * per_win) + F.col("id")).alias("ordinal"),
             )
@@ -163,6 +192,9 @@ def main():
             t = time.monotonic()
             update_signature_index(spark, src, sidx, from_version=v)
             walls["sigindex"].append(round((time.monotonic() - t) * 1000))
+            t = time.monotonic()
+            update_ann_index(spark, src, aidx, centroids, from_version=v)
+            walls["annindex"].append(round((time.monotonic() - t) * 1000))
             walls["window_total"].append(round((time.monotonic() - t0) * 1000))
             next_id += per_win
             ordinal += 3 * per_win
