@@ -1,9 +1,9 @@
 """IVM flatness evidence (r4 verdict task 4): the per-window cost of
 maintaining downstream views — update_agg, update_scd2,
 update_signature_index, update_ann_index — must track the WINDOW's
-change volume, not the base table's depth. Fixed-size change windows are applied while the
-base grows ~10x; per-window wall is recorded for each maintainer, and
-flatness = median(second half) / median(first half).
+change volume, not the base table's depth. Fixed-size change windows
+are applied while the base grows ~10x; per-window wall is recorded for
+each maintainer, and flatness = median(second half)/median(first half).
 
 Workloads (third arg):
   recent   inserts + updates/deletes of RECENT keys (the common CDC
