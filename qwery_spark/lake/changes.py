@@ -70,20 +70,44 @@ _KEY_SET_MAX_ROWS = 50_000
 # soundness tests can force the path on tiny tables.
 _KEY_SET_MIN_KEPT_ROWS = 4_000_000
 _KEY_SET_MIN_RATIO = 100
+# granular/windowed catch-up over many data commits: the key-set layer
+# launches one driver-side collect job per qualifying diff, which makes
+# read_changes eager and O(commits) in driver jobs — past this many
+# per-commit diffs, keep only the zero-IO hull pruning
+_KEY_SET_MAX_DIFFS = 16
+
+
+def _path_set(
+    table: LakeTable, version: int, cache: dict | None
+) -> set:
+    """Manifest file-path set at ``version``, memoized in ``cache`` so a
+    multi-commit loop (granular/windowed read_changes) builds each
+    version's set once instead of O(commits x files) times — adjacent
+    diffs share an endpoint version."""
+    if cache is not None and version in cache:
+        return cache[version]
+    s = {f["path"] for f in table.snapshot(version).m["files"]}
+    if cache is not None:
+        cache[version] = s
+    return s
 
 
 def _added_files(
-    table: LakeTable, before_version: int, after_version: int
+    table: LakeTable, before_version: int, after_version: int,
+    path_cache: dict | None = None,
 ) -> list | None:
     """Manifest entries of files ADDED in ``(before, after]``, or None
     when the range also removed files (rewrite inside the range — the
     two-sided pruning soundness argument needs a purely additive
     range). Metadata only, zero data IO."""
-    before = {f["path"] for f in table.snapshot(before_version).m["files"]}
+    before = _path_set(table, before_version, path_cache)
     after = table.snapshot(after_version).m["files"]
     added = [f for f in after if f["path"] not in before]
     if len(after) - len(added) != len(before):
         return None
+    if path_cache is not None and after_version not in path_cache:
+        # additive range: the after set is exactly before + additions
+        path_cache[after_version] = before | {f["path"] for f in added}
     return added
 
 
@@ -117,10 +141,16 @@ def _added_key_range(
         return None  # rewrite inside the range, or no data change
     if any(f.get("key_min") is None or f.get("key_max") is None for f in added):
         return None  # a file without key stats voids the bound
-    return (
-        min(f["key_min"] for f in added),
-        max(f["key_max"] for f in added),
-    )
+    try:
+        return (
+            min(f["key_min"] for f in added),
+            max(f["key_max"] for f in added),
+        )
+    except TypeError:
+        # key stats of incomparable Python types (key column type
+        # evolved across the added files' schema versions) — disable
+        # pruning conservatively instead of crashing the read
+        return None
 
 
 def _diff_pruning(
@@ -129,6 +159,8 @@ def _diff_pruning(
     before_version: int,
     after_version: int,
     key: str,
+    path_cache: dict | None = None,
+    allow_key_set: bool = True,
 ) -> tuple:
     """(key_range, key_set) scan restrictions for one diff range.
 
@@ -152,12 +184,14 @@ def _diff_pruning(
     keeps all changed keys; unchanged keys inside the set resolve
     identically on both sides and cancel in the join; keys outside the
     set are provably untouched (additive range) and emit nothing."""
-    added = _added_files(table, before_version, after_version)
+    added = _added_files(table, before_version, after_version, path_cache)
     # the hull goes through the module-level name so pruning stays
     # monkeypatch-disableable as one switch (tests, keyprune_bench)
     rng = _added_key_range(table, before_version, after_version, added)
     if rng is None or not added:
         return None, None
+    if not allow_key_set:
+        return rng, None  # many-commit loop: hull only, no eager jobs
     rows = [f.get("rows") for f in added]
     if any(r is None for r in rows) or sum(rows) > _KEY_SET_MAX_ROWS:
         return rng, None
@@ -194,9 +228,17 @@ def _diff_pruning(
         paths = [_os.path.join(table.path, f["path"]) for f in fs]
         kdf = spark.read.parquet(*paths).select(F.col(f"`{old['name']}`"))
         keys.update(r[0] for r in kdf.distinct().collect())
+    # null keys never join and emit no change rows (both the pruned
+    # isin filter and the unpruned full-outer join drop them the same
+    # way), so dropping None keeps pruned == unpruned — and keeps
+    # sorted() from raising on a None/str comparison
+    keys.discard(None)
     if not keys:
         return rng, None
-    return rng, sorted(keys)
+    try:
+        return rng, sorted(keys)
+    except TypeError:
+        return rng, None  # mixed key types (evolved column): skip
 
 
 def _diff_snapshots(
@@ -408,6 +450,9 @@ def read_changes(
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
         prev_end = from_version
+        path_cache: dict[int, set] = {}
+        n_chunks = (len(data_commits) + window - 1) // window
+        allow_ks = n_chunks <= _KEY_SET_MAX_DIFFS
         for i in range(0, len(data_commits), window):
             chunk = data_commits[i : i + window]
             end_v = chunk[-1][0]
@@ -423,7 +468,10 @@ def read_changes(
                     touched = None
                     break
                 touched |= buckets
-            rng, keys = _diff_pruning(spark, table, prev_end, end_v, key)
+            rng, keys = _diff_pruning(
+                spark, table, prev_end, end_v, key,
+                path_cache=path_cache, allow_key_set=allow_ks,
+            )
             parts.append(
                 _diff_snapshots(
                     spark, table, prev_end, end_v, touched, key, end_v,
@@ -434,8 +482,13 @@ def read_changes(
             prev_end = end_v
     elif granular:
         parts = []
+        path_cache: dict[int, set] = {}
+        allow_ks = len(data_commits) <= _KEY_SET_MAX_DIFFS
         for v, buckets in data_commits:
-            rng, keys = _diff_pruning(spark, table, v - 1, v, key)
+            rng, keys = _diff_pruning(
+                spark, table, v - 1, v, key,
+                path_cache=path_cache, allow_key_set=allow_ks,
+            )
             parts.append(
                 _diff_snapshots(spark, table, v - 1, v, buckets, key, v,
                                 include_preimages=include_preimages,

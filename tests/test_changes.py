@@ -476,3 +476,92 @@ def test_key_set_pruning_fires_and_stays_exact(spark, tmp_table_dir, monkeypatch
     assert pruned == rows()
     types = {dict(t)["_change_type"] for t in pruned}
     assert types == {"update_preimage", "update_postimage", "delete"}
+
+
+def test_key_set_pruning_tolerates_null_keys(spark, tmp_table_dir, monkeypatch):
+    """A delta file mixing null and non-null keys must not crash the
+    key-set collect (sorted() over {None, str}); null keys emit no
+    change rows either way, so pruned == unpruned still holds."""
+    import qwery_spark.lake.changes as ch
+    from qwery_spark.lake.changes import _diff_pruning
+    from qwery_spark.lake.merge import append_changes
+
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_RATIO", 0)
+    # one bucket so the null-key row shares a delta FILE with a real
+    # key: the file's key stats stay non-null (min/max skip nulls), the
+    # hull survives, and the key-set collect sees the None
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=1, write_mode="mor"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    for c in range(3):
+        append_changes(spark, tbl, batch(
+            [(f"doc-{c * 20 + i:04d}", [i], 1, "web", "U", c * 20 + i)
+             for i in range(20)]))
+    v = tbl.current_version()
+    # window with a NULL key beside real ones
+    append_changes(spark, tbl, batch(
+        [(None, [7], 1, "web", "U", 900),
+         ("doc-0001", [8], 1, "web", "U", 901)]))
+
+    rng, keys = _diff_pruning(spark, tbl, v, v + 1, "doc_id")
+    assert keys == ["doc-0001"]  # None discarded, no TypeError
+
+    def rows():
+        return sorted(
+            tuple(sorted((k, str(x)) for k, x in r.asDict().items()))
+            for r in read_changes(spark, tbl, v).collect()
+        )
+
+    pruned = rows()
+    monkeypatch.setattr(ch, "_added_key_range", lambda *a, **k: None)
+    assert pruned == rows()
+
+
+def test_key_set_layer_skipped_for_many_commit_ranges(
+    spark, tmp_table_dir, monkeypatch
+):
+    """allow_key_set=False (the many-diff catch-up gate) keeps the hull
+    but launches no key-collect job; the shared path cache makes the
+    adjacent-diff loop reuse each endpoint's path set."""
+    import qwery_spark.lake.changes as ch
+    from qwery_spark.lake.changes import _diff_pruning
+    from qwery_spark.lake.merge import append_changes
+
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_RATIO", 0)
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    for c in range(4):
+        append_changes(spark, tbl, batch(
+            [(f"doc-{c * 10 + i:04d}", [i], 1, "web", "U", c * 10 + i)
+             for i in range(10)]))
+
+    rng, keys = _diff_pruning(
+        spark, tbl, 3, 4, "doc_id", allow_key_set=False
+    )
+    assert rng is not None and keys is None
+
+    cache: dict = {}
+    for v in range(1, 5):
+        _diff_pruning(spark, tbl, v - 1, v, "doc_id", path_cache=cache)
+    # every endpoint version computed exactly once and memoized
+    assert set(cache) == {0, 1, 2, 3, 4}
+    assert len(cache[4]) == len(tbl.snapshot(4).m["files"])
