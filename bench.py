@@ -1,24 +1,34 @@
 """Benchmark entrypoint (driver contract).
 
-Prints ONE JSON line:
+Output protocol (round-6: the driver keeps only the LAST ~2000 chars of
+stdout, which truncated round-5's single giant JSON line to
+unparseability): verbose detail — every headline run with per-epoch
+breakdowns, ladder runs, interleave sequences — is printed on EARLIER
+``DETAIL`` lines and persisted to ``BENCH_DETAIL.json`` next to this
+file; the FINAL printed line is a compact (<1800 char) summary JSON:
   {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
-   "queries": {<name>: sec, ...}, "sf": <sf>, "n_events": ...,
-   "events_per_sec": ..., "mode": "mor",
-   "scaling": {"n_cores": 1, "4n_cores": 4,
-               "n_events_per_sec": ..., "4n_events_per_sec": ...,
-               "efficiency_n_to_4n": ...,
-               "ladder": {...}, "raw_spark_control": {...}}}
+   "queries": {<name>: sec, ...}, "sf": ..., "n_events": ...,
+   "events_per_sec": ..., "cow_events_per_sec": ...,
+   "mor_vs_control": ..., "cow_vs_control": ...,
+   "efficiency_n_to_4n": ..., "engine_vs_control": ...,
+   "lc_efficiency_n_to_4n": ..., "lc_engine_vs_control": ...,
+   "detail": "BENCH_DETAIL.json"}
 
 Headline: wall-clock of a deterministic change-event replay (validation
 -> fused LWW-dedup+bucket-layout single-shuffle -> merge-on-read delta
 append -> final compaction) through the real engine at
 local[$SPARK_GRAFT_CPUS] on $SPARK_GRAFT_SF_DIR-scaled input.
-Instrumentation (round-5): the headline runs FIRST (before the scaling
-ladder heats the host), best-of-3 for both MOR and COW, with every run
-and its per-epoch + compact wall breakdown recorded in
-``headline_runs`` — a slow recorded headline is now localizable
-(which epoch/stage) and auditable (the other runs are visible),
-closing the r4 verdict's "min() of 2 hides the answer" finding.
+The headline runs FIRST (before the scaling ladder heats the host),
+best-of-3 for MOR and COW, every run + per-epoch breakdown recorded.
+
+Contention-proofing (round-6): the headline arms are INTERLEAVED —
+each cycle runs MOR replay, COW replay, then the no-engine raw-Spark
+control back-to-back, three cycles — so host drift (another tenant,
+thermal throttling) hits every arm equally and the normalized ratios
+``mor_vs_control`` / ``cow_vs_control`` stay comparable across
+sessions even when absolute numbers swing. The local-cluster rungs
+interleave engine/control the same way. (The r5 driver session's COW
+34.5k-vs-clean-50.7k swing was exactly this ambiguity.)
 
 Scaling evidence (BASELINE.md target #5; sandbox proxy for N vs 4N
 executors per the driver instruction): the same replay at two
@@ -190,26 +200,32 @@ def main():
         head_files = _chunk_paths(tmp + "/head")
 
         # ---- headline replay FIRST (before the ~15-min scaling ladder
-        # heats the host), instrumented like the ladder rungs: one warm,
-        # then 3 recorded runs each for MOR and COW with ALL runs AND a
-        # per-epoch + compact wall breakdown in the JSON, so a slow run
-        # is visible and localizable (scan/merge epochs vs final
-        # compaction) instead of silently folded into a min() ----
+        # heats the host), instrumented like the ladder rungs: warm,
+        # then 3 INTERLEAVED cycles of [MOR replay, COW replay, raw
+        # control] so host drift hits every arm equally; all runs and
+        # their per-epoch + compact breakdowns recorded, plus the
+        # arm sequence in execution order ----
         spark = _fresh_spark(CPUS)
         _replay(spark, head_files, N_BUCKETS, N_BATCHES, tmp_dir=FAST_TMP)  # warm
-        mor_runs, cow_runs = [], []
+        _raw_control(spark, head_files)  # warm the control arm too
+        mor_runs, cow_runs, ctrl_runs, head_seq = [], [], [], []
         for _ in range(3):
             bd = {}
             t = _replay(spark, head_files, N_BUCKETS, N_BATCHES,
                         compact_at_end=True, tmp_dir=FAST_TMP, breakdown=bd)
             mor_runs.append({"sec": round(t, 3), **bd})
-        for _ in range(3):
+            head_seq.append(["mor", round(t, 3)])
             bd = {}
             t = _replay(spark, head_files, N_BUCKETS, N_BATCHES, mode="cow",
                         tmp_dir=FAST_TMP, breakdown=bd)
             cow_runs.append({"sec": round(t, 3), **bd})
+            head_seq.append(["cow", round(t, 3)])
+            t = _raw_control(spark, head_files)
+            ctrl_runs.append(round(t, 3))
+            head_seq.append(["ctrl", round(t, 3)])
         replay_sec = min(r["sec"] for r in mor_runs)
         cow_sec = min(r["sec"] for r in cow_runs)
+        ctrl_sec = min(ctrl_runs)
         spark.stop()
 
         scaling = {}
@@ -270,23 +286,30 @@ def main():
             # at 8x4). Warm with two full-size replays and take 3 runs,
             # and record a no-engine raw control at the same rungs so
             # the efficiency has a host ceiling to be graded against.
-            lc, lc_runs, lc_raw = {}, {}, {}
+            # Round-6: engine and control arms are INTERLEAVED per rung
+            # (E,C,E,C,E,C after warming both) so a contended session
+            # drags both arms together and engine_vs_control stays
+            # session-comparable; the per-arm sequence is recorded.
+            lc, lc_runs, lc_raw, lc_seq = {}, {}, {}, {}
             for n_exec in (2, 8):
                 spark = _fresh_spark_cluster(n_exec)
                 for _ in range(2):  # full-size warm: 8 JVMs JIT slowly
                     _replay(spark, sfiles, N_BUCKETS, 4, tmp_dir=FAST_TMP)
-                ts = [
-                    round(SCALING_EVENTS / _replay(spark, sfiles, N_BUCKETS, 4,
-                                                   tmp_dir=FAST_TMP), 1)
-                    for _ in range(3)
-                ]
-                lc_runs[f"execs{n_exec}x4"] = ts
-                lc[n_exec] = max(ts)
-                _raw_control(spark, sfiles)  # warm
-                lc_raw[f"execs{n_exec}x4"] = max(
-                    round(SCALING_EVENTS / _raw_control(spark, sfiles), 1)
-                    for _ in range(2)
-                )
+                _raw_control(spark, sfiles)  # warm the control arm
+                ets, cts, seq = [], [], []
+                for _ in range(3):
+                    e = round(SCALING_EVENTS / _replay(
+                        spark, sfiles, N_BUCKETS, 4, tmp_dir=FAST_TMP), 1)
+                    ets.append(e)
+                    seq.append(["engine", e])
+                    c = round(SCALING_EVENTS / _raw_control(spark, sfiles), 1)
+                    cts.append(c)
+                    seq.append(["ctrl", c])
+                rung = f"execs{n_exec}x4"
+                lc_runs[rung] = ets
+                lc[n_exec] = max(ets)
+                lc_raw[rung] = max(cts)
+                lc_seq[rung] = seq
                 spark.stop()
             lc_eff = round(lc[8] / (4 * lc[2]), 4)
             lc_raw_eff = round(
@@ -300,13 +323,16 @@ def main():
                 "4n_events_per_sec": lc[8],
                 "efficiency_n_to_4n": lc_eff,
                 "runs": lc_runs,
+                "interleave_sequence": lc_seq,
                 "raw_spark_control": lc_raw,
                 "raw_efficiency_n_to_4n": lc_raw_eff,
                 "engine_vs_control": round(lc_eff / lc_raw_eff, 4)
                 if lc_raw_eff else None,
-                "note": "separate executor JVMs on one host; the 8x4 rung "
-                        "spans the same SMT region as local[32], so the "
-                        "raw control sets the reachable ceiling",
+                "note": "separate executor JVMs on one host; engine and "
+                        "control arms interleaved E,C,E,C,E,C per rung; "
+                        "the 8x4 rung spans the same SMT region as "
+                        "local[32], so the raw control sets the "
+                        "reachable ceiling",
             }
 
         spark = _fresh_spark(CPUS)
@@ -320,6 +346,24 @@ def main():
             fn(spark, SF_DIR).count()
             qtimes[name] = round(time.monotonic() - t0, 3)
 
+        # ---- output: verbose detail to DETAIL lines + sidecar file,
+        # compact summary as the FINAL line (the only one the driver's
+        # 2000-char tail capture reliably keeps) ----
+        detail = {
+            "headline_selection":
+                "best_of_3, arms interleaved mor,cow,ctrl x3",
+            "headline_runs": {
+                "mor": mor_runs, "cow": cow_runs, "ctrl": ctrl_runs,
+            },
+            "headline_interleave_sequence": head_seq,
+            "scaling": scaling,
+        }
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+        print("DETAIL " + json.dumps(detail))
         out = {
             "metric": "cdc_replay_sec",
             "value": round(replay_sec, 3),
@@ -331,11 +375,32 @@ def main():
             "mode": "mor+final_compact",
             "cow_replay_sec": round(cow_sec, 3),
             "cow_events_per_sec": round(N_EVENTS / cow_sec, 1),
-            "headline_selection": "best_of_3 (all runs + per-epoch breakdown listed)",
-            "headline_runs": {"mor": mor_runs, "cow": cow_runs},
-            "scaling": scaling,
+            # contention-invariant ratios from the interleaved arms:
+            # engine throughput / no-engine raw-Spark control
+            # throughput on the SAME input in the SAME session
+            "ctrl_events_per_sec": round(N_EVENTS / ctrl_sec, 1),
+            "mor_vs_control": round(ctrl_sec / replay_sec, 4),
+            "cow_vs_control": round(ctrl_sec / cow_sec, 4),
+            "interleaved": "headline+local_cluster A/B",
+            "detail": "BENCH_DETAIL.json",
         }
-        print(json.dumps(out))
+        if scaling:
+            out["efficiency_n_to_4n"] = scaling["efficiency_n_to_4n"]
+            out["raw_efficiency_n_to_4n"] = scaling["raw_efficiency_n_to_4n"]
+            out["engine_vs_control"] = scaling["engine_vs_control"]
+            out["eff_8_to_32"] = scaling["eff_8_to_32"]
+            lcs = scaling["local_cluster"]
+            out["lc_efficiency_n_to_4n"] = lcs["efficiency_n_to_4n"]
+            out["lc_engine_vs_control"] = lcs["engine_vs_control"]
+        line = json.dumps(out)
+        if len(line) > 1800:  # driver tail-capture guard: shed the
+            out["queries"] = {  # least-critical bulk first
+                k: v for k, v in sorted(
+                    out["queries"].items(), key=lambda kv: -kv[1]
+                )[:15]
+            }
+            line = json.dumps(out)
+        print(line)
         spark.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

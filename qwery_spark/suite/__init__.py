@@ -88,9 +88,12 @@ _WINDOW_50 = [
     # multimodal plumbing
     "mm_binary_features", "mm_frame_sample",
     # ANN / embedding dedup (round-5: the persisted incremental IVF
-    # index takes always-green embedding_label_stats' slot)
+    # index takes always-green embedding_label_stats' slot; round-6:
+    # ann_index_batch_topk — the ONLY registry query never driver-
+    # rowed through r5 — takes always-green ann_ivf_topk's slot,
+    # which stays judge/oracle-covered)
     "ann_cosine_topk", "ann_lsh_topk",
-    "ann_index_incremental_topk", "ann_ivf_topk",
+    "ann_index_incremental_topk", "ann_index_batch_topk",
     "dedup_embedding_cosine_pairs", "dedup_clusters", "ann_ivf_kmeans_topk",
     # core flagships named by the r2 verdict + headline TPC-H-ish
     "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",
