@@ -94,6 +94,14 @@ def main(argv=None):
                    help="replica maintenance: compact any replica bucket "
                         "whose live-file count exceeds this bound after a "
                         "window applies (state-driven, skew-aware)")
+    p.add_argument("--cluster-every", type=int, default=None,
+                   help="with --auto-compact-files: additionally rewrite "
+                        "the whole replica sorted by its key after this "
+                        "many data commits since the last full sorted "
+                        "rewrite (CompactionPolicy.cluster_every_commits) "
+                        "— keeps changelog hull/row-group pruning tight "
+                        "under scattered-update feeds with no "
+                        "hand-scheduled compaction")
     p.add_argument("--auto-compact-views", type=int, default=None,
                    help="same manifest-threshold policy applied to the "
                         "maintained MOR view tables (SCD2 history, "
@@ -108,6 +116,9 @@ def main(argv=None):
                 "--sigindex-table and/or --annindex-table")
     if args.agg_table and not args.agg_group:
         p.error("--agg-table requires --agg-group")
+    if args.cluster_every and not (args.auto_compact_files and args.replica):
+        p.error("--cluster-every requires --auto-compact-files and "
+                "--replica (it extends the replica's compaction policy)")
     if args.annindex_table and not args.annindex_centroids:
         p.error("--annindex-table requires --annindex-centroids")
 
@@ -210,10 +221,17 @@ def main(argv=None):
                     maybe_compact,
                 )
 
+                cluster_kw = {}
+                if args.cluster_every:
+                    cluster_kw = {
+                        "sort_cols": [replica.snapshot().m["key_col"]],
+                        "cluster_every_commits": args.cluster_every,
+                    }
                 maybe_compact(
                     spark, replica,
                     CompactionPolicy(
-                        max_files_per_bucket=args.auto_compact_files
+                        max_files_per_bucket=args.auto_compact_files,
+                        **cluster_kw,
                     ),
                 )
         # incremental views share ONE preimage-bearing feed for (lo, hi]

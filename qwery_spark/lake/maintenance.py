@@ -52,6 +52,16 @@ class CompactionPolicy:
     # is being rewritten anyway
     sort_cols: list | None = None
     zorder_cols: list | None = None
+    # clustering CADENCE (round-6): scattered-update feeds degrade the
+    # changelog's key-hull pruning without necessarily crossing the
+    # file-count bound — each wide delta overlaps every base file, so
+    # a maintenance window's hull keeps the whole bucket. When set, a
+    # full-table clustered rewrite (sort_cols/zorder_cols required)
+    # triggers after this many DATA commits since the last clustering
+    # rewrite, restoring key-narrow files so hull + row-group pruning
+    # bite again (tools/ivm_bench.py measured the scatter drift
+    # 1.08-1.23 and cadence-4 clustering holding it <= ~1.07).
+    cluster_every_commits: int | None = None
     max_records_per_file: int = 2_000_000
 
     def __post_init__(self):
@@ -63,15 +73,88 @@ class CompactionPolicy:
             )
         if self.max_files_per_bucket < 1:
             raise ValueError("CompactionPolicy: max_files_per_bucket >= 1")
+        if self.cluster_every_commits is not None:
+            if self.cluster_every_commits < 1:
+                raise ValueError(
+                    "CompactionPolicy: cluster_every_commits >= 1"
+                )
+            if not (self.sort_cols or self.zorder_cols):
+                raise ValueError(
+                    "CompactionPolicy: cluster_every_commits needs "
+                    "sort_cols or zorder_cols (the clustering to restore)"
+                )
 
     def due_buckets(self, snap: Snapshot) -> set[int]:
         counts = Counter(f["bucket"] for f in snap.files())
         return {b for b, n in counts.items() if n > self.max_files_per_bucket}
 
+    def cluster_due(self, table: LakeTable, snap: Snapshot) -> bool:
+        """True when >= cluster_every_commits data commits landed since
+        the last clustering rewrite matching this policy's spec.
+
+        Cost: raw commit-record summary reads (tiny JSON files, no
+        folding, no data IO), walking back from the head and stopping
+        as soon as the count reaches the threshold or the marker is
+        found — O(cluster_every_commits + interleaved maintenance
+        commits), independent of history depth. Expired (missing)
+        records end the walk as 'due': one triggered rewrite plants a
+        fresh marker and the walk never reaches that depth again."""
+        if self.cluster_every_commits is None:
+            return False
+        want_sort = list(self.sort_cols or [])
+        want_z = list(self.zorder_cols or [])
+        import json
+        import os
+
+        data_since = 0
+        v = snap.version
+        while v >= 0:
+            try:
+                with open(table._manifest_path(v)) as f:
+                    summary = json.load(f).get("summary") or {}
+            except (FileNotFoundError, ValueError):
+                return True  # expired/unreadable history: no marker
+            op = summary.get("operation")
+            if op in ("merge", "append-delta"):
+                data_since += 1
+                if data_since >= self.cluster_every_commits:
+                    return True
+            elif op in ("compact", "rebucket"):
+                matches = (
+                    list(summary.get("sort_cols") or []) == want_sort
+                    and list(summary.get("zorder_cols") or []) == want_z
+                )
+                # the marker must be a FULL-coverage rewrite: a partial
+                # file-count compact (sorted or not) leaves the other
+                # buckets' drift in place and must not reset the
+                # cadence. No rebucket lies above this record (the walk
+                # would have stopped there), so snap.n_buckets is the
+                # bucket count this compact saw.
+                full = op == "rebucket" or (
+                    len(summary.get("buckets") or []) >= snap.n_buckets
+                )
+                if matches and full:
+                    return False  # fresh enough clustering marker
+                if full and not matches:
+                    # a full rewrite with DIFFERENT (or no) clustering
+                    # destroyed this policy's ordering everywhere — an
+                    # older marker must not count; restore it now
+                    return True
+                # partial rewrite: neither a marker nor proof of loss —
+                # keep walking, only data commits move the counter
+            elif op == "create":
+                # unclustered since birth: due only once enough data
+                # commits exist to be worth rewriting
+                return data_since >= self.cluster_every_commits
+            v -= 1
+        return data_since >= self.cluster_every_commits
+
 
 @dataclass
 class MaintenanceReport:
     triggered: bool = False
+    # this tick ran a full-table clustering rewrite (cadence trigger)
+    clustered: bool = False
     due_buckets: set[int] = field(default_factory=set)
     files_before: int = 0
     files_after: int = 0
@@ -104,7 +187,11 @@ def maybe_compact(
         )
     due = policy.due_buckets(snap)
     rep.due_buckets = due
-    if len(due) < max(policy.min_due_buckets, 1):
+    # cadence clustering subsumes the file-count trigger (it rewrites
+    # every bucket, sorted); checked second because it costs a few raw
+    # record reads where due_buckets is a dict pass over the manifest
+    cluster = policy.cluster_due(table, snap)
+    if not cluster and len(due) < max(policy.min_due_buckets, 1):
         rep.files_after = rep.files_before
         return rep
     from qwery_spark.lake.merge import compact
@@ -112,10 +199,11 @@ def maybe_compact(
 
     try:
         compact(
-            spark, table, buckets=due,
+            spark, table, buckets=None if cluster else due,
             sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
             max_records_per_file=policy.max_records_per_file,
         )
+        rep.clustered = cluster
     except CommitConflict:
         # the advertised concurrent mode's COMMON case: an ingest
         # append to a due (hot) bucket landed between our snapshot

@@ -420,7 +420,13 @@ def compact(
         new_files=new_files,
         replaced_buckets=set(target),
         epoch_id=None,
-        summary={"operation": "compact", "buckets": sorted(target)},
+        summary={
+            "operation": "compact", "buckets": sorted(target),
+            # recorded so CompactionPolicy.cluster_every_commits can
+            # find the last clustering rewrite by scanning summaries
+            **({"sort_cols": list(sort_cols)} if sort_cols else {}),
+            **({"zorder_cols": list(zorder_cols)} if zorder_cols else {}),
+        },
     )
     return {
         "compacted_buckets": len(target),
@@ -474,6 +480,7 @@ def rebucket(
             "operation": "rebucket",
             "from_buckets": snap.n_buckets,
             "to_buckets": new_n_buckets,
+            **({"sort_cols": list(sort_cols)} if sort_cols else {}),
         },
         new_n_buckets=new_n_buckets,
     )

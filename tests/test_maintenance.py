@@ -310,3 +310,84 @@ def test_policy_tick_survives_commit_conflict(spark, tmp_table_dir, monkeypatch)
     rep2 = maybe_compact(spark, tbl, policy)
     assert rep2.triggered and not rep2.conflict
     assert max(_files_per_bucket(tbl).values()) <= 2
+
+
+def test_cluster_cadence_triggers_and_resets(spark, tmp_table_dir):
+    """cluster_every_commits: a full sorted rewrite fires after N data
+    commits since the last full matching clustering, then the marker
+    resets the cadence; the file-count trigger alone must not fire."""
+    n_buckets = 2
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=n_buckets,
+        write_mode="mor",
+    )
+    policy = CompactionPolicy(
+        max_files_per_bucket=50,  # file-count trigger effectively off
+        sort_cols=["doc_id"],
+        cluster_every_commits=3,
+    )
+    docs = [_doc_for_bucket(b, n_buckets, salt=s)
+            for b in (0, 1) for s in (0, 1)]
+    # 2 data commits: not due
+    for i in range(2):
+        _append_one(spark, tbl, docs[i], 100 + i)
+        rep = maybe_compact(spark, tbl, policy)
+        assert not rep.triggered and not rep.clustered, f"early at {i+1}"
+    # 3rd data commit crosses the cadence -> full clustered rewrite
+    _append_one(spark, tbl, docs[2], 200)
+    rep = maybe_compact(spark, tbl, policy)
+    assert rep.triggered and rep.clustered
+    summary = tbl.snapshot().m["summary"]
+    assert summary["operation"] == "compact"
+    assert summary["sort_cols"] == ["doc_id"]
+    assert len(summary["buckets"]) == n_buckets  # FULL rewrite
+    # marker planted: the very next tick is a no-op...
+    rep = maybe_compact(spark, tbl, policy)
+    assert not rep.triggered and not rep.clustered
+    # ...and the cadence needs 3 fresh data commits to fire again
+    for i in range(2):
+        _append_one(spark, tbl, docs[i], 300 + i)
+        assert not maybe_compact(spark, tbl, policy).clustered
+    _append_one(spark, tbl, docs[3], 400)
+    assert maybe_compact(spark, tbl, policy).clustered
+
+
+def test_cluster_cadence_marker_rules(spark, tmp_table_dir):
+    """A partial sorted compact does NOT reset the cadence; a full
+    rewrite with different clustering voids the old marker."""
+    from qwery_spark.lake.merge import compact
+
+    n_buckets = 2
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=n_buckets,
+        write_mode="mor",
+    )
+    policy = CompactionPolicy(
+        max_files_per_bucket=50, sort_cols=["doc_id"],
+        cluster_every_commits=3,
+    )
+    d0 = _doc_for_bucket(0, n_buckets)
+    d1 = _doc_for_bucket(1, n_buckets)
+    for i, d in enumerate((d0, d1, d0)):
+        _append_one(spark, tbl, d, 100 + i)
+    # full matching marker
+    assert maybe_compact(spark, tbl, policy).clustered
+    # 3 more data commits, then a PARTIAL sorted compact of one bucket:
+    # not a marker — the cadence must still be due
+    for i, d in enumerate((d0, d1, d0)):
+        _append_one(spark, tbl, d, 200 + i)
+    compact(spark, tbl, buckets={0}, sort_cols=["doc_id"])
+    assert policy.cluster_due(tbl, tbl.snapshot())
+    assert maybe_compact(spark, tbl, policy).clustered
+    # a full UNSORTED rewrite destroys the ordering: due immediately
+    compact(spark, tbl, buckets=set(range(n_buckets)))
+    assert policy.cluster_due(tbl, tbl.snapshot())
+
+
+def test_cluster_cadence_requires_clustering_spec():
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster_every_commits"):
+        CompactionPolicy(cluster_every_commits=4)
+    with pytest.raises(ValueError, match="cluster_every_commits"):
+        CompactionPolicy(cluster_every_commits=0, sort_cols=["doc_id"])

@@ -257,3 +257,59 @@ def test_run_follow_cli_maintains_both_indexes(spark, tmp_path):
     assert cells(LakeTable(ann)) == cells(ann_rebuilt)
     assert (30, 1) in cells(LakeTable(ann))
     assert all(d != 7 for d, _ in cells(LakeTable(ann)))
+
+
+def test_run_follow_cli_cluster_every(spark, tmp_path):
+    """--cluster-every N: the replica's compaction policy runs a full
+    key-sorted rewrite after N replica data commits, automatically —
+    and replication stays exact across it."""
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    table = str(tmp_path / "src")
+    replica = str(tmp_path / "rep")
+    state = str(tmp_path / "state.json")
+    src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2)
+    rep_tbl = LakeTable.create(
+        replica, TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+    ev = make_events(1800, seed=92).to_pandas()
+
+    # misuse is rejected up front
+    bad = _run_follow(["--table", table, "--replica", replica,
+                       "--state", state, "--cluster-every", "2",
+                       "--max-polls", "1"])
+    assert bad.returncode != 0 and "--cluster-every" in bad.stderr
+
+    slices = [(0, 600), (600, 1200), (1200, 1800)]
+    for i, (lo, hi) in enumerate(slices):
+        df = spark.createDataFrame(ev.iloc[lo:hi], schema=EVENT_SCHEMA)
+        apply_changes(spark, src, df, epoch_id=i, collect_stats=False)
+        r = _run_follow([
+            "--table", table, "--replica", replica, "--state", state,
+            "--max-polls", "1", "--coarse",
+            "--auto-compact-files", "50",  # count trigger effectively off
+            "--cluster-every", "2",
+        ] + (["--from-version", "0"] if i == 0 else []))
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    # the cadence fired: some commit in the replica log is a FULL
+    # sorted compact
+    markers = []
+    v = rep_tbl.current_version()
+    for ver in range(v + 1):
+        s = json.load(open(rep_tbl._manifest_path(ver))).get("summary") or {}
+        if s.get("operation") == "compact" and s.get("sort_cols"):
+            markers.append((ver, len(s.get("buckets", []))))
+    assert markers, "cluster cadence never fired"
+    assert any(nb == 2 for _, nb in markers)  # full coverage
+
+    src_state = {
+        (r_["doc_id"], tuple(r_["tokens"])) for r_ in src.read(spark).collect()
+    }
+    rep_state = {
+        (r_["doc_id"], tuple(r_["tokens"]))
+        for r_ in rep_tbl.read(spark).collect()
+    }
+    assert rep_state == src_state and len(src_state) > 0

@@ -14,6 +14,10 @@ Workloads (third arg):
            the window's key range covers the whole table, pruning
            cannot fire, and the before-side scan is O(touched buckets).
            Recorded as the honest worst case.
+  policy   the scatter workload with ONE CompactionPolicy tick per
+           window (cluster_every_commits=4, sort_cols=[doc_id]) and no
+           hand-scheduled compaction — the round-6 automatic form of
+           "sorted"; flatness must match it (<= ~1.07).
   sorted   the scatter workload with a periodic compact(sort_cols=key)
            BETWEEN windows: proves between-window compaction never
            voids pruning (granular windows diff single commits, which
@@ -100,8 +104,8 @@ def main():
     windows = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     per_win = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     workload = sys.argv[3] if len(sys.argv) > 3 else "recent"
-    if workload not in ("recent", "scatter", "sorted"):
-        raise SystemExit("workload must be recent|scatter|sorted")
+    if workload not in ("recent", "scatter", "sorted", "policy"):
+        raise SystemExit("workload must be recent|scatter|sorted|policy")
     if windows < 4:
         raise SystemExit("windows must be >= 4")
 
@@ -124,6 +128,20 @@ def main():
             d + "/src", schema, n_buckets=N_BUCKETS, key_col="doc_id",
             write_mode="mor",
         )
+        from qwery_spark.lake.maintenance import (
+            CompactionPolicy,
+            maybe_compact,
+        )
+
+        # the "policy" workload replaces the hand-scheduled every-4-
+        # windows sort with a per-window policy tick: the cadence
+        # trigger owns the schedule (1 window = 1 data commit here)
+        cluster_policy = CompactionPolicy(
+            max_files_per_bucket=8,
+            sort_cols=["doc_id"],
+            cluster_every_commits=4,
+        )
+        clustered_at: list[int] = []
         append_changes(spark, src, _docs(spark, 0, SEED_ROWS, 0, "l"))
         agg = build_agg(spark, src, d + "/agg", "lang", ["n_chars"])
         hist = build_scd2(spark, src, d + "/hist")
@@ -202,6 +220,13 @@ def main():
                 # between-window maintenance: granular window diffs stay
                 # additive, so this never voids key-range pruning
                 compact(spark, src, sort_cols=["doc_id"])
+            elif workload == "policy":
+                # round-6: the same remedy, UNSCHEDULED — one policy
+                # tick per window; CompactionPolicy.cluster_every_
+                # commits decides when the full sorted rewrite runs
+                rep = maybe_compact(spark, src, cluster_policy)
+                if rep.clustered:
+                    clustered_at.append(w)
 
         def med(xs):
             s = sorted(xs)
@@ -217,6 +242,7 @@ def main():
             "base_rows_start": SEED_ROWS,
             "base_rows_end": next_id,
             "depth_growth_x": round(next_id / SEED_ROWS, 1),
+            "policy_clustered_at_windows": clustered_at,
             "wall_ms": walls,
             "flatness_second_over_first": {
                 # skip window 0 (JIT) like flatcost_bench
