@@ -61,13 +61,25 @@ PREIMAGE_ORDINAL_COL = "_preimage_ordinal"
 
 # key-set pruning gate: collect the window's exact changed-key set only
 # when the added row count is known and bounded (a driver-side list this
-# size is a normal pushdown predicate, not a data collect)
-_KEY_SET_MAX_ROWS = 50_000
+# size is a normal pushdown predicate, not a data collect).
+# 250 — NOT higher — for two measured reasons (round 6):
+#   1. safety: parquet-mr evaluates a pushed In as a linear OR chain,
+#      one stack frame per value; the scan task StackOverflows near
+#      ~1000 long values on a default-Xss JVM, and the boundary moves
+#      with surrounding stack depth. 250 = ~4x margin, and
+#      session.get_spark pins inFilterThreshold to the same bound so an
+#      over-limit list can never reach parquet as an exact In anyway.
+#   2. payoff: the win shrinks as the key count grows (2.4x at 8M rows
+#      x100 keys, 1.1-1.34x at x1000 — tools/keyprune_bench.py); past
+#      a few hundred keys the row-group hit set approaches the file
+#      set and hull pruning already covers it.
+# Over-limit windows degrade to hull-only pruning — never crash.
+_KEY_SET_MAX_ROWS = 250
 # ...and only against a scan deep enough to repay the key-collect job's
-# fixed cost (~0.3-1 s): measured crossover is ~4M kept rows at 100-1000
-# window keys (tools/keyprune_bench.py — 2.4x at 8M/100, 1.1-1.3x at
-# 8M/1000, a mild loss at 2M/1000). Both knobs are module-level so the
-# soundness tests can force the path on tiny tables.
+# fixed cost (~0.3-1 s): measured crossover is ~4M kept rows
+# (tools/keyprune_bench.py — 2.4x at 8M/100, a mild loss at 2M/1000).
+# Both knobs are module-level so the soundness tests can force the
+# path on tiny tables.
 _KEY_SET_MIN_KEPT_ROWS = 4_000_000
 _KEY_SET_MIN_RATIO = 100
 # granular/windowed catch-up over many data commits: the key-set layer
@@ -174,8 +186,10 @@ def _diff_pruning(
     what keeps scattered-update windows O(window) after a
     compact(sort_cols=[key]) made historical files key-narrow: the
     hull of a scattered window spans the whole table (no file pruning),
-    but each of its ~thousands of keys hits one row group. Gated to
-    windows whose added row count (manifest, exact) is <= 50k AND whose
+    but each of its ~hundreds of keys hits one row group. Gated to
+    windows whose added row count (manifest, exact) is <=
+    _KEY_SET_MAX_ROWS (250 — see the constant for the StackOverflow
+    and diminishing-returns measurements behind the bound) AND whose
     hull still keeps substantially more files than the window added —
     small tables and already-tight hulls skip the extra key read.
 
@@ -538,6 +552,130 @@ def read_changes(
     return out
 
 
+def sync_schema_from_source(
+    src: LakeTable,
+    dst: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    protect: frozenset = frozenset(),
+) -> int:
+    """Replay the source's schema evolution over ``(from, to]`` onto a
+    derived table (replica, SCD2 history) so the window's change feed —
+    which carries the TO-version schema — merges cleanly. Returns the
+    number of DDL ops applied.
+
+    The diff is FIELD-ID-aligned inside the source (same id + new name
+    = rename; new id = add; id gone = drop; same id + new type =
+    widen) and applied to ``dst`` BY NAME — sound because the derived
+    table's user columns mirror the source's names by construction.
+    Field ids never reuse across drops (table.add_column), so a
+    drop+re-add of one name in a single window resolves as drop-then-
+    add, not a no-op, and the reincarnated column starts clean.
+
+    Idempotent under window replay (the crash-recovery contract every
+    maintainer shares): each op is guarded on the destination's current
+    schema — an add whose name exists, a rename whose old name is gone
+    and new name present, a widen already at the target type all skip.
+    Rename chains apply in dependency order; a pure cycle (a<->b)
+    breaks via a temp name. ``protect`` names structural destination
+    columns (e.g. SCD2's valid_from) — a source column evolving onto
+    one of those raises instead of corrupting the view.
+
+    Reference anchor: the reference applies DDL events to its ONE
+    output table (core ScriptEngine ALTER handling); propagating them
+    through the change feed to downstream replicas/views is the
+    lake-native extension of the same rule."""
+    snap_to = src.snapshot(to_version)
+    sv_to = snap_to.schema_version
+    sv_from = src.snapshot(from_version).schema_version
+    if sv_from == sv_to:
+        return 0
+    from qwery_spark.lake.merge import ENGINE_COLS
+
+    key = snap_to.m["key_col"]
+    f_from = {
+        f["id"]: f for f in snap_to.fields(sv_from)
+        if f["name"] not in ENGINE_COLS
+    }
+    f_to = {
+        f["id"]: f for f in snap_to.fields(sv_to)
+        if f["name"] not in ENGINE_COLS
+    }
+
+    def dst_names() -> set:
+        return {d["name"] for d in dst.snapshot().fields()}
+
+    def check(name: str, op: str):
+        if name in protect:
+            raise ValueError(
+                f"sync_schema_from_source: source {op} touches {name!r}, "
+                f"a structural column of the derived table {dst.path!r} — "
+                "rebuild the view instead"
+            )
+
+    ops = 0
+    # drops first: they free names for renames/adds within the window
+    for fid, f in f_from.items():
+        if fid not in f_to:
+            check(f["name"], "drop_column")
+            if f["name"] in dst_names():
+                dst.drop_column(f["name"])
+                ops += 1
+    # renames (same id, new name), untangled in dependency order
+    pending = {
+        fid: (f_from[fid]["name"], f_to[fid]["name"])
+        for fid in f_from.keys() & f_to.keys()
+        if f_from[fid]["name"] != f_to[fid]["name"]
+    }
+    for old, new in pending.values():
+        if old == key:
+            raise ValueError(
+                "sync_schema_from_source: key column rename is not "
+                "replayable onto a derived table"
+            )
+        check(old, "rename_column"), check(new, "rename_column")
+    while pending:
+        progressed = False
+        names = dst_names()
+        for fid, (old, new) in list(pending.items()):
+            if old not in names and new in names:
+                del pending[fid]  # already applied (window replay)
+                progressed = True
+            elif old in names and new not in names:
+                dst.rename_column(old, new)
+                ops += 1
+                del pending[fid]
+                progressed = True
+        if not progressed:
+            # rename cycle (a<->b): break it with a temp name
+            fid, (old, new) = next(iter(sorted(pending.items())))
+            tmp = f"__schema_sync_tmp_{fid}"
+            dst.rename_column(old, tmp)
+            ops += 1
+            pending[fid] = (tmp, new)
+    # adds (new field ids)
+    names = dst_names()
+    for fid in sorted(f_to.keys() - f_from.keys()):
+        f = f_to[fid]
+        check(f["name"], "add_column")
+        if f["name"] not in names:
+            dst.add_column(f["name"], f["type"])
+            ops += 1
+    # widens (same id, same final name, wider type) — dst.widen_type
+    # re-validates legality, so a diverged destination fails loudly
+    for fid in sorted(f_from.keys() & f_to.keys()):
+        want = f_to[fid]
+        cur = next(
+            (d for d in dst.snapshot().fields()
+             if d["name"] == want["name"]), None,
+        )
+        if cur is not None and cur["type"] != want["type"]:
+            check(want["name"], "widen_type")
+            dst.widen_type(want["name"], want["type"])
+            ops += 1
+    return ops
+
+
 def replicate(
     spark: SparkSession,
     src: LakeTable,
@@ -566,7 +704,13 @@ def replicate(
     Pass ``feed`` to reuse an already-built changelog DataFrame for the
     same range (a follower shipping the window to parquet AND a replica
     must not pay the endpoint scans twice); granular or coarse both
-    work — the LWW reduction normalizes them."""
+    work — the LWW reduction normalizes them.
+
+    Source DDL inside the range replays onto the replica FIRST
+    (sync_schema_from_source): the feed carries the to-version schema,
+    so adds/renames/widens/drops must land on ``dst`` before the merge
+    — a follower crossing an evolution commit needs no manual ALTER."""
+    sync_schema_from_source(src, dst, from_version, to_version)
     if feed is None:
         feed = read_changes(spark, src, from_version, to_version, granular=False)
     key = src.snapshot().m["key_col"]

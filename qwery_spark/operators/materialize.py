@@ -552,6 +552,16 @@ def update_scd2(
         return stats
     snap = src.snapshot(to_version)
     key = snap.m["key_col"]
+    # source DDL inside the window replays onto the history table first
+    # (the batch below carries the to-version payload columns);
+    # valid_from/valid_to/hist_id are structural — a source column
+    # evolving onto one of those names raises instead of corrupting
+    from qwery_spark.lake.changes import sync_schema_from_source
+
+    sync_schema_from_source(
+        src, hist, from_version, to_version,
+        protect=frozenset({"hist_id", "valid_from", "valid_to"}),
+    )
     payload = [
         f["name"] for f in snap.fields()
         if f["name"] not in ENGINE_COLS and f["name"] != key

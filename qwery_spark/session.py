@@ -61,11 +61,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the changelog's key-set pruning (changes._diff_pruning) pushes
         # a window's exact key list into the parquet scan; above this
-        # threshold Spark would degrade the In to a [min,max] range,
-        # which a scattered window's hull makes useless — keep exact In
-        # evaluation (parquet checks row-group bounds per value) up to
-        # the _KEY_SET_MAX_ROWS gate
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+        # threshold Spark degrades the In to a [min,max] range, which a
+        # scattered window's hull makes useless — so raise it to cover
+        # the _KEY_SET_MAX_ROWS gate. It must stay SMALL in absolute
+        # terms: parquet-mr evaluates the pushed In as a linear OR
+        # chain, one stack frame per value, and the scan task
+        # StackOverflows near ~1000 long values on a default-Xss JVM
+        # (measured round 6; the boundary moves with surrounding stack
+        # depth, so 250 keeps ~4x margin). Windows with more keys fall
+        # back to hull-only pruning — degraded, never crashed.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "250")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

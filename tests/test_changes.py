@@ -565,3 +565,54 @@ def test_key_set_layer_skipped_for_many_commit_ranges(
     # every endpoint version computed exactly once and memoized
     assert set(cache) == {0, 1, 2, 3, 4}
     assert len(cache[4]) == len(tbl.snapshot(4).m["files"])
+
+
+def test_key_set_gate_pinned_to_parquet_in_pushdown_bound(
+    spark, tmp_table_dir, monkeypatch
+):
+    """Round-6 regression guard: parquet-mr evaluates a pushed exact In
+    as a LINEAR OR recursion, one stack frame per value — ~1000 long
+    values StackOverflow the scan task (measured: 900 ok / 1000 crash;
+    strings crash by 2000, and the boundary moves with surrounding
+    stack depth). The key-set gate and the session's inFilterThreshold
+    must stay pinned together at a bound with ~4x margin, so NO engine
+    path can hand parquet an over-limit exact In; bigger windows must
+    degrade to hull-only pruning, never crash."""
+    import qwery_spark.lake.changes as ch
+    from qwery_spark.lake.changes import _diff_pruning
+    from qwery_spark.lake.merge import append_changes
+
+    thresh = int(
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+    )
+    assert ch._KEY_SET_MAX_ROWS <= thresh, (
+        "gate admits key lists the scan would degrade or crash on"
+    )
+    assert thresh <= 400, (
+        "inFilterThreshold must keep ~4x stack margin below the "
+        "measured ~1000-value parquet OR-chain overflow"
+    )
+
+    # an over-limit window degrades to hull-only: keys is None, the
+    # feed still reads (and matches the unpruned feed)
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_KEPT_ROWS", 0)
+    monkeypatch.setattr(ch, "_KEY_SET_MIN_RATIO", 0)
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+
+    def batch(lo, n, base):
+        return spark.createDataFrame(
+            [(f"doc-{lo + i:05d}", [i], 1, "web", "U", base + i)
+             for i in range(n)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        )
+
+    append_changes(spark, tbl, batch(0, 500, 0))
+    v = tbl.current_version()
+    over = ch._KEY_SET_MAX_ROWS + 50
+    append_changes(spark, tbl, batch(0, over, 10_000))
+    rng, keys = _diff_pruning(spark, tbl, v, v + 1, "doc_id")
+    assert rng is not None and keys is None
+    assert read_changes(spark, tbl, v).count() == over
