@@ -295,7 +295,14 @@ def main():
                 spark = _fresh_spark_cluster(n_exec)
                 for _ in range(2):  # full-size warm: 8 JVMs JIT slowly
                     _replay(spark, sfiles, N_BUCKETS, 4, tmp_dir=FAST_TMP)
-                _raw_control(spark, sfiles)  # warm the control arm
+                # TWO control warms, mirroring the engine's two: the
+                # separate executor JVMs JIT the control path slowly
+                # too — a single warm left the first recorded ctrl run
+                # 2.7x below its steady state at 8x4 (r6 session:
+                # 589k -> 1579k), which inflated raw_efficiency past
+                # 1.7 and poisoned engine_vs_control
+                _raw_control(spark, sfiles)
+                _raw_control(spark, sfiles)
                 ets, cts, seq = [], [], []
                 for _ in range(3):
                     e = round(SCALING_EVENTS / _replay(

@@ -286,17 +286,28 @@ def main(argv=None):
                     if path:
                         maybe_compact(spark, LakeTable(path), policy)
 
-    last = follow_changes(
-        spark,
-        table,
-        sink,
-        start_version=start,
-        poll_sec=args.poll,
-        max_polls=args.max_polls,
-        granular=not args.coarse,
-        window=args.window,
-        on_advance=persist,
-    )
+    from qwery_spark.lake.changes import VersionExpiredError
+
+    try:
+        last = follow_changes(
+            spark,
+            table,
+            sink,
+            start_version=start,
+            poll_sec=args.poll,
+            max_polls=args.max_polls,
+            granular=not args.coarse,
+            window=args.window,
+            on_advance=persist,
+        )
+    except VersionExpiredError as e:
+        # the resume point fell out of the source's retention window:
+        # exit with the rebuild contract instead of a stack trace (the
+        # state file is left at the expired version deliberately — a
+        # rebuild script reads it to know what was lost)
+        print(json.dumps({"error": "version_expired", "message": str(e)}),
+              file=sys.stderr)
+        return 3
     print(json.dumps({"last_synced_version": last}))
     return 0
 

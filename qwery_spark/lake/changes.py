@@ -89,6 +89,33 @@ _KEY_SET_MIN_RATIO = 100
 _KEY_SET_MAX_DIFFS = 16
 
 
+class VersionExpiredError(LookupError):
+    """The changelog start version predates the table's retention
+    window (expire_snapshots dropped its manifest): the consumer fell
+    too far behind and the net diff it needs no longer exists. The
+    only sound recovery is a REBUILD from a current snapshot —
+    replicate(from_version=0 is gone; re-create the replica and copy
+    the head state, or build_* the view at the head) — then resume
+    following from the version the rebuild pinned. Same contract as
+    Iceberg incremental scans / Delta CDF past the retention period."""
+
+
+def _check_retained(table: LakeTable, from_version: int) -> None:
+    try:
+        table.snapshot(from_version)  # cached for the diff reads below
+    except FileNotFoundError as e:
+        earliest = table.earliest_version()
+        if from_version < earliest:
+            raise VersionExpiredError(
+                f"changelog start v{from_version} predates the earliest "
+                f"retained snapshot v{earliest} of {table.path!r} — the "
+                "consumer fell behind the retention window; rebuild the "
+                "replica/view from a current snapshot and resume from "
+                "the rebuild's pinned version"
+            ) from e
+        raise
+
+
 def _path_set(
     table: LakeTable, version: int, cache: dict | None
 ) -> set:
@@ -435,6 +462,9 @@ def read_changes(
         raise ValueError(
             f"bad version range ({from_version}, {to_version}] for head v{head}"
         )
+    # a resume point that expire_snapshots already dropped must fail
+    # with the rebuild contract, not a raw FileNotFoundError mid-plan
+    _check_retained(table, from_version)
     key = table.snapshot(to_version).m["key_col"]
 
     data_commits: list[tuple[int, set[int] | None]] = []
@@ -710,6 +740,7 @@ def replicate(
     (sync_schema_from_source): the feed carries the to-version schema,
     so adds/renames/widens/drops must land on ``dst`` before the merge
     — a follower crossing an evolution commit needs no manual ALTER."""
+    _check_retained(src, from_version)
     sync_schema_from_source(src, dst, from_version, to_version)
     if feed is None:
         feed = read_changes(spark, src, from_version, to_version, granular=False)

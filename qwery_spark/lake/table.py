@@ -830,6 +830,35 @@ class LakeTable:
         )
 
     # ---------------- maintenance (Iceberg expire_snapshots / orphan GC) --
+    def earliest_version(self) -> int:
+        """Oldest version still reconstructable (time-travel floor).
+        0 for a never-expired table; after expire_snapshots it is the
+        oldest retained manifest (a checkpoint is materialized there
+        before older manifests are dropped). A changelog consumer whose
+        resume point is below this has fallen out of the retention
+        window and must rebuild from a current snapshot."""
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        names = os.listdir(mdir)
+        vs = sorted(
+            int(n[1:9]) for n in names
+            if n.startswith("v") and n.endswith(".json")
+        )
+        if not vs:
+            raise FileNotFoundError(f"no manifests in {mdir}")
+        cks = {
+            int(n[5:13]) for n in names
+            if n.startswith("ckpt-") and n.endswith(".json")
+        }
+        for v in vs:
+            if v == 0 or any(c <= v for c in cks):
+                return v
+            with open(self._manifest_path(v)) as fh:
+                if "files" in json.load(fh):
+                    return v  # full record: reconstructable on its own
+        raise FileNotFoundError(
+            f"no reconstructable version in {mdir} (all checkpoints gone?)"
+        )
+
     def expire_snapshots(self, keep_last: int = 3) -> int:
         """Drop all but the newest ``keep_last`` manifests (time travel
         window). applied_epochs accumulate forward, so exactly-once

@@ -310,6 +310,22 @@ def update_agg(
             f"rebuild it (new path or delete it) or match the original "
             f"aggregate spec"
         )
+    # the rollup references source columns BY NAME; a source rename of
+    # the group/aggregate columns mid-stream (schema evolution the
+    # replica/SCD2 maintainers replay automatically) cannot be replayed
+    # onto an aggregate view — its identity IS those names. Fail with
+    # the rebuild contract instead of an unresolved-column error deep
+    # in the delta fold.
+    src_cols = {f["name"] for f in src.snapshot(to_version).fields()}
+    gone = [c for c in [group_col, *sum_cols, *min_cols, *max_cols]
+            if c not in src_cols]
+    if gone:
+        raise ValueError(
+            f"update_agg: source {src.path!r} no longer has columns "
+            f"{gone} at v{to_version} (renamed or dropped mid-stream) — "
+            "rebuild the rollup against the new column names "
+            "(build_agg at the current version) and resume from there"
+        )
     if feed is None:
         feed = read_changes(
             spark, src, from_version, to_version, granular=False,

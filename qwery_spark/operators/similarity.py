@@ -30,20 +30,30 @@ def cosine(a, b):
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def plane_weights(n_planes: int, dims: int) -> list[list[float]]:
-    """Deterministic +1/-1 hyperplanes from md5 bits (plane p, dim d)."""
+def plane_weights(
+    n_planes: int, dims: int, table: int = 0
+) -> list[list[float]]:
+    """Deterministic +1/-1 hyperplanes from md5 bits (plane p, dim d).
+    ``table`` selects an INDEPENDENT plane set for multi-table LSH
+    (table 0 keeps the original derivation so every existing bucket,
+    index, and SQL oracle is unchanged)."""
+    def seed(p, d):
+        return f"{p}-{d}" if table == 0 else f"t{table}:{p}-{d}"
+
     return [
         [
-            1.0 if int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            1.0 if int(hashlib.md5(seed(p, d).encode()).hexdigest()[0], 16) >= 8
+            else -1.0
             for d in range(dims)
         ]
         for p in range(n_planes)
     ]
 
 
-def lsh_bucket(emb_col, n_planes: int = DEFAULT_NPLANES, dims: int = 64):
+def lsh_bucket(emb_col, n_planes: int = DEFAULT_NPLANES, dims: int = 64,
+               table: int = 0):
     """Column expr: LSH signature int — bit p = (emb . plane_p) > 0."""
-    weights = plane_weights(n_planes, dims)
+    weights = plane_weights(n_planes, dims, table)
     out = None
     for p in range(n_planes):
         plane = F.array(*[F.lit(w) for w in weights[p]])
@@ -77,18 +87,34 @@ def lsh_topk(
     embeddings: DataFrame, query_id, k: int,
     id_col: str = "vec_id", emb_col: str = "embedding",
     n_planes: int = DEFAULT_NPLANES, dims: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k: exact cosine only within the query's LSH bucket.
+    """ANN top-k: exact cosine only within the query's LSH bucket(s).
 
     The probe is resolved DRIVER-side (one pushdown-filtered scan finds
     the query row's bucket + vector, injected back as literals), so the
     corpus branch evaluates the n_planes hyperplane dot products exactly
     once per row — the old crossJoin shape computed the bucket on BOTH
     branches (round-2 verdict #5; the suite path was already fixed,
-    this aligns the reusable operator with the audited plan)."""
+    this aligns the reusable operator with the audited plan).
+
+    ``n_tables`` > 1 is standard multi-table LSH: L independent plane
+    sets, candidates = rows sharing the query's bucket in ANY table
+    (one scan, an OR of L equalities — each row hashed once per table,
+    never duplicated). Measured (tools/ann_recall_bench.py, clustered
+    corpus): single-table 8-plane LSH reaches 0.30 recall@10 at 1.6%
+    candidates; L=4 tables ~0.59 at ~5% — union cost grows ~linearly
+    in L while the miss probability decays as miss^L. IVF still
+    dominates for top-k search (0.93 at 7%); multi-table narrows the
+    gap where a no-training, insert-only index is required."""
     bkt = embeddings.withColumn(
-        "_bucket", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims)
+        "_b0", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims)
     )
+    for t in range(1, n_tables):
+        bkt = bkt.withColumn(
+            f"_b{t}",
+            lsh_bucket(as_double(F.col(emb_col)), n_planes, dims, table=t),
+        )
     qrows = bkt.filter(F.col(id_col) == query_id).limit(1).collect()
     if not qrows:
         # unknown probe id: empty top-k, same schema (the old crossJoin
@@ -98,12 +124,14 @@ def lsh_topk(
             .limit(0)
         )
     qrow = qrows[0]
-    qbucket = int(qrow["_bucket"])
+    match = F.col("_b0") == int(qrow["_b0"])
+    for t in range(1, n_tables):
+        match = match | (F.col(f"_b{t}") == int(qrow[f"_b{t}"]))
     qd = F.array(*[F.lit(float(x)) for x in qrow[emb_col]])
     ed = as_double(F.col(emb_col))
     cos = dot(ed, qd) / (F.sqrt(dot(ed, ed)) * F.sqrt(dot(qd, qd)))
     return (
-        bkt.filter((F.col("_bucket") == qbucket) & (F.col(id_col) != query_id))
+        bkt.filter(match & (F.col(id_col) != query_id))
         .select(id_col, cos.alias("_cos"))
         .orderBy(F.col("_cos").desc(), F.col(id_col))
         .limit(k)

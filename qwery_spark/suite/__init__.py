@@ -64,7 +64,10 @@ _WINDOW_50 = [
     # from the preimage/postimage change feed (takes always-green
     # cdc_hourly_throughput's slot)
     "cdc_incremental_agg",
-    "tok_bigrams",
+    # round-6: DDL-crossing replication with automatic replica schema
+    # sync (takes always-green tok_bigrams' slot — still judge/oracle-
+    # covered via tools/check_oracle.py)
+    "cdc_replicate_ddl_sync",
     # round-4: payload-column stats pruning (takes always-green
     # tok_array_stats' slot)
     "cdc_stats_pruned_read",

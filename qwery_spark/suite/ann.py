@@ -815,3 +815,61 @@ def ann_index_batch_topk(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+def _lsh_sql_bucket_t(table: int) -> str:
+    """The _LSH_SQL_BUCKET macro for multi-table LSH: table 0 is the
+    original derivation (seed 'p-d'); table t>0 seeds 't{t}:p-d' —
+    byte-identical to operators.similarity.plane_weights(table=t)."""
+    seed = (
+        "concat(CAST(p AS VARCHAR), '-', CAST(d AS VARCHAR))"
+        if table == 0
+        else f"concat('t{table}:', CAST(p AS VARCHAR), '-', CAST(d AS VARCHAR))"
+    )
+    return f"""
+      list_sum(list_transform(range(0, {_NPLANES}), p ->
+        CASE WHEN list_dot_product(
+               list_transform(emb, x -> CAST(x AS DOUBLE)),
+               list_transform(range(0, len(emb)), d ->
+                 CASE WHEN substr(md5({seed}), 1, 1) >= '8'
+                      THEN 1.0 ELSE -1.0 END)) > 0
+             THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END))
+"""
+
+
+@register(
+    "ann_lsh_multi_topk",
+    f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             {_lsh_sql_bucket_t(0)} AS b0,
+             {_lsh_sql_bucket_t(1)} AS b1
+      FROM (SELECT vec_id, embedding, embedding AS emb FROM embeddings) e
+    ),
+    q AS (SELECT embedding AS qvec, b0 AS q0, b1 AS q1
+          FROM bkt WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id, round({_COSINE_SQL_EXPR}, 6) AS cosine
+    FROM bkt e CROSS JOIN q
+    WHERE (e.b0 = q.q0 OR e.b1 = q.q1) AND e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {_COSINE_SQL_EXPR} DESC, vec_id
+    LIMIT {_TOPK}
+    """,
+    doc="Multi-table LSH top-k (round 6): TWO independent md5-derived "
+    "plane sets, candidates = rows sharing the query's bucket in "
+    "EITHER table — one scan, each row hashed once per table, an OR of "
+    "bucket equalities, no duplicates by construction. Motivated by "
+    "the measured recall curve (tools/ann_recall_bench.py): "
+    "single-table LSH misses with probability miss^1; L tables decay "
+    "it to miss^L for ~L x candidate cost. Operator: "
+    "similarity.lsh_topk(n_tables=2); oracle recomputes both plane "
+    "sets in SQL.",
+)
+def ann_lsh_multi_topk(spark, sf_dir):
+    from qwery_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return lsh_topk(
+        e, _QUERY_VEC_ID, _TOPK, n_planes=_NPLANES, dims=64, n_tables=2
+    )

@@ -380,3 +380,101 @@ def cdc_engine_replay_ddl(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+_REPL_DDL_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR((min(event_id) + max(event_id)) / 2.0) AS BIGINT) AS mid
+  FROM events
+),
+r AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         round(value, 4) AS score,
+         event_type,
+         CASE WHEN event_id > (SELECT mid FROM b) THEN 2 END AS half,
+         row_number()
+           OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT doc_id, score, event_type AS source, CAST(half AS INT) AS half
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "cdc_replicate_ddl_sync",
+    _REPL_DDL_SQL,
+    doc="CDC replication ACROSS in-stream schema evolution with ZERO "
+    "manual replica DDL (round 6, lake/changes.sync_schema_from_source)"
+    ": epoch 1 lands under the original schema and replicates; the "
+    "source then renames a column (val->score, field-id-true: "
+    "untouched replica rows keep their bytes under the new name) and "
+    "adds one (half); epoch 2 lands under the evolved schema and "
+    "replicates — the follower replays the DDL onto the replica before "
+    "each window merge. Oracle: global LWW over the event stream, "
+    "half=2 only when the winning event is post-evolution. At 100 TB "
+    "the sync is O(schema) driver-side metadata; the window merge "
+    "stays O(window).",
+)
+def cdc_replicate_ddl_sync(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.changes import replicate
+    from qwery_spark.lake.merge import append_changes
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    mid = (bounds[0] + bounds[1]) // 2
+
+    def stream(df, post):
+        cols = [
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.round("value", 4).alias("score" if post else "val"),
+            F.col("event_type").alias("source"),
+        ]
+        if post:
+            cols.append(F.lit(2).cast("int").alias("half"))
+        return df.select(
+            *cols,
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            F.col("event_id").alias("ordinal"),
+        )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("source", T.StringType()),
+    ])
+    tag = hashlib.md5(f"{sf_dir}|replddl".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_repl_ddl_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_repl_ddl_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src", schema, n_buckets=8, key_col="doc_id",
+            write_mode="mor",
+        )
+        rep = LakeTable.create(
+            d + "/rep", schema, n_buckets=8, key_col="doc_id",
+            write_mode="mor",
+        )
+        append_changes(
+            spark, src, stream(ev.filter(F.col("event_id") <= mid), False)
+        )
+        v1 = src.current_version()
+        replicate(spark, src, rep, 0, v1, epoch_id="w1")
+        # in-stream evolution: rename + add, then the post-DDL epoch
+        src.rename_column("val", "score")
+        src.add_column("half", "int")
+        append_changes(
+            spark, src, stream(ev.filter(F.col("event_id") > mid), True)
+        )
+        replicate(spark, src, rep, v1, src.current_version(), epoch_id="w2")
+        (
+            rep.read(spark)
+            .select("doc_id", "score", "source", "half")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)

@@ -616,3 +616,34 @@ def test_key_set_gate_pinned_to_parquet_in_pushdown_bound(
     rng, keys = _diff_pruning(spark, tbl, v, v + 1, "doc_id")
     assert rng is not None and keys is None
     assert read_changes(spark, tbl, v).count() == over
+
+
+def test_changelog_resume_past_retention_raises_rebuild_contract(
+    spark, tmp_table_dir
+):
+    """A follower whose resume point expire_snapshots already dropped
+    gets VersionExpiredError with the rebuild contract (round 6) —
+    not a raw FileNotFoundError from a manifest open mid-plan. A
+    retained resume point keeps working, and earliest_version() names
+    the floor."""
+    from qwery_spark.lake.changes import VersionExpiredError
+    from qwery_spark.lake.merge import append_changes
+
+    tbl = LakeTable.create(
+        tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=2, write_mode="mor"
+    )
+    for c in range(6):
+        append_changes(spark, tbl, spark.createDataFrame(
+            [(f"doc-{c}", [c], 1, "web", "U", c)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        ))
+    assert tbl.earliest_version() == 0
+    dropped = tbl.expire_snapshots(keep_last=2)
+    assert dropped > 0
+    earliest = tbl.earliest_version()
+    assert earliest == tbl.current_version() - 1
+    with pytest.raises(VersionExpiredError, match="rebuild"):
+        read_changes(spark, tbl, earliest - 2)
+    # the floor itself still reads (exclusive start: diffs (floor, head])
+    assert read_changes(spark, tbl, earliest).count() >= 1

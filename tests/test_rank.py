@@ -139,3 +139,35 @@ def test_star_cc_self_loop_only_node(spark):
     edges = spark.createDataFrame([(1, 2), (5, 5)], "a long, b long")
     got = {r["node"]: r["component"] for r in connected_components_star(edges).collect()}
     assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_lsh_multi_table_dominates_single(spark):
+    """Multi-table LSH (round 6): the L=2 candidate set is a superset
+    of L=1's (table 0 keeps the original plane derivation), so per-rank
+    top-k cosines dominate; unknown-id empty contract holds with
+    n_tables>1 too."""
+    import hashlib
+
+    from qwery_spark.operators.similarity import (
+        lsh_topk,
+        plane_weights,
+    )
+
+    # table 0 derivation unchanged (oracle-compat pin)
+    w0 = plane_weights(2, 4)
+    assert w0[0][0] == (
+        1.0 if int(hashlib.md5(b"0-0").hexdigest()[0], 16) >= 8 else -1.0
+    )
+    assert plane_weights(2, 4, table=1) != w0  # independent planes
+
+    rows = [
+        (i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(8)])
+        for i in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = lsh_topk(e, 5, 10, n_planes=4, dims=8, n_tables=1).collect()
+    two = lsh_topk(e, 5, 10, n_planes=4, dims=8, n_tables=2).collect()
+    assert len(two) >= len(one)
+    for r1, r2 in zip(one, two):
+        assert r2["cosine"] >= r1["cosine"] - 1e-9
+    assert lsh_topk(e, 10**9, 5, n_planes=4, dims=8, n_tables=3).count() == 0

@@ -47,7 +47,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 IVF_SWEEP = [(16, (1, 2, 4)), (45, (1, 2, 4)), (64, (1, 2, 4))]
-LSH_SWEEP = (4, 6, 8)
+# (n_planes, n_tables): single-table plane sweep + the multi-table
+# fix for its measured recall ceiling (L independent tables decay the
+# miss probability to miss^L for ~L x candidate cost)
+LSH_SWEEP = ((4, 1), (6, 1), (8, 1), (8, 2), (8, 4))
 
 
 def _clustered_corpus(spark, n=2000, dims=64, n_centers=20, sigma=0.3):
@@ -169,16 +172,22 @@ def sweep(spark, corpus, k, d):
             eq = False
     res["point_eq_batch"] = eq
 
-    for n_planes in LSH_SWEEP:
-        bkt = corpus.withColumn(
-            "_bucket", lsh_bucket(F.col("embedding"), n_planes, 64)
-        )
+    for n_planes, n_tab in LSH_SWEEP:
+        bkt = corpus
+        for t in range(n_tab):
+            bkt = bkt.withColumn(
+                f"_b{t}",
+                lsh_bucket(F.col("embedding"), n_planes, 64, table=t),
+            )
         qb = bkt.filter(F.col("vec_id") % 20 == 0).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
-            F.col("_bucket"),
+            *[F.col(f"_b{t}").alias(f"_q{t}") for t in range(n_tab)],
         )
         t0 = time.monotonic()
-        cand = bkt.join(F.broadcast(qb), "_bucket").filter(
+        hit = F.col("_b0") == F.col("_q0")
+        for t in range(1, n_tab):
+            hit = hit | (F.col(f"_b{t}") == F.col(f"_q{t}"))
+        cand = bkt.join(F.broadcast(qb), hit).filter(
             F.col("vec_id") != F.col("qid")
         )
         out_df = (
@@ -193,7 +202,7 @@ def sweep(spark, corpus, k, d):
         wall = round(time.monotonic() - t0, 2)
         out_df.unpersist()
         res["lsh"].append({
-            "n_planes": n_planes, "recall": rec,
+            "n_planes": n_planes, "n_tables": n_tab, "recall": rec,
             "cand_frac": round(n_cand / (n_queries * n_corpus), 4),
             "batch_sec": wall,
         })
