@@ -103,10 +103,12 @@ def lsh_topk(
     (one scan, an OR of L equalities — each row hashed once per table,
     never duplicated). Measured (tools/ann_recall_bench.py, clustered
     corpus): single-table 8-plane LSH reaches 0.30 recall@10 at 1.6%
-    candidates; L=4 tables ~0.59 at ~5% — union cost grows ~linearly
-    in L while the miss probability decays as miss^L. IVF still
-    dominates for top-k search (0.93 at 7%); multi-table narrows the
-    gap where a no-training, insert-only index is required."""
+    candidates; L=2 tables 0.57 at 3.4%, L=4 tables 0.81 at 5.2% —
+    union cost grows ~linearly in L while the miss probability decays
+    as miss^L, and L=4 beats ANY single-table plane count at equal or
+    lower cost (best single-table: 0.58 at 8.7%). IVF still wins for
+    top-k search (0.93 at 7%); multi-table is the no-training,
+    insert-only fallback."""
     bkt = embeddings.withColumn(
         "_b0", lsh_bucket(as_double(F.col(emb_col)), n_planes, dims)
     )

@@ -313,3 +313,48 @@ def test_run_follow_cli_cluster_every(spark, tmp_path):
         for r_ in rep_tbl.read(spark).collect()
     }
     assert rep_state == src_state and len(src_state) > 0
+
+
+def test_run_follow_cli_expired_resume_exits_with_rebuild_contract(
+    spark, tmp_path
+):
+    """A follower restarted after its resume point fell out of the
+    source's retention window exits 3 with a version_expired JSON error
+    naming the rebuild contract — not a stack trace (round 6)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import TARGET_SCHEMA
+
+    table = str(tmp_path / "src")
+    replica = str(tmp_path / "rep")
+    state = str(tmp_path / "state.json")
+    src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2,
+                           write_mode="mor")
+    LakeTable.create(replica, TARGET_SCHEMA, n_buckets=2, write_mode="mor")
+    for c in range(5):
+        append_changes(spark, src, spark.createDataFrame(
+            [(f"doc-{c}", [c], 1, "web", "U", c)],
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, ordinal long",
+        ))
+    # follower synced long ago at v1, then the source expired history
+    with open(state, "w") as f:
+        json.dump({"version": 1, "table": src.path}, f)
+    src.expire_snapshots(keep_last=2)
+    r = _run_follow([
+        "--table", table, "--replica", replica, "--state", state,
+        "--max-polls", "1", "--poll", "0.1",
+    ])
+    assert r.returncode == 3, (r.returncode, r.stderr[-1500:])
+    err_line = next(
+        ln for ln in r.stderr.splitlines() if '"version_expired"' in ln
+    )
+    err = json.loads(err_line)
+    assert err["error"] == "version_expired"
+    assert "rebuild" in err["message"]
+    # the state file still names the expired version for the rebuild
+    # script to read
+    with open(state) as f:
+        assert json.load(f)["version"] == 1
