@@ -632,6 +632,25 @@ def sync_schema_from_source(
         if f["name"] not in ENGINE_COLS
     }
 
+    def dst_user():
+        return [
+            (d["name"], d["type"]) for d in dst.snapshot().fields()
+            if d["name"] not in ENGINE_COLS
+        ]
+
+    # window-level replay guard FIRST: after a crash between sync and
+    # the state-file persist, the whole window re-delivers — and the
+    # per-op guards alone cannot survive every shape (a window that
+    # renames c1->c2 AND re-adds a new c1 would re-fire the rename
+    # against the re-added column). Ordered delivery (the contract all
+    # maintainers share) guarantees dst mirrors sv_from before a first
+    # application and sv_to after a completed one, so name+type
+    # equality with the target schema IS "already applied".
+    target = [(f["name"], f["type"]) for f in snap_to.fields(sv_to)
+              if f["name"] not in ENGINE_COLS]
+    if dst_user() == target:
+        return 0
+
     def dst_names() -> set:
         return {d["name"] for d in dst.snapshot().fields()}
 
