@@ -146,6 +146,15 @@ def parse_statement(stmt: str) -> Stmt:
             "to": int(m.group(3)) if m.group(3) else None,
         })
 
+    m = G.REPLICATE.match(s)
+    if m:
+        return Stmt("replicate_lake", {
+            "src": m.group(1), "dst": m.group(2),
+            "from": int(m.group(3)) if m.group(3) else None,
+            "to": int(m.group(4)) if m.group(4) else None,
+            "epoch": m.group(5),
+        })
+
     m = G.DESCRIBE_LAKE.match(s)
     if m:
         return Stmt("describe_lake", {"path": m.group(1)})
@@ -230,6 +239,15 @@ def render(st: Stmt) -> str:
             out += f" FROM {p['from']}"
         if p["to"] is not None:
             out += f" TO {p['to']}"
+        return out
+    if st.kind == "replicate_lake":
+        out = f"REPLICATE LAKE '{p['src']}' INTO '{p['dst']}'"
+        if p["from"] is not None:
+            out += f" FROM {p['from']}"
+        if p["to"] is not None:
+            out += f" TO {p['to']}"
+        if p["epoch"]:
+            out += f" EPOCH '{p['epoch']}'"
         return out
     if st.kind == "describe_lake":
         return f"DESCRIBE LAKE '{p['path']}'"

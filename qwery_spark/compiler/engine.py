@@ -533,6 +533,57 @@ class ScriptEngine:
                 "operation string, files_added int, buckets_replaced int",
             )
 
+        if up.startswith("REPLICATE"):
+            # CDC replication as a script verb over lake/changes.
+            # replicate: apply the source's changelog window to a
+            # replica, creating it on first use (source schema at the
+            # window start — in-window DDL then replays onto it
+            # automatically via sync_schema_from_source); EPOCH 'id'
+            # makes re-delivery idempotent (the replica's epoch key).
+            # Beyond-reference: the reference has no change feed.
+            m = G.REPLICATE.match(stmt)
+            if not m:
+                raise ValueError(
+                    "bad REPLICATE (want REPLICATE LAKE 'src' INTO 'dst' "
+                    f"[FROM n] [TO n] [EPOCH 'id']): {stmt}"
+                )
+            import os as _os
+
+            from pyspark.sql import types as T
+
+            from qwery_spark.lake.changes import replicate
+            from qwery_spark.lake.table import LakeTable
+
+            src = LakeTable(m.group(1))
+            from_v = int(m.group(3)) if m.group(3) else 0
+            to_v = int(m.group(4)) if m.group(4) else src.current_version()
+            if not _os.path.exists(m.group(2)):
+                snap = src.snapshot(from_v)
+                user = T.StructType.fromDDL(", ".join(
+                    f"`{f['name']}` {f['type']}" for f in snap.fields()
+                    if f["name"] not in ("last_ordinal", "_deleted")
+                ))
+                LakeTable.create(
+                    m.group(2), user, n_buckets=snap.n_buckets,
+                    key_col=snap.m["key_col"], write_mode=snap.write_mode,
+                )
+            dst = LakeTable(m.group(2))
+            r = replicate(
+                self.spark, src, dst, from_v, to_v, epoch_id=m.group(5)
+            )
+            return self.spark.createDataFrame(
+                [(
+                    m.group(1), m.group(2), from_v, to_v,
+                    bool(getattr(r, "skipped", False)),
+                    int(getattr(r, "rows_upserted", 0) or 0),
+                    int(getattr(r, "rows_deleted", 0) or 0),
+                    getattr(r, "snapshot_version", None),
+                )],
+                "src string, dst string, from_version int, to_version int, "
+                "skipped boolean, rows_upserted int, rows_deleted int, "
+                "replica_version int",
+            )
+
         if up.startswith("SHOW CHANGES"):
             # CDC-out script surface over lake/changes.py: the changelog
             # of commits in (FROM, TO] (FROM defaults to 0 = since

@@ -66,4 +66,10 @@ SHOW_CHANGES = re.compile(
     re.IGNORECASE,
 )
 
+REPLICATE = re.compile(
+    r"REPLICATE\s+LAKE\s+'([^']+)'\s+INTO\s+'([^']+)'"
+    r"(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?(?:\s+EPOCH\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
+)
+
 DESCRIBE_LAKE = re.compile(r"DESCRIBE\s+LAKE\s+'([^']+)'\s*$", re.IGNORECASE)

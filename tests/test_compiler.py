@@ -563,3 +563,41 @@ def test_vacuum_grace_syntax(eng, tmp_path):
     assert n_default == 0  # orphans are seconds old: grace protects them
     n0 = eng.execute(f"VACUUM LAKE '{path}' GRACE 0").collect()[0]["FILES_REMOVED"]
     assert n0 > 0
+
+
+def test_replicate_statement(eng, tmp_path):
+    """REPLICATE LAKE (round 6): script-surface CDC replication —
+    creates the replica on first use, converges it to the source,
+    EPOCH-keyed re-delivery no-ops, and a window crossing source DDL
+    replays the evolution onto the replica automatically."""
+    s, d = str(tmp_path / "src"), str(tmp_path / "dst")
+    eng.execute(
+        f"CREATE LAKE '{s}' (doc_id string, v int) KEYED ON doc_id BUCKETS 2"
+    )
+    eng.execute(
+        f"UPSERT INTO LAKE '{s}' KEYED ON doc_id "
+        "SELECT * FROM VALUES ('a', 1, 'U', 1), ('b', 2, 'U', 2) "
+        "AS t(doc_id, v, op, ordinal)"
+    )
+    r = eng.execute(f"REPLICATE LAKE '{s}' INTO '{d}' EPOCH 'w1'").collect()[0]
+    assert r["rows_upserted"] == 2 and not r["skipped"]
+    # re-delivery of the same epoch no-ops
+    r2 = eng.execute(f"REPLICATE LAKE '{s}' INTO '{d}' EPOCH 'w1'").collect()[0]
+    assert r2["skipped"]
+    from qwery_spark.lake.table import LakeTable
+
+    v1 = LakeTable(s).current_version()
+    # in-stream DDL + data, then the follow-up window
+    eng.execute(f"ALTER LAKE '{s}' ADD COLUMN lang string")
+    eng.execute(
+        f"UPSERT INTO LAKE '{s}' KEYED ON doc_id "
+        "SELECT 'c' AS doc_id, 3 AS v, 'en' AS lang, 'U' AS op, 9 AS ordinal"
+    )
+    eng.execute(f"REPLICATE LAKE '{s}' INTO '{d}' FROM {v1} EPOCH 'w2'")
+    got = sorted(
+        (r["doc_id"], r["v"], r["lang"])
+        for r in eng.execute(f"SELECT * FROM '{d}'").collect()
+    )
+    assert got == [("a", 1, None), ("b", 2, None), ("c", 3, "en")]
+    with pytest.raises(ValueError, match="bad REPLICATE"):
+        eng.execute(f"REPLICATE LAKE '{s}' INTO '{d}' FROM x")

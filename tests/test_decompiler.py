@@ -32,6 +32,8 @@ SAMPLES = [
     "expire snapshots '/tmp/t' keep 2",
     "SHOW SNAPSHOTS '/tmp/t'",
     "show changes '/tmp/t' from 1 to 5",
+    "replicate lake '/tmp/src'  into '/tmp/dst'  from 2 to 7 epoch 'w:7'",
+    "REPLICATE LAKE '/tmp/src' INTO '/tmp/dst'",
     "DESCRIBE LAKE '/tmp/t'",
     "SELECT 1 AS x",  # sql passthrough
 ]
@@ -50,7 +52,7 @@ def test_every_verb_has_a_distinct_kind():
     assert kinds >= {
         "create_lake", "drop_lake", "alter_lake", "upsert", "update_set",
         "delete", "compact", "vacuum", "expire", "show_snapshots",
-        "show_changes", "describe_lake", "sql",
+        "show_changes", "replicate_lake", "describe_lake", "sql",
     }
 
 
