@@ -144,6 +144,8 @@ def parse_statement(stmt: str) -> Stmt:
             "path": m.group(1),
             "from": int(m.group(2)) if m.group(2) else None,
             "to": int(m.group(3)) if m.group(3) else None,
+            "coarse": bool(m.group(4)),
+            "window": int(m.group(5)) if m.group(5) else None,
         })
 
     m = G.REPLICATE.match(s)
@@ -239,6 +241,10 @@ def render(st: Stmt) -> str:
             out += f" FROM {p['from']}"
         if p["to"] is not None:
             out += f" TO {p['to']}"
+        if p.get("coarse"):
+            out += " COARSE"
+        elif p.get("window") is not None:
+            out += f" WINDOW {p['window']}"
         return out
     if st.kind == "replicate_lake":
         out = f"REPLICATE LAKE '{p['src']}' INTO '{p['dst']}'"

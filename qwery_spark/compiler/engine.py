@@ -593,17 +593,23 @@ class ScriptEngine:
             m = G.SHOW_CHANGES.match(stmt)
             if not m:
                 raise ValueError(
-                    f"bad SHOW CHANGES (want SHOW CHANGES 'path' [FROM n] [TO n]): {stmt}"
+                    "bad SHOW CHANGES (want SHOW CHANGES 'path' [FROM n] "
+                    f"[TO n] [COARSE | WINDOW n]): {stmt}"
                 )
             from qwery_spark.lake.changes import read_changes
             from qwery_spark.lake.table import LakeTable
 
             tbl = LakeTable(m.group(1))
+            # COARSE = one net endpoint diff for the whole range (the
+            # cheap catch-up mode); WINDOW n = one diff per <=n-commit
+            # chunk — the same three feed modes the library offers
             return read_changes(
                 self.spark,
                 tbl,
                 int(m.group(2)) if m.group(2) else 0,
                 int(m.group(3)) if m.group(3) else None,
+                granular=not m.group(4),
+                window=int(m.group(5)) if m.group(5) else None,
             )
 
         if up.startswith("SHOW "):

@@ -62,7 +62,8 @@ EXPIRE = re.compile(
 SHOW_SNAPSHOTS = re.compile(r"SHOW\s+SNAPSHOTS\s+'([^']+)'\s*$", re.IGNORECASE)
 
 SHOW_CHANGES = re.compile(
-    r"SHOW\s+CHANGES\s+'([^']+)'(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?\s*$",
+    r"SHOW\s+CHANGES\s+'([^']+)'(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?"
+    r"(?:\s+(COARSE)|\s+WINDOW\s+(\d+))?\s*$",
     re.IGNORECASE,
 )
 

@@ -430,6 +430,14 @@ def test_show_changes_statement(eng, tmp_path):
     }
     sub = eng.execute(f"SHOW CHANGES '{p}' FROM 1 TO 2").collect()
     assert [r["_change_type"] for r in sub] == ["update_postimage"]
+    # COARSE: one net endpoint diff — 'a' nets to a single insert at
+    # its final value; WINDOW 1 must equal the granular feed
+    coarse = eng.execute(f"SHOW CHANGES '{p}' COARSE").collect()
+    assert [(r["_change_type"], r["v"]) for r in coarse] == [("insert", 2)]
+    w1 = eng.execute(f"SHOW CHANGES '{p}' WINDOW 1").collect()
+    assert {(r["_change_type"], r["_commit_version"], r["v"])
+            for r in w1} == {(r["_change_type"], r["_commit_version"], r["v"])
+                             for r in rows}
     with pytest.raises(ValueError):
         eng.execute(f"SHOW CHANGES '{p}' FROM x")
 
