@@ -321,7 +321,14 @@ def read_lineage_stats(
         "committed_utc",
         F.round(rate, 2).alias("events_per_sec"),
         F.sum("rows_in").over(w).alias("rows_cumulative"),
-        F.round(rate / F.avg(rate).over(trail), 4).alias("rate_trend"),
+        # NULL (not a crash) when the trailing mean is 0 — a lineage
+        # dir written by a collect_stats=False ingest has rows_in=0
+        # and ANSI division would otherwise DIVIDE_BY_ZERO the read
+        F.round(
+            F.when(F.avg(rate).over(trail) > 0,
+                   rate / F.avg(rate).over(trail)),
+            4,
+        ).alias("rate_trend"),
     )
     if total_expected is not None:
         trailing_rate = F.avg("events_per_sec").over(trail)

@@ -148,6 +148,13 @@ def parse_statement(stmt: str) -> Stmt:
             "window": int(m.group(5)) if m.group(5) else None,
         })
 
+    m = G.SHOW_LINEAGE.match(s)
+    if m:
+        return Stmt("show_lineage", {
+            "path": m.group(1),
+            "expecting": int(m.group(2)) if m.group(2) else None,
+        })
+
     m = G.REPLICATE.match(s)
     if m:
         return Stmt("replicate_lake", {
@@ -245,6 +252,11 @@ def render(st: Stmt) -> str:
             out += " COARSE"
         elif p.get("window") is not None:
             out += f" WINDOW {p['window']}"
+        return out
+    if st.kind == "show_lineage":
+        out = f"SHOW LINEAGE '{p['path']}'"
+        if p["expecting"] is not None:
+            out += f" EXPECTING {p['expecting']}"
         return out
     if st.kind == "replicate_lake":
         out = f"REPLICATE LAKE '{p['src']}' INTO '{p['dst']}'"

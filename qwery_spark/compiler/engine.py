@@ -533,6 +533,25 @@ class ScriptEngine:
                 "operation string, files_added int, buckets_replaced int",
             )
 
+        if up.startswith("SHOW LINEAGE"):
+            # per-run statistics from the lineage rows apply_changes
+            # writes (reference: live Statistics feed — records/sec,
+            # pctComplete, ETA, core:sources/Statistics.scala:17-25),
+            # reconstructed after the fact; EXPECTING n supplies the
+            # planned total so pct_complete/eta populate
+            m = G.SHOW_LINEAGE.match(stmt)
+            if not m:
+                raise ValueError(
+                    "bad SHOW LINEAGE (want SHOW LINEAGE 'dir' "
+                    f"[EXPECTING n]): {stmt}"
+                )
+            from qwery_spark.cdc.apply import read_lineage_stats
+
+            return read_lineage_stats(
+                self.spark, m.group(1),
+                total_expected=int(m.group(2)) if m.group(2) else None,
+            )
+
         if up.startswith("REPLICATE"):
             # CDC replication as a script verb over lake/changes.
             # replicate: apply the source's changelog window to a

@@ -67,6 +67,11 @@ SHOW_CHANGES = re.compile(
     re.IGNORECASE,
 )
 
+SHOW_LINEAGE = re.compile(
+    r"SHOW\s+LINEAGE\s+'([^']+)'(?:\s+EXPECTING\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+
 REPLICATE = re.compile(
     r"REPLICATE\s+LAKE\s+'([^']+)'\s+INTO\s+'([^']+)'"
     r"(?:\s+FROM\s+(\d+))?(?:\s+TO\s+(\d+))?(?:\s+EPOCH\s+'([^']+)')?\s*$",

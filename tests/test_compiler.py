@@ -609,3 +609,48 @@ def test_replicate_statement(eng, tmp_path):
     assert got == [("a", 1, None), ("b", 2, None), ("c", 3, "en")]
     with pytest.raises(ValueError, match="bad REPLICATE"):
         eng.execute(f"REPLICATE LAKE '{s}' INTO '{d}' FROM x")
+
+
+def test_show_lineage_statement(eng, spark, tmp_path):
+    """SHOW LINEAGE (round 6): the per-run Statistics feed as a script
+    verb — per-epoch rates from the lineage rows apply_changes writes;
+    EXPECTING n populates pct_complete/eta."""
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    t = str(tmp_path / "t")
+    lin = str(tmp_path / "lineage")
+    tbl = LakeTable.create(t, TARGET_SCHEMA, n_buckets=2)
+    ev = make_events(600, seed=5).to_pandas()
+    for e, sl in enumerate((slice(0, 300), slice(300, 600))):
+        apply_changes(
+            spark, tbl,
+            spark.createDataFrame(ev.iloc[sl], schema=EVENT_SCHEMA),
+            epoch_id=e, lineage_dir=lin,
+        )
+    rows = eng.execute(f"SHOW LINEAGE '{lin}'").collect()
+    assert len(rows) == 2
+    assert all(r["events_per_sec"] > 0 for r in rows)
+    assert rows[-1]["rows_cumulative"] == 600
+    exp = eng.execute(f"SHOW LINEAGE '{lin}' EXPECTING 600").collect()
+    assert abs(exp[-1]["pct_complete"] - 100.0) < 1e-6
+    with pytest.raises(ValueError, match="bad SHOW LINEAGE"):
+        eng.execute(f"SHOW LINEAGE '{lin}' EXPECTING x")
+
+    # a stats-off ingest writes rows_in=0 lineage: the stats read must
+    # degrade (events_per_sec 0, rate_trend NULL), never DIVIDE_BY_ZERO
+    # (latent ANSI-mode crash found by this test, fixed in
+    # read_lineage_stats)
+    t2 = str(tmp_path / "t2")
+    lin2 = str(tmp_path / "lineage2")
+    tbl2 = LakeTable.create(t2, TARGET_SCHEMA, n_buckets=2)
+    apply_changes(
+        spark, tbl2,
+        spark.createDataFrame(ev.iloc[:300], schema=EVENT_SCHEMA),
+        epoch_id=0, lineage_dir=lin2, collect_stats=False,
+    )
+    off = eng.execute(f"SHOW LINEAGE '{lin2}'").collect()
+    assert off[0]["events_per_sec"] == 0.0
+    assert off[0]["rate_trend"] is None

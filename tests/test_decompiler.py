@@ -32,6 +32,8 @@ SAMPLES = [
     "expire snapshots '/tmp/t' keep 2",
     "SHOW SNAPSHOTS '/tmp/t'",
     "show changes '/tmp/t' from 1 to 5",
+    "show lineage '/tmp/lin'  expecting 100000",
+    "SHOW LINEAGE '/tmp/lin'",
     "SHOW CHANGES '/tmp/t' FROM 2 COARSE",
     "show changes '/tmp/t'  window 4",
     "replicate lake '/tmp/src'  into '/tmp/dst'  from 2 to 7 epoch 'w:7'",
