@@ -168,6 +168,34 @@ def parse_statement(stmt: str) -> Stmt:
     if m:
         return Stmt("describe_lake", {"path": m.group(1)})
 
+    m = G.CREATE_BRANCH.match(s)
+    if m:
+        return Stmt("create_branch", {
+            "name": m.group(1), "path": m.group(2),
+            "at_version": int(m.group(3)) if m.group(3) else None,
+        })
+
+    m = G.PUBLISH_BRANCH.match(s)
+    if m:
+        return Stmt("publish_branch", {"name": m.group(1), "path": m.group(2)})
+
+    m = G.DROP_BRANCH.match(s)
+    if m:
+        return Stmt("drop_branch", {
+            "name": m.group(1), "path": m.group(2),
+            "keep_files": bool(m.group(3)),
+        })
+
+    m = G.SHOW_BRANCHES.match(s)
+    if m:
+        return Stmt("show_branches", {"path": m.group(1)})
+
+    m = G.ROLLBACK_LAKE.match(s)
+    if m:
+        return Stmt("rollback_lake", {
+            "path": m.group(1), "to_version": int(m.group(2)),
+        })
+
     return Stmt("sql", {"text": s})
 
 
@@ -269,6 +297,22 @@ def render(st: Stmt) -> str:
         return out
     if st.kind == "describe_lake":
         return f"DESCRIBE LAKE '{p['path']}'"
+    if st.kind == "create_branch":
+        out = f"CREATE BRANCH '{p['name']}' ON LAKE '{p['path']}'"
+        if p["at_version"] is not None:
+            out += f" AT VERSION {p['at_version']}"
+        return out
+    if st.kind == "publish_branch":
+        return f"PUBLISH BRANCH '{p['name']}' ON LAKE '{p['path']}'"
+    if st.kind == "drop_branch":
+        out = f"DROP BRANCH '{p['name']}' ON LAKE '{p['path']}'"
+        if p["keep_files"]:
+            out += " KEEP FILES"
+        return out
+    if st.kind == "show_branches":
+        return f"SHOW BRANCHES '{p['path']}'"
+    if st.kind == "rollback_lake":
+        return f"ROLLBACK LAKE '{p['path']}' TO VERSION {p['to_version']}"
     if st.kind == "sql":
         return p["text"]
     raise ValueError(f"unknown statement kind: {st.kind}")

@@ -503,15 +503,23 @@ class ScriptEngine:
             m = G.SHOW_SNAPSHOTS.match(stmt)
             if not m:
                 raise ValueError("SHOW SNAPSHOTS needs a quoted table path")
-            from qwery_spark.lake.table import LakeTable
+            from qwery_spark.lake.table import open_lake
 
-            tbl = LakeTable(m.group(1))
+            tbl = open_lake(m.group(1))
             rows = []
             mdir = tbl._mdir()
             live = sorted(
                 int(n[1:9]) for n in os.listdir(mdir)
                 if n.startswith("v") and n.endswith(".json")
             )  # expired log: only surviving records are listable
+            if tbl.branch is not None:
+                # branch view: main log up to the fork, then the
+                # branch's own records (the _manifest_path router below
+                # reads each from the right sub-log)
+                fork = tbl._fork_version()
+                live = [v for v in live if v <= fork] + [
+                    v for v in tbl._branch_records(tbl.branch) if v > fork
+                ]
             for v in live:
                 with open(tbl._manifest_path(v)) as fh:
                     rec = json.load(fh)
@@ -616,9 +624,9 @@ class ScriptEngine:
                     f"[TO n] [COARSE | WINDOW n]): {stmt}"
                 )
             from qwery_spark.lake.changes import read_changes
-            from qwery_spark.lake.table import LakeTable
+            from qwery_spark.lake.table import open_lake
 
-            tbl = LakeTable(m.group(1))
+            tbl = open_lake(m.group(1))
             # COARSE = one net endpoint diff for the whole range (the
             # cheap catch-up mode); WINDOW n = one diff per <=n-commit
             # chunk — the same three feed modes the library offers
@@ -630,6 +638,22 @@ class ScriptEngine:
                 granular=not m.group(4),
                 window=int(m.group(5)) if m.group(5) else None,
             )
+
+        if up.startswith("SHOW BRANCHES"):
+            m = G.SHOW_BRANCHES.match(stmt)
+            if not m:
+                raise ValueError("SHOW BRANCHES needs a quoted table path")
+            from qwery_spark.lake.table import LakeTable
+
+            rows = [
+                (b["name"], b["fork_version"], b["head_version"], b["commits"])
+                for b in LakeTable(m.group(1)).list_branches()
+            ]
+            df = self.spark.createDataFrame(
+                rows or [("", 0, 0, 0)],
+                "branch string, fork_version int, head_version int, commits int",
+            )
+            return df if rows else df.limit(0)
 
         if up.startswith("SHOW "):
             what = up.split()[1]
@@ -656,9 +680,9 @@ class ScriptEngine:
             m = G.DESCRIBE_LAKE.match(stmt)
             if not m:
                 raise ValueError("DESCRIBE LAKE needs a quoted table path")
-            from qwery_spark.lake.table import LakeTable
+            from qwery_spark.lake.table import open_lake
 
-            snap = LakeTable(m.group(1)).snapshot()
+            snap = open_lake(m.group(1)).snapshot()
             rows = [
                 (f["name"], f["type"], f["id"],
                  f["name"] in ("last_ordinal", "_deleted"))
@@ -760,6 +784,9 @@ class ScriptEngine:
             from qwery_spark.lake.table import LakeTable, _invalidate
 
             path = m.group(2)
+            # deliberately NOT open_lake: DROP LAKE removes the whole
+            # table directory — a 'path@branch' spec must not resolve to
+            # the main table (that's DROP BRANCH's job)
             tbl = LakeTable(path)
             try:
                 tbl.snapshot()  # FileNotFoundError if not a lake table
@@ -774,6 +801,61 @@ class ScriptEngine:
             shutil.rmtree(tbl.path)
             _invalidate(tbl.path)
             return self.spark.createDataFrame([(tbl.path,)], "DROPPED string")
+
+        if re.match(r"CREATE\s+BRANCH\b", up):
+            # write-audit-publish staging (Iceberg branch refs):
+            # CREATE BRANCH 'name' ON LAKE 'path' [AT VERSION n]. Writes
+            # then target 'path@name' on the normal verbs; audits read
+            # the same operand; PUBLISH fast-forwards main.
+            m = G.CREATE_BRANCH.match(stmt)
+            if not m:
+                raise ValueError(f"bad CREATE BRANCH: {stmt}")
+            from qwery_spark.lake.table import LakeTable
+
+            at = int(m.group(3)) if m.group(3) else None
+            br = LakeTable(m.group(2)).create_branch(m.group(1), at_version=at)
+            return self.spark.createDataFrame(
+                [(m.group(1), br._fork_version())], "branch string, fork_version int"
+            )
+
+        if re.match(r"PUBLISH\s+BRANCH\b", up):
+            m = G.PUBLISH_BRANCH.match(stmt)
+            if not m:
+                raise ValueError(f"bad PUBLISH BRANCH: {stmt}")
+            from qwery_spark.lake.table import LakeTable
+
+            snap = LakeTable(m.group(2)).publish_branch(m.group(1))
+            return self.spark.createDataFrame(
+                [(m.group(1), snap.version)], "published string, version int"
+            )
+
+        if re.match(r"DROP\s+BRANCH\b", up):
+            # audit-reject: DROP BRANCH 'name' ON LAKE 'path' [KEEP FILES]
+            m = G.DROP_BRANCH.match(stmt)
+            if not m:
+                raise ValueError(f"bad DROP BRANCH: {stmt}")
+            from qwery_spark.lake.table import LakeTable
+
+            n = LakeTable(m.group(2)).drop_branch(
+                m.group(1), delete_files=not m.group(3)
+            )
+            return self.spark.createDataFrame([(n,)], "FILES_REMOVED long")
+
+        if re.match(r"ROLLBACK\s+LAKE\b", up):
+            # ROLLBACK LAKE 'path' TO VERSION n (Iceberg
+            # rollback_to_snapshot): restore that version's state as a
+            # new head commit; time travel over the rolled-past range
+            # stays intact until EXPIRE SNAPSHOTS.
+            m = G.ROLLBACK_LAKE.match(stmt)
+            if not m:
+                raise ValueError(f"bad ROLLBACK LAKE: {stmt}")
+            from qwery_spark.lake.table import LakeTable
+
+            snap = LakeTable(m.group(1)).rollback(int(m.group(2)))
+            return self.spark.createDataFrame(
+                [(snap.version, int(m.group(2)))],
+                "version int, restored_version int",
+            )
 
         if re.match(r"EXPIRE\s+SNAPSHOTS\b", up):
             # lake maintenance (Iceberg expire_snapshots):
@@ -803,7 +885,7 @@ class ScriptEngine:
             if not m:
                 raise ValueError(f"bad COMPACT LAKE: {stmt}")
             from qwery_spark.lake.merge import compact
-            from qwery_spark.lake.table import LakeTable
+            from qwery_spark.lake.table import open_lake
 
             cols = (
                 [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
@@ -811,7 +893,7 @@ class ScriptEngine:
             is_z = (m.group(2) or "").upper() == "ZORDER"
             res = compact(
                 self.spark,
-                LakeTable(m.group(1)),
+                open_lake(m.group(1)),
                 sort_cols=None if is_z else cols,
                 zorder_cols=cols if is_z else None,
                 drop_tombstones=bool(m.group(4)),
@@ -890,7 +972,7 @@ class ScriptEngine:
 
         from qwery_spark.cdc.dedup import lww_dedup
         from qwery_spark.lake.merge import append_changes, merge_changes
-        from qwery_spark.lake.table import LakeTable
+        from qwery_spark.lake.table import open_lake
 
         # JDBC target: UPSERT INTO 'jdbc:...' KEYED ON k1[,k2] <select>
         # — staged bulk write + one vendor merge statement (reference:
@@ -924,7 +1006,7 @@ class ScriptEngine:
             raise ValueError("UPSERT requires an ordinal column (LSN) for LWW ordering")
         if "op" not in df.columns:
             df = df.withColumn("op", F.lit("U"))
-        tbl = LakeTable(path)
+        tbl = open_lake(path)
         # The merge layer keys the batch by the TABLE's key_col (the
         # snapshot is authoritative) — rename the statement's KEYED ON
         # column to it, whatever the table was created with.
@@ -972,7 +1054,7 @@ class ScriptEngine:
 
         from qwery_spark.cdc.dedup import lww_dedup
         from qwery_spark.lake.merge import ENGINE_COLS, merge_changes
-        from qwery_spark.lake.table import LakeTable
+        from qwery_spark.lake.table import open_lake
 
         m = G.UPDATE_SET.match(stmt)
         if not m:
@@ -985,7 +1067,7 @@ class ScriptEngine:
                 raise ValueError(f"bad SET assignment: {part!r}")
             assignments[am.group(1)] = am.group(2)
 
-        tbl = LakeTable(path)
+        tbl = open_lake(path)
         snap = tbl.snapshot()
         key_col = snap.m["key_col"]
         if key != key_col:
@@ -1057,13 +1139,13 @@ class ScriptEngine:
 
         from qwery_spark.cdc.dedup import lww_dedup
         from qwery_spark.lake.merge import append_changes, merge_changes
-        from qwery_spark.lake.table import LakeTable
+        from qwery_spark.lake.table import open_lake
 
         m = G.DELETE.match(stmt)
         if not m:
             raise ValueError(f"bad DELETE: {stmt}")
         path, key, ordinal, pred = m.group(1), m.group(2), int(m.group(3)), m.group(4)
-        tbl = LakeTable(path)
+        tbl = open_lake(path)
         key_col = tbl.snapshot().m["key_col"]
         if key != key_col:
             raise ValueError(
@@ -1096,8 +1178,11 @@ class ScriptEngine:
           ALTER LAKE 'path' WIDEN COLUMN name TO type
           ALTER LAKE 'path' DROP COLUMN name  (metadata-only)
           ALTER LAKE 'path' REBUCKET n        (partition-spec evolution)
+
+        All forms accept the 'path@branch' operand — schema evolution
+        staged on a WAP branch publishes with the branch.
         """
-        from qwery_spark.lake.table import LakeTable
+        from qwery_spark.lake.table import open_lake
 
         mrb = re.match(
             r"ALTER\s+LAKE\s+'([^']+)'\s+REBUCKET\s+(\d+)\s*$", stmt, re.IGNORECASE
@@ -1105,7 +1190,7 @@ class ScriptEngine:
         if mrb:
             from qwery_spark.lake.merge import rebucket
 
-            res = rebucket(self.spark, LakeTable(mrb.group(1)), int(mrb.group(2)))
+            res = rebucket(self.spark, open_lake(mrb.group(1)), int(mrb.group(2)))
             return self.spark.createDataFrame(
                 [(res["from_buckets"], res["to_buckets"], res["files_written"])],
                 "from_buckets int, to_buckets int, files_written int",
@@ -1122,7 +1207,7 @@ class ScriptEngine:
         )
         if not m:
             raise ValueError(f"bad ALTER LAKE: {stmt}")
-        tbl = LakeTable(m.group(1))
+        tbl = open_lake(m.group(1))
         if m.group(2):
             snap = tbl.add_column(m.group(2), m.group(3).strip().lower())
         elif m.group(4):

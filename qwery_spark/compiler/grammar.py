@@ -79,3 +79,26 @@ REPLICATE = re.compile(
 )
 
 DESCRIBE_LAKE = re.compile(r"DESCRIBE\s+LAKE\s+'([^']+)'\s*$", re.IGNORECASE)
+
+# branches (Iceberg refs / write-audit-publish); branch WRITES/READS use
+# the 'path@branch' operand form on the existing verbs
+CREATE_BRANCH = re.compile(
+    r"CREATE\s+BRANCH\s+'([^']+)'\s+ON\s+LAKE\s+'([^']+)'"
+    r"(?:\s+AT\s+VERSION\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+
+PUBLISH_BRANCH = re.compile(
+    r"PUBLISH\s+BRANCH\s+'([^']+)'\s+ON\s+LAKE\s+'([^']+)'\s*$", re.IGNORECASE
+)
+
+DROP_BRANCH = re.compile(
+    r"DROP\s+BRANCH\s+'([^']+)'\s+ON\s+LAKE\s+'([^']+)'(\s+KEEP\s+FILES)?\s*$",
+    re.IGNORECASE,
+)
+
+SHOW_BRANCHES = re.compile(r"SHOW\s+BRANCHES\s+'([^']+)'\s*$", re.IGNORECASE)
+
+ROLLBACK_LAKE = re.compile(
+    r"ROLLBACK\s+LAKE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
+)

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,9 +97,12 @@ def _hist_put(path: str, version: int, state: dict) -> None:
 
 
 def _invalidate(path: str) -> None:
-    """Purge all cached state for a table path (DROP / recreate)."""
-    _STATE_CACHE.pop(path, None)
-    for k in [k for k in _HIST_CACHE if k[0] == path]:
+    """Purge all cached state for a table path (DROP / recreate),
+    including any branch views' entries (cache keys 'path@branch')."""
+    pre = path + "@"
+    for k in [k for k in _STATE_CACHE if k == path or k.startswith(pre)]:
+        _STATE_CACHE.pop(k, None)
+    for k in [k for k in _HIST_CACHE if k[0] == path or k[0].startswith(pre)]:
         _HIST_CACHE.pop(k, None)
 
 # widenings permitted by widen_type (Iceberg-compatible set)
@@ -248,14 +253,48 @@ class LakeTable:
     ``_deleted`` in addition to the user schema; ``read()`` hides them.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, branch: str | None = None):
         # normalized: the folded-state cache is keyed by this string, so
         # '/x/t' and '/x/t/' must resolve to ONE cache entry (a drop +
         # recreate via a different spelling must not serve stale state)
         self.path = os.path.normpath(path)
+        # branch view (Iceberg branch ref / WAP stage): commits land in
+        # an isolated sub-log forked from a pinned main version; main
+        # readers never see them until publish_branch fast-forwards.
+        self.branch = branch
+        self._fork: int | None = None  # lazy fork_version for branch views
+
+    @property
+    def _ck(self) -> str:
+        """State-cache key: branch views must never share folded state
+        with the main view of the same path."""
+        return self.path if self.branch is None else f"{self.path}@{self.branch}"
 
     # ---------------- manifest plumbing (delta log + checkpoints) -------
+    def _bdir(self, name: str | None = None) -> str:
+        return os.path.join(
+            self.path, MANIFEST_DIR, f"branch-{name or self.branch}"
+        )
+
+    def _branch_ref_path(self, name: str | None = None) -> str:
+        return os.path.join(self._bdir(name), "ref.json")
+
+    def _fork_version(self) -> int:
+        """Main-log version this branch view forked from (pinned at
+        CREATE BRANCH; versions <= fork read from the main log)."""
+        if self._fork is None:
+            try:
+                with open(self._branch_ref_path()) as fh:
+                    self._fork = int(json.load(fh)["fork_version"])
+            except OSError:
+                raise FileNotFoundError(
+                    f"no such branch {self.branch!r} on {self.path}"
+                ) from None
+        return self._fork
+
     def _manifest_path(self, version: int) -> str:
+        if self.branch is not None and version > self._fork_version():
+            return os.path.join(self._bdir(), f"v{version:08d}.json")
         return os.path.join(self.path, MANIFEST_DIR, f"v{version:08d}.json")
 
     def _ckpt_path(self, version: int) -> str:
@@ -265,6 +304,13 @@ class LakeTable:
         return os.path.join(self.path, MANIFEST_DIR)
 
     def current_version(self) -> int:
+        if self.branch is not None:
+            fork = self._fork_version()
+            versions = [
+                int(n[1:9]) for n in os.listdir(self._bdir())
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            return max(versions) if versions else fork
         mdir = self._mdir()
         if not os.path.isdir(mdir):
             raise FileNotFoundError(f"not a lake table: {self.path}")
@@ -325,12 +371,27 @@ class LakeTable:
         """Reconstruct the folded state at version ``v``: newest full
         state (checkpoint / full record / cached head) <= v, then replay
         the delta records up to v."""
-        cached = _STATE_CACHE.get(self.path)
+        cached = _STATE_CACHE.get(self._ck)
         if cached is not None and cached[0] == v:
             return cached[1]
-        hist = _HIST_CACHE.get((self.path, v))
+        hist = _HIST_CACHE.get((self._ck, v))
         if hist is not None:
             return hist
+        if self.branch is not None:
+            # branch view: fold main state at the fork, then this
+            # branch's own delta records. Branch lifetimes are a few
+            # WAP commits, so a linear fold (no branch checkpoints)
+            # stays O(branch length).
+            fork = self._fork_version()
+            main = LakeTable(self.path)
+            if v <= fork:
+                return main._load_state(v)
+            state = main._load_state(fork)
+            for i in range(fork + 1, v + 1):
+                with open(self._manifest_path(i)) as fh:
+                    state = self._fold(state, json.load(fh))
+            _hist_put(self._ck, v, state)
+            return state
         mdir = self._mdir()
         names = os.listdir(mdir)
         ckpts = [
@@ -368,7 +429,7 @@ class LakeTable:
         v = head if version is None else version
         state = self._load_state(v)
         if v == head:
-            _cache_put(self.path, v, state)
+            _cache_put(self._ck, v, state)
         return Snapshot(state, self.path)
 
     def _write_manifest(self, manifest: dict) -> Snapshot:
@@ -390,8 +451,8 @@ class LakeTable:
         """Write a delta record, advance the state cache, and drop a
         checkpoint every CKPT_EVERY commits (amortized O(files)/K)."""
         self._write_manifest(rec)
-        _cache_put(self.path, rec["version"], folded)
-        if rec["version"] % CKPT_EVERY == 0:
+        _cache_put(self._ck, rec["version"], folded)
+        if self.branch is None and rec["version"] % CKPT_EVERY == 0:
             ck = self._ckpt_path(rec["version"])
             tmp = ck + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
@@ -829,6 +890,163 @@ class LakeTable:
             f"lost the schema-change commit race {max_retries + 1} times"
         )
 
+    # ---------------- branches (Iceberg refs / write-audit-publish) ------
+    # A branch is an isolated sub-log ``_manifests/branch-{name}/``
+    # forked from a pinned main version F: records are numbered
+    # v{F+1}.. with the SAME delta-record shape as main's, and every
+    # data file they add lives under the table's normal data/ tree — so
+    # publish is METADATA-ONLY (link the records into the main log),
+    # the WAP property. Audit queries read the branch view with the
+    # full engine read path (MOR resolution, schema alignment);
+    # rejecting a window = drop_branch, which reclaims its files.
+    _BRANCH_NAME = re.compile(r"^[A-Za-z][A-Za-z0-9_\-]*$")
+
+    def _require_main(self, op: str) -> None:
+        if self.branch is not None:
+            raise ValueError(f"{op} must run on the main table, not a branch view")
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "LakeTable":
+        """Fork a branch at ``at_version`` (default: current head) and
+        return its writable view. Create-exclusive: a second creator of
+        the same name loses (FileExistsError)."""
+        self._require_main("create_branch")
+        if not self._BRANCH_NAME.match(name or ""):
+            raise ValueError(f"bad branch name: {name!r}")
+        head = self.current_version()
+        fork = head if at_version is None else int(at_version)
+        if not 0 <= fork <= head:
+            raise ValueError(f"fork version {fork} outside [0, {head}]")
+        fork_state = self._load_state(fork)  # reconstructable (not expired)?
+        bdir = self._bdir(name)
+        os.makedirs(bdir, exist_ok=False)
+        ref = {"name": name, "fork_version": fork,
+               "forked_snapshot_id": fork_state["snapshot_id"]}
+        with open(self._branch_ref_path(name) + ".tmp", "w") as fh:
+            json.dump(ref, fh)
+        os.replace(self._branch_ref_path(name) + ".tmp", self._branch_ref_path(name))
+        return LakeTable(self.path, branch=name)
+
+    def branch_view(self, name: str) -> "LakeTable":
+        t = LakeTable(self.path, branch=name)
+        t._fork_version()  # raise early if the branch doesn't exist
+        return t
+
+    def list_branches(self) -> list[dict]:
+        """[{name, fork_version, head_version, commits}] for live refs."""
+        mdir = self._mdir()
+        out = []
+        for n in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+            if not n.startswith("branch-"):
+                continue
+            name = n[len("branch-"):]
+            try:
+                v = self.branch_view(name)
+            except FileNotFoundError:
+                continue  # half-created/half-dropped ref
+            fork, head = v._fork_version(), v.current_version()
+            out.append({"name": name, "fork_version": fork,
+                        "head_version": head, "commits": head - fork})
+        return out
+
+    def _branch_records(self, name: str) -> list[int]:
+        return sorted(
+            int(f[1:9]) for f in os.listdir(self._bdir(name))
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def publish_branch(self, name: str) -> Snapshot:
+        """Fast-forward main to the branch head (Iceberg
+        fastForwardBranch / WAP publish). Metadata-only: each branch
+        record hard-links into the main log under its own version
+        number via the same create-exclusive CAS every commit uses.
+
+        Precondition: main head still equals the branch's fork version
+        (the branch's records were staged against it). A main commit
+        that landed after the fork owns v{fork+1}, so the first link
+        collides -> CommitConflict; re-stage on a fresh branch. A
+        publish that crashed midway is resumable: already-linked
+        records are recognized by snapshot_id and skipped."""
+        self._require_main("publish_branch")
+        view = self.branch_view(name)
+        fork = view._fork_version()
+        versions = self._branch_records(name)
+        for v in versions:
+            src = os.path.join(self._bdir(name), f"v{v:08d}.json")
+            dst = os.path.join(self._mdir(), f"v{v:08d}.json")
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                with open(src) as fh:
+                    want = json.load(fh).get("snapshot_id")
+                with open(dst) as fh:
+                    have = json.load(fh).get("snapshot_id")
+                if want != have:
+                    raise CommitConflict(
+                        f"cannot fast-forward branch {name!r}: main advanced "
+                        f"past fork v{fork} (v{v} is a different commit)"
+                    ) from None
+                # same record already linked (resumed publish) — continue
+        self.drop_branch(name, delete_files=False)  # records now live in main
+        return self.snapshot()
+
+    def drop_branch(self, name: str, delete_files: bool = True) -> int:
+        """Delete a branch ref (WAP audit-reject). With
+        ``delete_files`` (the reject path), also unlink the data files
+        its records added — branch commits only ever add NEW files
+        under fresh snap dirs, so they are branch-private by
+        construction and safe to reclaim eagerly. Returns data files
+        removed."""
+        self._require_main("drop_branch")
+        bdir = self._bdir(name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no such branch {name!r} on {self.path}")
+        removed = 0
+        if delete_files:
+            for v in self._branch_records(name):
+                with open(os.path.join(bdir, f"v{v:08d}.json")) as fh:
+                    rec = json.load(fh)
+                for f in rec.get("add_files", []):
+                    try:
+                        os.unlink(os.path.join(self.path, f["path"]))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+        shutil.rmtree(bdir)
+        pre_ck = f"{self.path}@{name}"
+        _STATE_CACHE.pop(pre_ck, None)
+        for k in [k for k in _HIST_CACHE if k[0] == pre_ck]:
+            _HIST_CACHE.pop(k, None)
+        return removed
+
+    def rollback(self, to_version: int, max_retries: int = 5) -> Snapshot:
+        """Restore the file set (and schema/applied-epochs state) of
+        ``to_version`` as a NEW head commit (Iceberg
+        rollback_to_snapshot): time travel stays intact, the rolled-past
+        records remain until expire_snapshots, and epochs applied after
+        ``to_version`` become re-appliable — a rollback un-applies them.
+        The record is a full state, so it is self-reconstructable."""
+        self._require_main("rollback")
+        state = self._load_state(to_version)
+        for _ in range(max_retries + 1):
+            head = self.snapshot()
+            if to_version > head.version:
+                raise ValueError(
+                    f"rollback target v{to_version} is ahead of head v{head.version}"
+                )
+            rec = dict(state)
+            rec.update(
+                version=head.version + 1,
+                parent=head.snapshot_id,
+                snapshot_id=uuid.uuid4().hex,
+                summary={"operation": "rollback", "to_version": to_version},
+                epoch_id=None,
+            )
+            try:
+                return self._commit_record(rec, rec)
+            except FileExistsError:
+                continue  # lost the CAS race; re-read head and retry
+        raise CommitConflict(f"lost the rollback commit race {max_retries + 1} times")
+
     # ---------------- maintenance (Iceberg expire_snapshots / orphan GC) --
     def earliest_version(self) -> int:
         """Oldest version still reconstructable (time-travel floor).
@@ -862,13 +1080,23 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 3) -> int:
         """Drop all but the newest ``keep_last`` manifests (time travel
         window). applied_epochs accumulate forward, so exactly-once
-        replay protection survives expiry. Returns manifests removed."""
+        replay protection survives expiry. Returns manifests removed.
+
+        Live branch refs PIN their fork versions (Iceberg: refs protect
+        snapshots from expiration): a branch's state folds from main at
+        its fork, so expiry never drops below the oldest live fork."""
+        self._require_main("expire_snapshots")
         mdir = os.path.join(self.path, MANIFEST_DIR)
         names = os.listdir(mdir)
         versions = sorted(
             int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
         )
         to_drop = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        min_fork = min(
+            (b["fork_version"] for b in self.list_branches()), default=None
+        )
+        if min_fork is not None:
+            to_drop = [v for v in to_drop if v < min_fork]
         if not to_drop:
             return 0
         oldest_kept = versions[len(to_drop)]
@@ -905,16 +1133,24 @@ class LakeTable:
         maintenance)."""
         import time as _time
 
+        self._require_main("vacuum")
         mdir = os.path.join(self.path, MANIFEST_DIR)
         live: set[str] = set()
-        for n in os.listdir(mdir):
-            if n.endswith(".json") and (n.startswith("v") or n.startswith("ckpt-")):
-                with open(os.path.join(mdir, n)) as fh:
-                    rec = json.load(fh)
-                # full states carry "files"; delta records carry "add_files"
-                live.update(
-                    f["path"] for f in rec.get("files", []) + rec.get("add_files", [])
-                )
+        # live branch sub-logs reference files too (unpublished WAP
+        # stages must survive a concurrent vacuum until publish/reject)
+        rec_dirs = [mdir] + [
+            os.path.join(mdir, n) for n in os.listdir(mdir)
+            if n.startswith("branch-") and os.path.isdir(os.path.join(mdir, n))
+        ]
+        for d in rec_dirs:
+            for n in os.listdir(d):
+                if n.endswith(".json") and (n.startswith("v") or n.startswith("ckpt-")):
+                    with open(os.path.join(d, n)) as fh:
+                        rec = json.load(fh)
+                    # full states carry "files"; deltas carry "add_files"
+                    live.update(
+                        f["path"] for f in rec.get("files", []) + rec.get("add_files", [])
+                    )
         removed = 0
         cutoff = _time.time() - grace_sec
         droot = os.path.join(self.path, DATA_DIR)
@@ -1003,3 +1239,20 @@ class LakeTable:
         return self.commit_schema_change(
             fields, {"operation": "widen_type", "name": name, "type": new_type}, base=latest
         )
+
+
+def open_lake(spec: str) -> LakeTable:
+    """Resolve a user-facing lake path operand, including the
+    ``path@branch`` branch-view form used by the statement verbs
+    (Iceberg's ``table.branch_name`` read/write syntax). A literal
+    directory wins over the '@' interpretation, so tables whose path
+    genuinely contains '@' stay addressable."""
+    p = os.path.normpath(spec)
+    if os.path.isdir(os.path.join(p, MANIFEST_DIR)):
+        return LakeTable(p)
+    if "@" in spec:
+        base, _, br = spec.rpartition("@")
+        base = os.path.normpath(base)
+        if os.path.isdir(os.path.join(base, MANIFEST_DIR, f"branch-{br}")):
+            return LakeTable(base, branch=br)
+    return LakeTable(p)  # downstream raises 'not a lake table'

@@ -70,20 +70,29 @@ def read_source(spark: SparkSession, path: str, hints: dict | None = None) -> Da
         url, table = _parse_jdbc(path)
         return spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
     scheme, path = _strip_scheme(path)
-    if scheme == "file" and os.path.isdir(
-        os.path.join(path.split("://", 1)[-1], "_manifests")
-    ):
-        # the path IS a lake table: route through the snapshot read
-        # (live rows, MOR resolution, schema alignment) — a raw parquet
-        # scan of the data dir would see every historical snapshot's
-        # files plus tombstones and engine columns. WITH (VERSION n)
-        # time-travels.
-        from qwery_spark.lake.table import LakeTable
+    if scheme == "file":
+        # the path IS a lake table (or the 'path@branch' view of one):
+        # route through the snapshot read (live rows, MOR resolution,
+        # schema alignment) — a raw parquet scan of the data dir would
+        # see every historical snapshot's files plus tombstones and
+        # engine columns. WITH (VERSION n) time-travels.
+        local = path.split("://", 1)[-1]
+        tbl = None
+        if os.path.isdir(os.path.join(local, "_manifests")):
+            from qwery_spark.lake.table import LakeTable
 
-        v = hints.get("version")
-        return LakeTable(path.split("://", 1)[-1]).read(
-            spark, snapshot_version=None if v is None else int(v)
-        )
+            tbl = LakeTable(local)
+        elif "@" in local:
+            base, _, br = local.rpartition("@")
+            if os.path.isdir(os.path.join(base, "_manifests", f"branch-{br}")):
+                from qwery_spark.lake.table import LakeTable
+
+                tbl = LakeTable(base, branch=br)
+        if tbl is not None:
+            v = hints.get("version")
+            return tbl.read(
+                spark, snapshot_version=None if v is None else int(v)
+            )
     if hints.get("version") is not None:
         # a silently ignored time-travel pin would return current data
         # to a user who believes they pinned a snapshot

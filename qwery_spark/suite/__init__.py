@@ -86,10 +86,16 @@ _WINDOW_50 = [
     # ten queries that NEVER had a driver
     # row plus the two new round-5 operators (min/max IVM retraction,
     # per-commit SCD2 fidelity), appended at the end of this list.
-    "dedup_exact", "dedup_minhash_candidates",
+    "dedup_exact",
+    # round-6: write-audit-publish branch staging and ROLLBACK TO
+    # VERSION take the slots of always-green dedup_minhash_candidates
+    # (the full pipeline below still exercises the candidate join) and
+    # mm_frame_sample — both stay judge/oracle-covered via
+    # tools/check_oracle.py
+    "cdc_wap_publish", "cdc_rollback_state",
     "dedup_pipeline_survivors", "text_quality",
     # multimodal plumbing
-    "mm_binary_features", "mm_frame_sample",
+    "mm_binary_features",
     # ANN / embedding dedup (round-5: the persisted incremental IVF
     # index takes always-green embedding_label_stats' slot; round-6:
     # ann_index_batch_topk — the ONLY registry query never driver-

@@ -478,3 +478,163 @@ def cdc_replicate_ddl_sync(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "cdc_wap_publish",
+    """
+    WITH bounds AS (
+      SELECT min(event_id) AS lo,
+             CAST(FLOOR((max(event_id) - min(event_id) + 4) / 4) AS BIGINT) AS step
+      FROM events
+    ),
+    ev AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             CAST(FLOOR((e.event_id - b.lo) / b.step) AS INTEGER) AS win
+      FROM events e, bounds b
+    ),
+    bad AS (
+      -- the audit rule (mass-delete guard shape): a window carrying an
+      -- ODD number of delete events is rejected wholesale
+      -- (drop_branch); the rest publish
+      SELECT win FROM ev GROUP BY win
+      HAVING COUNT(*) FILTER (WHERE event_type = 'error') % 2 = 1
+    ),
+    replay AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM ev
+      WHERE win NOT IN (SELECT win FROM bad)
+        AND NOT (event_id % 997 = 0 AND event_type <> 'error')  -- quarantined
+    )
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CAST((event_id % 5) + 1 AS INTEGER) AS n_tok,
+           event_type AS source,
+           md5(array_to_string(list_transform(range(0, CAST(event_id % 5 AS INTEGER) + 1),
+               i -> (event_id * 31 + i) % 50257), ',')) AS tokens_md5
+    FROM replay
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Write-audit-publish on the driver's correctness gate: every "
+    "ordinal-range window is staged on an isolated BRANCH of the table "
+    "(Iceberg branch ref), an audit inspects the staged window (delete-"
+    "count parity), and the branch is either fast-forward PUBLISHED into main "
+    "(metadata-only) or DROPPED with its files reclaimed. Final main "
+    "state must equal a pure-SQL replay of only the published windows — "
+    "rejected windows leave zero trace.",
+)
+def cdc_wap_publish(spark, sf_dir):
+    """WAP loop: stage -> audit -> publish|reject, one branch per window.
+
+    Rejected windows' epochs stay unapplied (a corrected re-stage may
+    reuse them); published branches carry their epoch into main's
+    exactly-once set. Iceberg analogue: write.wap.enabled staging +
+    fast_forward; reference has no snapshot machinery at all (the gap
+    this closes: core:ops/sql/Upsert.scala applies in place, so a bad
+    window corrupts the table irreversibly)."""
+    events = _derived_events(spark, sf_dir)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+
+    tag = hashlib.md5(f"{sf_dir}|wap".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_wap_tbl_")
+    try:
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="mor")
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            br = tbl.create_branch(f"w{b}")
+            apply_changes(spark, br, batch, epoch_id=b, collect_stats=False)
+            # audit: one scalar to the driver (delete-count parity — the
+            # mass-delete-guard shape); a real deployment would run
+            # arbitrary SELECTs on the branch view
+            parity = batch.filter(F.col("op") == "D").count() % 2
+            if parity == 1:
+                tbl.drop_branch(f"w{b}")  # reject: reclaim staged files
+            else:
+                tbl.publish_branch(f"w{b}")
+        (
+            tbl.read(spark)
+            .select(
+                "doc_id",
+                "n_tok",
+                "source",
+                F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
+                .alias("tokens_md5"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "cdc_rollback_state",
+    """
+    WITH bounds AS (
+      SELECT min(event_id) AS lo,
+             CAST(FLOOR((max(event_id) - min(event_id) + 4) / 4) AS BIGINT) AS step
+      FROM events
+    ),
+    replay AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id DESC) AS rn
+      FROM events e, bounds b
+      WHERE e.event_id < b.lo + 2 * b.step                     -- windows 0-1 survive
+        AND NOT (e.event_id % 997 = 0 AND e.event_type <> 'error')  -- quarantined
+    )
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CAST((event_id % 5) + 1 AS INTEGER) AS n_tok,
+           event_type AS source,
+           md5(array_to_string(list_transform(range(0, CAST(event_id % 5 AS INTEGER) + 1),
+               i -> (event_id * 31 + i) % 50257), ',')) AS tokens_md5
+    FROM replay
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="ROLLBACK TO VERSION on the driver's correctness gate: replay "
+    "all 4 windows, then roll the table back to the commit after window "
+    "1 — the restored head (a NEW full-state commit; time travel over "
+    "the rolled-past range stays intact) must equal an oracle replay of "
+    "only the first two windows. Iceberg rollback_to_snapshot semantics: "
+    "epochs applied after the target become re-appliable.",
+)
+def cdc_rollback_state(spark, sf_dir):
+    events = _derived_events(spark, sf_dir)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+
+    tag = hashlib.md5(f"{sf_dir}|rollback".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_rb_tbl_")
+    try:
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="cow")
+        target = None
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            if b == 1:
+                target = tbl.current_version()
+        tbl.rollback(target)
+        (
+            tbl.read(spark)
+            .select(
+                "doc_id",
+                "n_tok",
+                "source",
+                F.md5(F.array_join(F.transform("tokens", lambda x: x.cast("string")), ","))
+                .alias("tokens_md5"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
