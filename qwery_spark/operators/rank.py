@@ -86,3 +86,66 @@ def with_ntile(
         (F.lit(rem) + ((r - 1 - cutoff) / F.greatest(F.lit(base), F.lit(1))).cast("int") + 1)
     )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("_rank")
+
+
+def with_group_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    num_partitions: int | None = None,
+    cum_col: str = "_cum",
+) -> DataFrame:
+    """Exact per-group running sum of ``val_col`` by ``order_cols`` —
+    ``sum(v) OVER (PARTITION BY g ORDER BY o)`` — without a per-group
+    single-task window. Same scheme as with_global_rank, keyed by
+    (group, order):
+
+      1. repartitionByRange on (group, *order): each group occupies a
+         contiguous run of partitions.
+      2. one skinny job sums val per (partition, group) — at most
+         P + |groups| rows (contiguity!), driver-safe; per-group prefix
+         sums over partition ids give each (partition, group) offset.
+      3. per-partition window (parallel) + broadcast offset join.
+
+    A 100-TB mixture with 5 domains still spreads each domain across
+    ~P/5 partitions instead of 5 tasks."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(p, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # same eager-localCheckpoint rationale as with_global_rank: both
+    # passes must see identical range boundaries
+    parted = parted.localCheckpoint(eager=True)
+    sums = (
+        parted.groupBy("_pid", group_col)
+        .agg(F.sum(val_col).alias("_s"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in sums:
+        by_group.setdefault(r[group_col], []).append((r["_pid"], r["_s"]))
+    offsets = []
+    for g, parts in by_group.items():
+        acc = 0
+        for pid, s in sorted(parts):
+            offsets.append((pid, g, acc))
+            acc += s or 0
+    off_df = spark.createDataFrame(
+        offsets or [(0, None, 0)], f"_pid int, {group_col} string, _off long"
+    )
+    w = Window.partitionBy("_pid", group_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        parted.join(F.broadcast(off_df), ["_pid", group_col], "left")
+        .withColumn(
+            cum_col,
+            (F.sum(F.col(val_col)).over(w) + F.coalesce(F.col("_off"), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .drop("_pid", "_off")
+    )

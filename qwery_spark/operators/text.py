@@ -159,3 +159,95 @@ def decontaminate(
         .groupBy(key)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    dup_word_thresh: float = 0.55,
+    top_bigram_thresh: float = 0.04,
+) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 filter
+    heavily-repetitive documents before LM training): per-doc duplicate
+    word fraction and the share of bigrams taken by the single most
+    frequent bigram, plus the combined reject flag.
+
+    Scale shape: ENTIRELY map-side — zero shuffle at any corpus size.
+    The naive plan (explode bigrams -> groupBy(doc, gram) -> max per
+    doc) shuffles ~|words| rows; instead the per-doc top-bigram count
+    is the longest equal-run in the SORTED bigram array, computed with
+    array_sort + aggregate() inside one projection — a single map
+    stage over the scan (HOFs sit outside codegen but stay JVM-side;
+    .explain shows zero Exchange, gated in tests/test_plans.py).
+    """
+    ws = F.split(F.col(text_col), r"\s+")
+    n_words = F.size(ws)
+    dup_frac = F.round(
+        (n_words - F.size(F.array_distinct(ws))) * F.lit(1.0) / n_words, 6
+    )
+    # longest equal-run over the sorted bigram array == max bigram count
+    top_count = F.expr(
+        """
+        aggregate(
+          array_sort(
+            zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+                     slice(ws, 2, greatest(size(ws) - 1, 0)),
+                     (a, b) -> concat(a, ' ', b))),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+            named_struct('prev', x, 'run', acc.run + 1,
+                         'best', greatest(acc.best, acc.run + 1)),
+            named_struct('prev', x, 'run', 1, 'best', greatest(acc.best, 1))),
+          acc -> acc.best)
+        """
+    )
+    n_bigrams = F.greatest(n_words - 1, F.lit(1))
+    return (
+        df.withColumn("ws", ws)
+        .select(
+            key,
+            n_words.alias("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            top_count.alias("top_bigram_count"),
+            F.round(top_count * F.lit(1.0) / n_bigrams, 6).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("dup_word_frac") > dup_word_thresh)
+            | (F.col("top_bigram_frac") > top_bigram_thresh),
+        )
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Mixture sampling under a per-group token budget: within each
+    group (domain/source), take documents in deterministic md5(key)
+    order until the cumulative whitespace-token count reaches
+    ``budget`` (a document is kept iff it STARTS inside the budget —
+    so the output slightly overshoots, never undershoots, matching how
+    training mixtures cap domains).
+
+    Scale shape: the cumulative sum uses the range-partition + offset
+    scheme (operators/rank.py), NOT a per-group window — a per-group
+    window puts each group's entire corpus through one task, and real
+    mixtures have few, huge groups (the 100-TB failure mode). Cost: one
+    range shuffle + a bounded (partitions x resident groups) driver
+    collect + a broadcast."""
+    from qwery_spark.operators.rank import with_group_cumsum
+
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    slim = df.select(key, group_col, n_tok.alias("n_tok")).withColumn(
+        "_ord", F.md5(F.col(key).cast("string"))
+    )
+    cum = with_group_cumsum(slim, group_col, ["_ord"], "n_tok", cum_col="cum_tok")
+    return (
+        cum.filter(F.col("cum_tok") - F.col("n_tok") < budget)
+        .select(key, group_col, "n_tok", "cum_tok")
+    )

@@ -73,7 +73,9 @@ _WINDOW_50 = [
     "cdc_stats_pruned_read",
     # round-4: incremental SCD2 history (takes always-green batch
     # cdc_scd2_history's slot — the materialized form supersedes it)
-    "cdc_scd2_materialized", "tok_packing_sharded",
+    # round-6: Gopher-style repetition filters (zero-shuffle HOF plan)
+    # take always-green tok_packing_sharded's slot
+    "cdc_scd2_materialized", "text_repetition_quality",
     # round-4 flagship: incremental dedup over the persisted signature
     # index (takes always-green tok_vocab_stats' slot)
     "dedup_incremental_candidates",
@@ -107,7 +109,10 @@ _WINDOW_50 = [
     # core flagships named by the r2 verdict + headline TPC-H-ish
     "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",
     "q03_segment_revenue", "q05_nation_revenue",
-    "q_ntile_quartiles",
+    # round-6: per-domain token-budget mixture sampling (grouped
+    # range-partition cumsum — the same distributed-ranker family as
+    # always-green q_ntile_quartiles, whose slot it takes)
+    "sample_token_budget",
     # new in r3 (no prior driver row): range join, the CDC-out change
     # feed, and context-length chunking. They take the slots of
     # tok_packing / q06_forecast_revenue / q_grouping_sets, all green

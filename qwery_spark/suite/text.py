@@ -27,6 +27,8 @@ from qwery_spark.operators.text import (
     fingerprint,
     marker_lang_scores,
     quality_score,
+    repetition_stats,
+    token_budget_sample,
     token_stats,
 )
 from qwery_spark.suite import load, register
@@ -1262,4 +1264,73 @@ def sample_cap_per_group(spark, sf_dir):
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 40)
+    )
+
+
+@register(
+    "text_repetition_quality",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM w
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    t AS (SELECT doc_id, max(cnt) AS top_count FROM c GROUP BY 1)
+    SELECT w.doc_id,
+           len(ws) AS n_words,
+           round((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 6)
+             AS dup_word_frac,
+           CAST(coalesce(t.top_count, 0) AS INTEGER) AS top_bigram_count,
+           round(coalesce(t.top_count, 0) * 1.0
+                 / greatest(len(ws) - 1, 1), 6) AS top_bigram_frac,
+           (round((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 6) > 0.55
+            OR round(coalesce(t.top_count, 0) * 1.0
+                     / greatest(len(ws) - 1, 1), 6) > 0.04) AS is_repetitive
+    FROM w LEFT JOIN t USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters (duplicate-word fraction + "
+    "top-bigram share): the Spark plan is ZERO-shuffle — the per-doc "
+    "max bigram count is the longest equal-run in the array_sort'ed "
+    "bigram array via the aggregate() HOF, one map stage over the scan "
+    "— while the oracle recomputes it the naive explode/groupBy way.",
+)
+def text_repetition_quality(spark, sf_dir):
+    return repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "sample_token_budget",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS o
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY o
+             ) AS BIGINT) AS cum_tok
+      FROM w
+    )
+    SELECT doc_id, source, n_tok, cum_tok FROM c
+    WHERE cum_tok - n_tok < 500
+    """,
+    doc="Mixture sampling under a per-domain token budget (the "
+    "training-mixture capping step): deterministic md5 order, keep a "
+    "doc iff it STARTS inside the budget. Spark side computes the "
+    "grouped running sum with the range-partition + offset scheme "
+    "(operators/rank.with_group_cumsum) instead of a per-group window "
+    "— few huge domains would otherwise serialize through single "
+    "tasks; the oracle uses the plain window.",
+)
+def sample_token_budget(spark, sf_dir):
+    return token_budget_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source", budget=500
     )
