@@ -117,7 +117,9 @@ _WINDOW_50 = [
     # feed, and context-length chunking. They take the slots of
     # tok_packing / q06_forecast_revenue / q_grouping_sets, all green
     # in CORRECTNESS_r02 and still oracle-checked locally.
-    "cdc_range_join_windows", "cdc_change_feed", "tok_chunking",
+    # round-6: the quarantine/dead-letter surface takes always-green
+    # tok_chunking's slot (still bench-timed + oracle-covered)
+    "cdc_range_join_windows", "cdc_change_feed", "cdc_quarantine_audit",
     # round-4 rotation: first-ever driver rows for these three
     "q_grouping_sets", "q_sessionize", "sample_cap_per_group",
     # round-5 rotation: first-ever driver rows — the full never-rowed

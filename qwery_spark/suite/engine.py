@@ -638,3 +638,60 @@ def cdc_rollback_state(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "cdc_quarantine_audit",
+    """
+    WITH bounds AS (
+      SELECT min(event_id) AS lo,
+             CAST(FLOOR((max(event_id) - min(event_id) + 4) / 4) AS BIGINT) AS step
+      FROM events
+    )
+    SELECT CAST(e.user_id AS VARCHAR) AS doc_id,
+           e.event_id AS ordinal,
+           'n_tok_mismatch' AS reject_reason,
+           CAST(FLOOR((e.event_id - b.lo) / b.step) AS BIGINT) AS epoch_id
+    FROM events e, bounds b
+    WHERE e.event_id % 997 = 0 AND e.event_type <> 'error'
+    """,
+    doc="The dead-letter queue on the correctness gate: replay all 4 "
+    "windows with a quarantine dir and return the quarantined events "
+    "(key, ordinal, machine-readable reject_reason, epoch) — the oracle "
+    "derives the same rows from the seeded violation rule. Epoch-scoped "
+    "overwrite keeps the quarantine idempotent under re-delivery "
+    "(reference analogue: ROWS_REJECTED counters, core:ops/sql/"
+    "Update.scala row loop — which only counts; the rows themselves "
+    "are lost there).",
+)
+def cdc_quarantine_audit(spark, sf_dir):
+    events = _derived_events(spark, sf_dir)
+    bounds = events.agg(F.min("ordinal"), F.max("ordinal")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + _N_BATCHES) // _N_BATCHES
+
+    tag = hashlib.md5(f"{sf_dir}|quar".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_engine_replay_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_engine_quar_tbl_")
+    try:
+        from qwery_spark.cdc.apply import read_quarantine
+
+        tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="mor")
+        qdir = d + "/quarantine"
+        for b in range(_N_BATCHES):
+            batch = events.filter(
+                (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
+            )
+            apply_changes(
+                spark, tbl, batch, epoch_id=b, collect_stats=False,
+                quarantine_dir=qdir,
+            )
+        (
+            read_quarantine(spark, qdir)
+            .select("doc_id", "ordinal", "reject_reason", "epoch_id")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
