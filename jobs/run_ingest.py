@@ -20,6 +20,7 @@ lineage rows (per-epoch offsets, counts, snapshot ids, wall ms) land in
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -58,6 +59,13 @@ def main(argv=None):
     p.add_argument("--transform-sql",
                    help="qwery-style SELECT-transform over the view `events`, "
                         "applied per micro-batch before validation+merge")
+    p.add_argument("--audit-sql",
+                   help="write-audit-publish: stage each micro-batch on a "
+                        "branch, run this query over the staged state (view "
+                        "`staged`); publish iff it returns zero rows")
+    p.add_argument("--rejected-dir",
+                   help="with --audit-sql: window-level dead-letter dir for "
+                        "rejected micro-batches (epoch-scoped parquet)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -110,17 +118,32 @@ def main(argv=None):
 
     _rid = {}
 
+    from qwery_spark.streaming.stream import _wap_batch
+
     def _batch(df, epoch_id):
         if "v" not in _rid:
             _rid["v"] = run_id_for_checkpoint(args.checkpoint)
         if args.transform_sql:
             df.createOrReplaceTempView("events")
             df = df.sparkSession.sql(args.transform_sql)
-        apply_changes(
-            spark, table, df, epoch_id=epoch_id,
-            lineage_dir=args.lineage, quarantine_dir=args.quarantine,
-            run_id=_rid["v"],
-        )
+
+        def _apply(target):
+            return apply_changes(
+                spark, target, df, epoch_id=epoch_id,
+                lineage_dir=args.lineage, quarantine_dir=args.quarantine,
+                run_id=_rid["v"],
+            )
+
+        if args.audit_sql:
+            wap_log: list = []
+            _wap_batch(
+                spark, table, _apply, args.audit_sql, _rid["v"], epoch_id,
+                df, args.rejected_dir, wap_log,
+            )
+            for w in wap_log:
+                print(json.dumps({"wap": w}), file=sys.stderr)
+        else:
+            _apply(table)
 
     writer = events.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", args.checkpoint

@@ -22,6 +22,7 @@ whose offsets are committed and continues the epoch counter.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -198,11 +199,81 @@ def run_id_for_checkpoint(checkpoint_dir: str) -> str:
         return hashlib.md5(_os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
 
+def _wap_batch(
+    spark,
+    table: LakeTable,
+    apply_fn,
+    audit_sql: str,
+    run_id: str,
+    epoch_id: int,
+    df: DataFrame,
+    rejected_dir: str | None,
+    wap_log: list,
+    max_restages: int = 3,
+):
+    """One write-audit-publish cycle (see run_stream docstring). The
+    branch name is (run, epoch)-scoped so a crashed attempt's stale
+    stage is recognized and rebuilt, never half-trusted."""
+    from qwery_spark.lake.table import CommitConflict
+
+    bname = f"wap_{run_id}_{epoch_id}"
+    for _ in range(max_restages):
+        try:
+            br = table.create_branch(bname)
+        except FileExistsError:
+            # stale stage from a crashed or conflicted attempt: nothing
+            # on it was published (publish removes the ref), so rebuild
+            table.drop_branch(bname)
+            br = table.create_branch(bname)
+        res = apply_fn(br)
+        if res.merge.skipped:
+            # epoch already published by a previous attempt (or arrived
+            # twice): the empty stage is dropped, main untouched
+            table.drop_branch(bname)
+            wap_log.append({
+                "epoch_id": epoch_id, "published": True,
+                "violations": 0, "skipped": True,
+            })
+            return res
+        br.read(spark).createOrReplaceTempView("staged")
+        violations = spark.sql(audit_sql).count()
+        if violations:
+            if rejected_dir is not None:
+                # window-level dead letter: the raw events, epoch-scoped
+                # overwrite (idempotent under re-delivery)
+                df.write.mode("overwrite").parquet(
+                    os.path.join(rejected_dir, f"epoch={run_id}-{epoch_id}")
+                )
+            table.drop_branch(bname)
+            wap_log.append({
+                "epoch_id": epoch_id, "published": False,
+                "violations": violations, "skipped": False,
+            })
+            return res
+        try:
+            table.publish_branch(bname)
+        except CommitConflict:
+            # a maintenance daemon committed between fork and publish:
+            # the stage was computed against a head that moved — rebuild
+            # it against the new head and re-audit
+            table.drop_branch(bname)
+            continue
+        wap_log.append({
+            "epoch_id": epoch_id, "published": True,
+            "violations": 0, "skipped": False,
+        })
+        return res
+    raise CommitConflict(
+        f"WAP epoch {epoch_id}: lost the publish race {max_restages} times"
+    )
+
+
 @dataclass
 class StreamRun:
     query: StreamingQuery
     results: list[ApplyResult] = field(default_factory=list)
     maintenance: list = field(default_factory=list)  # MaintenanceReport ticks
+    wap: list = field(default_factory=list)  # per-epoch audit decisions
 
 
 def run_stream(
@@ -221,6 +292,8 @@ def run_stream(
     transform_sql: str | None = None,
     min_ordinal: int | None = None,
     expire_keep: int | None = None,
+    audit_sql: str | None = None,
+    rejected_dir: str | None = None,
 ) -> StreamRun:
     """Start the CDC ingest stream. With available_now=True the query
     drains everything currently in events_dir and stops (the pattern for
@@ -233,7 +306,22 @@ def run_stream(
     filters / CASE / CAST, SURVEY.md §7.0.3): a SQL statement over the
     view ``events``, compiled by Catalyst per micro-batch BEFORE
     validation + merge. It must preserve the change-event columns it
-    doesn't transform (ordinal/op/doc_id at minimum)."""
+    doesn't transform (ordinal/op/doc_id at minimum).
+
+    ``audit_sql`` turns every micro-batch into a write-audit-publish
+    cycle (Iceberg WAP staging): the batch merges into an isolated
+    BRANCH, the audit query runs with the branch's live state
+    registered as the view ``staged``, and the branch fast-forwards
+    into main only when the audit returns ZERO rows (the query selects
+    VIOLATIONS — table-level invariants the row-level validator can't
+    see: distribution shifts, mass deletes, cross-row duplicates). A
+    failing window is dropped wholesale — its files reclaimed, its
+    epoch left unapplied so a corrected re-stage can reuse it — and
+    its raw events land under ``rejected_dir``/epoch=… when given
+    (the window-level dead-letter queue, beside quarantine_dir's
+    row-level one). Decisions are recorded in StreamRun.wap. A
+    concurrent maintenance commit between fork and publish triggers a
+    re-stage (the branch is recomputed against the new head)."""
     events = stream_events(
         spark, events_dir, max_files_per_trigger, min_ordinal=min_ordinal
     )
@@ -251,17 +339,27 @@ def run_stream(
             # the view must be registered AND resolved on that clone
             df.createOrReplaceTempView("events")
             df = df.sparkSession.sql(transform_sql)
-        res = apply_changes(
-            spark,
-            table,
-            df,
-            epoch_id=epoch_id,
-            validation=validation,
-            quarantine_dir=quarantine_dir,
-            lineage_dir=lineage_dir,
-            collect_stats=collect_stats,
-            run_id=run_id,
-        )
+
+        def _apply(target) -> ApplyResult:
+            return apply_changes(
+                spark,
+                target,
+                df,
+                epoch_id=epoch_id,
+                validation=validation,
+                quarantine_dir=quarantine_dir,
+                lineage_dir=lineage_dir,
+                collect_stats=collect_stats,
+                run_id=run_id,
+            )
+
+        if audit_sql is None:
+            res = _apply(table)
+        else:
+            res = _wap_batch(
+                spark, table, _apply, audit_sql, run_id, epoch_id,
+                df, rejected_dir, run.wap,
+            )
         run.results.append(res)
         # state-driven maintenance: compact when the manifest says a
         # bucket's file count crossed the read-amplification bound —

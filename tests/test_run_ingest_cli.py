@@ -63,3 +63,43 @@ def test_run_ingest_cli_drain_seek_and_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     lin2 = spark.read.parquet(lineage)
     assert lin2.selectExpr("max(ordinal_max)").collect()[0][0] == 3499
+
+
+def test_run_ingest_cli_wap_audit(tmp_path):
+    """--audit-sql turns the deploy artifact into a WAP loop: windows
+    failing the staged-state audit are rejected to --rejected-dir and
+    never reach main."""
+    ev_dir = str(tmp_path / "events")
+    # limit == max_len (cf. tests/test_streaming_wap.py): only
+    # exact-max rows violate -> a mix of publish/reject across chunks
+    write_event_chunks(make_events(3000, seed=23, max_len=1500), ev_dir, 6)
+    table = str(tmp_path / "t")
+    rej = str(tmp_path / "rejected")
+
+    r = _run([
+        "--events", ev_dir, "--table", table, "--create", "--mode", "mor",
+        "--buckets", "4", "--checkpoint", str(tmp_path / "ck"),
+        "--max-files-per-trigger", "1",
+        "--audit-sql", "SELECT * FROM staged WHERE n_tok >= 1500",
+        "--rejected-dir", rej,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    decisions = [
+        json.loads(line)["wap"]
+        for line in r.stderr.splitlines()
+        if line.startswith('{"wap"')
+    ]
+    assert len(decisions) == 6
+    published = [d["published"] for d in sorted(decisions, key=lambda d: d["epoch_id"])]
+    assert True in published and False in published, published
+    # each rejected window left a dead-letter epoch dir
+    assert len(os.listdir(rej)) == published.count(False)
+
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.session import get_spark
+
+    tbl = LakeTable(table)
+    assert tbl.list_branches() == []  # no stray stages
+    spark = get_spark("cli-wap-check", cpus=4, shuffle_partitions=4)
+    # the audited invariant holds on main
+    assert tbl.read(spark).filter("n_tok >= 1500").count() == 0
