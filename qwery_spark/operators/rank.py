@@ -133,8 +133,9 @@ def with_group_cumsum(
         for pid, s in sorted(parts):
             offsets.append((pid, g, acc))
             acc += s or 0
+    gtype = df.schema[group_col].dataType.simpleString()
     off_df = spark.createDataFrame(
-        offsets or [(0, None, 0)], f"_pid int, {group_col} string, _off long"
+        offsets or [(0, None, 0)], f"_pid int, `{group_col}` {gtype}, _off long"
     )
     w = Window.partitionBy("_pid", group_col).orderBy(
         *[F.col(c) for c in order_cols]
