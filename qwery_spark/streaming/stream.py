@@ -236,6 +236,14 @@ def _wap_batch(
             })
             return res
         br.read(spark).createOrReplaceTempView("staged")
+        # the WINDOW's net diff (insert/update_postimage/delete rows vs
+        # the fork) — audits over rates/deltas query this instead of the
+        # full state; lazy, so an audit that ignores it pays nothing
+        from qwery_spark.lake.changes import read_changes
+
+        read_changes(
+            spark, br, br._fork_version(), granular=False
+        ).createOrReplaceTempView("staged_changes")
         violations = spark.sql(audit_sql).count()
         if violations:
             if rejected_dir is not None:
@@ -311,8 +319,12 @@ def run_stream(
     ``audit_sql`` turns every micro-batch into a write-audit-publish
     cycle (Iceberg WAP staging): the batch merges into an isolated
     BRANCH, the audit query runs with the branch's live state
-    registered as the view ``staged``, and the branch fast-forwards
-    into main only when the audit returns ZERO rows (the query selects
+    registered as the view ``staged`` AND the window's net change feed
+    as ``staged_changes`` (change_type in insert/update_postimage/
+    delete — e.g. a mass-delete guard is
+    ``SELECT 1 FROM staged_changes WHERE _change_type='delete'
+    HAVING count(*) > N``), and the branch fast-forwards into main
+    only when the audit returns ZERO rows (the query selects
     VIOLATIONS — table-level invariants the row-level validator can't
     see: distribution shifts, mass deletes, cross-row duplicates). A
     failing window is dropped wholesale — its files reclaimed, its

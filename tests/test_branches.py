@@ -308,3 +308,26 @@ def test_branch_ref_contents(spark, tmp_table_dir):
         ref = json.load(fh)
     assert ref["fork_version"] == 1
     assert ref["forked_snapshot_id"] == t.snapshot().snapshot_id
+
+
+def test_branch_changelog_reads_window_diff(spark, tmp_table_dir):
+    """read_changes on a branch VIEW yields the staged window's net
+    diff vs the fork — the feed run_stream registers as
+    ``staged_changes`` for audits."""
+    from qwery_spark.lake.changes import read_changes
+
+    t = _mk(tmp_table_dir)
+    merge_changes(spark, t, _batch(spark, [("a", "U", 1, 10), ("b", "U", 2, 20)]), epoch_id=0)
+    br = t.create_branch("audit")
+    merge_changes(
+        spark, br,
+        _batch(spark, [("a", "U", 3, 11), ("c", "U", 4, 30), ("b", "D", 5, None)]),
+        epoch_id=1,
+    )
+    rows = {
+        r["doc_id"]: r["_change_type"]
+        for r in read_changes(spark, br, br._fork_version(), granular=False).collect()
+    }
+    assert rows == {"a": "update_postimage", "b": "delete", "c": "insert"}
+    # main's changelog is untouched by the stage
+    assert read_changes(spark, t, 1).count() == 0

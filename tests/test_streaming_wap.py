@@ -118,3 +118,68 @@ def test_wap_stream_restart_is_noop(spark, tmp_table_dir):
     b = tbl3.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["doc_id", "n_tok"]], b[["doc_id", "n_tok"]])
     assert tbl3.list_branches() == []
+
+
+def test_wap_mass_delete_guard_via_staged_changes(spark, tmp_table_dir):
+    """The staged_changes view carries the WINDOW's net diff, so a
+    mass-delete guard audits the delta, not the full state: windows
+    whose net delete count exceeds the bound are rejected."""
+    events = make_events(2400, seed=57, p_delete=0.25, max_len=64)
+    pdf = events.to_pandas()
+    n_chunks = 4
+    per = (len(pdf) + n_chunks - 1) // n_chunks
+    chunks = [pdf.iloc[i * per:(i + 1) * per] for i in range(n_chunks)]
+
+    # simulate: net deletes of a window = keys live before, dead after
+    limit = None
+    accepted: list[pd.DataFrame] = []
+    net_dels = []
+    for ch in chunks:
+        before = (
+            set(replay_oracle(pd.concat(accepted, ignore_index=True))[0]["doc_id"])
+            if accepted else set()
+        )
+        after = set(
+            replay_oracle(pd.concat(accepted + [ch], ignore_index=True))[0]["doc_id"]
+        )
+        net_dels.append(len(before - after))
+        accepted.append(ch)  # provisional: bound chosen below, then re-sim
+    limit = sorted(net_dels)[len(net_dels) // 2]  # median splits the windows
+    decisions, accepted = [], []
+    for ch, _ in zip(chunks, net_dels):
+        before = (
+            set(replay_oracle(pd.concat(accepted, ignore_index=True))[0]["doc_id"])
+            if accepted else set()
+        )
+        after = set(
+            replay_oracle(pd.concat(accepted + [ch], ignore_index=True))[0]["doc_id"]
+        )
+        ok = len(before - after) <= limit
+        decisions.append(ok)
+        if ok:
+            accepted.append(ch)
+    assert True in decisions and False in decisions, (net_dels, limit, decisions)
+
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    write_event_chunks(events, ev_dir, n_chunks)
+    tbl = LakeTable.create(
+        os.path.join(tmp_table_dir, "tbl"), TARGET_SCHEMA, n_buckets=8
+    )
+    run = run_stream(
+        spark, tbl, ev_dir, os.path.join(tmp_table_dir, "ckpt"),
+        max_files_per_trigger=1,
+        audit_sql=(
+            "SELECT 1 FROM staged_changes WHERE _change_type = 'delete' "
+            f"HAVING count(*) > {limit}"
+        ),
+    )
+    run.query.awaitTermination(300)
+    assert [
+        w["published"] for w in sorted(run.wap, key=lambda w: w["epoch_id"])
+    ] == decisions
+    exp, _ = replay_oracle(
+        pd.concat(accepted, ignore_index=True)
+        if accepted else chunks[0].iloc[:0]
+    )
+    act = tbl.read(spark).toPandas()
+    assert sorted(act["doc_id"]) == sorted(exp["doc_id"])
