@@ -132,6 +132,7 @@ def parse_statement(stmt: str) -> Stmt:
         return Stmt("expire", {
             "path": m.group(1),
             "keep": int(m.group(2)) if m.group(2) else None,
+            "older_than": int(m.group(3)) if m.group(3) else None,
         })
 
     m = G.SHOW_SNAPSHOTS.match(s)
@@ -267,6 +268,8 @@ def render(st: Stmt) -> str:
         out = f"EXPIRE SNAPSHOTS '{p['path']}'"
         if p["keep"] is not None:
             out += f" KEEP {p['keep']}"
+        if p.get("older_than") is not None:
+            out += f" OLDER THAN {p['older_than']}"
         return out
     if st.kind == "show_snapshots":
         return f"SHOW SNAPSHOTS '{p['path']}'"

@@ -534,11 +534,13 @@ class ScriptEngine:
                     summary.get("operation", "create" if "files" in rec else ""),
                     len(rec.get("add_files", rec.get("files", []))),
                     len(rec.get("replace_buckets", [])),
+                    rec.get("ts"),  # commit wall-clock (None pre-round-6)
                 ))
             return self.spark.createDataFrame(
                 rows,
                 "version int, snapshot_id string, epoch_id string, "
-                "operation string, files_added int, buckets_replaced int",
+                "operation string, files_added int, buckets_replaced int, "
+                "committed_at double",
             )
 
         if up.startswith("SHOW LINEAGE"):
@@ -866,7 +868,8 @@ class ScriptEngine:
             from qwery_spark.lake.table import LakeTable
 
             n = LakeTable(m.group(1)).expire_snapshots(
-                keep_last=int(m.group(2) or 3)
+                keep_last=int(m.group(2) or 3),
+                older_than_sec=float(m.group(3)) if m.group(3) else None,
             )
             return self.spark.createDataFrame(
                 [(n,)], "SNAPSHOTS_EXPIRED long"

@@ -56,7 +56,9 @@ VACUUM = re.compile(
 )
 
 EXPIRE = re.compile(
-    r"EXPIRE\s+SNAPSHOTS\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*$", re.IGNORECASE
+    r"EXPIRE\s+SNAPSHOTS\s+'([^']+)'(?:\s+KEEP\s+(\d+))?"
+    r"(?:\s+OLDER\s+THAN\s+(\d+))?\s*$",
+    re.IGNORECASE,
 )
 
 SHOW_SNAPSHOTS = re.compile(r"SHOW\s+SNAPSHOTS\s+'([^']+)'\s*$", re.IGNORECASE)

@@ -327,7 +327,11 @@ class LakeTable:
         full ``files`` list IS a state (the create record, a manually
         materialized manifest, or a legacy round-1 full manifest)."""
         if "files" in rec:
-            return dict(rec)
+            d = dict(rec)
+            # ts is per-RECORD metadata (commit wall-clock), not folded
+            # state — a later delta must not inherit its base's stamp
+            d.pop("ts", None)
+            return d
         s = dict(state)
         s["version"] = rec["version"]
         s["parent"] = rec.get("parent")
@@ -436,7 +440,17 @@ class LakeTable:
         """Write one commit record (delta or full). Create-exclusive:
         os.link fails if the version exists, giving atomic single-winner
         semantics (Iceberg: catalog CAS). On a lost race the tmp file is
-        still removed — the loser leaves no litter behind."""
+        still removed — the loser leaves no litter behind.
+
+        Every record is stamped with its wall-clock commit time ``ts``
+        (Iceberg snapshot timestamp-ms) — the input to OLDER THAN
+        retention and the SHOW SNAPSHOTS ops surface. Records published
+        from a branch keep their ORIGINAL stamp (publish hard-links the
+        files; commit time is when the work committed, not when it was
+        fast-forwarded)."""
+        import time as _time
+
+        manifest.setdefault("ts", _time.time())
         path = self._manifest_path(manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -1034,6 +1048,7 @@ class LakeTable:
                     f"rollback target v{to_version} is ahead of head v{head.version}"
                 )
             rec = dict(state)
+            rec.pop("ts", None)  # legacy checkpoints may carry a stamp
             rec.update(
                 version=head.version + 1,
                 parent=head.snapshot_id,
@@ -1042,7 +1057,9 @@ class LakeTable:
                 epoch_id=None,
             )
             try:
-                return self._commit_record(rec, rec)
+                # folded state is a COPY: _write_manifest stamps ts onto
+                # the record, and the cached state must stay ts-free
+                return self._commit_record(rec, dict(rec))
             except FileExistsError:
                 continue  # lost the CAS race; re-read head and retry
         raise CommitConflict(f"lost the rollback commit race {max_retries + 1} times")
@@ -1077,10 +1094,21 @@ class LakeTable:
             f"no reconstructable version in {mdir} (all checkpoints gone?)"
         )
 
-    def expire_snapshots(self, keep_last: int = 3) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 3, older_than_sec: float | None = None
+    ) -> int:
         """Drop all but the newest ``keep_last`` manifests (time travel
         window). applied_epochs accumulate forward, so exactly-once
         replay protection survives expiry. Returns manifests removed.
+
+        ``older_than_sec`` (Iceberg expire_snapshots older_than)
+        ADDITIONALLY requires an expired record's commit stamp to be at
+        least that old — so `keep_last=1, older_than_sec=7*86400` reads
+        "keep a week of time travel, however many commits that is".
+        Records predating the stamp (legacy logs) count as old. The
+        age check walks the candidate prefix oldest-first and stops at
+        the first too-young record, preserving the contiguous-prefix
+        invariant the log requires even across clock skew.
 
         Live branch refs PIN their fork versions (Iceberg: refs protect
         snapshots from expiration): a branch's state folds from main at
@@ -1097,6 +1125,18 @@ class LakeTable:
         )
         if min_fork is not None:
             to_drop = [v for v in to_drop if v < min_fork]
+        if older_than_sec is not None:
+            import time as _time
+
+            cutoff = _time.time() - older_than_sec
+            aged = []
+            for v in to_drop:
+                with open(self._manifest_path(v)) as fh:
+                    ts = json.load(fh).get("ts")
+                if ts is not None and ts > cutoff:
+                    break  # too young: this and everything after stays
+                aged.append(v)
+            to_drop = aged
         if not to_drop:
             return 0
         oldest_kept = versions[len(to_drop)]

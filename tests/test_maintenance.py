@@ -391,3 +391,85 @@ def test_cluster_cadence_requires_clustering_spec():
         CompactionPolicy(cluster_every_commits=4)
     with pytest.raises(ValueError, match="cluster_every_commits"):
         CompactionPolicy(cluster_every_commits=0, sort_cols=["doc_id"])
+
+
+def test_expire_older_than_keeps_young_commits(spark, tmp_table_dir):
+    """OLDER THAN retention (Iceberg expire older_than): every commit
+    is ts-stamped at write; keep_last=1 + a large older_than drops
+    nothing (all commits are young), older_than=0 drops everything the
+    count rule allows; an artificially backdated prefix is dropped
+    while the young suffix survives — and the age walk stops at the
+    first young record even if an OLDER one follows (prefix invariant
+    across clock skew)."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import merge_changes
+    from qwery_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+    ])
+    t = LakeTable.create(tmp_table_dir + "/t", schema, n_buckets=2, write_mode="mor")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id string, op string, ordinal long, v int")
+
+    for i in range(5):
+        merge_changes(spark, t, batch([(f"k{i}", "U", i + 1, i)]), epoch_id=i)
+
+    # all commits stamped with a recent wall clock
+    with open(t._manifest_path(3)) as fh:
+        ts = json.load(fh).get("ts")
+    assert ts is not None and abs(time.time() - ts) < 3600
+
+    assert t.expire_snapshots(keep_last=1, older_than_sec=86400) == 0
+
+    # backdate v0..v2 (simulate week-old commits); v3 stays young
+    for v in (0, 1, 2):
+        p = t._manifest_path(v)
+        with open(p) as fh:
+            rec = json.load(fh)
+        rec["ts"] = time.time() - 7 * 86400
+        os.unlink(p)
+        with open(p, "w") as fh:
+            json.dump(rec, fh)
+    # v4 backdated too — but the walk must STOP at young v3, so v4
+    # survives (contiguous-prefix invariant)
+    p4 = t._manifest_path(4)
+    with open(p4) as fh:
+        rec4 = json.load(fh)
+    rec4["ts"] = time.time() - 7 * 86400
+    os.unlink(p4)
+    with open(p4, "w") as fh:
+        json.dump(rec4, fh)
+
+    assert t.expire_snapshots(keep_last=1, older_than_sec=3 * 86400) == 3  # v0..v2
+    assert t.earliest_version() == 3
+    # state is intact and readable at the floor
+    assert t.read(spark).count() == 5
+
+    # age-less pure count retention still works on the survivor log
+    assert t.expire_snapshots(keep_last=1) == 2
+    assert t.earliest_version() == t.current_version()
+
+
+def test_show_snapshots_committed_at(spark, tmp_table_dir):
+    import time
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.compiler.engine import ScriptEngine
+    from qwery_spark.lake.table import LakeTable
+
+    schema = T.StructType([T.StructField("doc_id", T.StringType())])
+    LakeTable.create(tmp_table_dir + "/t", schema, n_buckets=2)
+    rows = ScriptEngine(spark).execute(
+        f"SHOW SNAPSHOTS '{tmp_table_dir}/t'"
+    ).collect()
+    assert rows[0]["committed_at"] is not None
+    assert abs(time.time() - rows[0]["committed_at"]) < 3600
