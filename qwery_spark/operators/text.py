@@ -251,3 +251,50 @@ def token_budget_sample(
         cum.filter(F.col("cum_tok") - F.col("n_tok") < budget)
         .select(key, group_col, "n_tok", "cum_tok")
     )
+
+
+def wordfreq_logprob(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    top_k: int = 65536,
+) -> DataFrame:
+    """Unigram-LM quality proxy (the KenLM-perplexity-filter shape used
+    by CCNet/RedPajama-style pipelines, with the corpus itself as the
+    LM): per-doc mean log-probability of its words under the corpus
+    unigram distribution. Low scores = rare-word soup (OCR garbage,
+    boilerplate hashes); high = natural text.
+
+    Scale shape: the vocabulary is aggregated with one map-side-partial
+    groupBy (output is vocab-sized, not corpus-sized), truncated to a
+    DETERMINISTIC top_k (count desc, word asc — no tie ambiguity),
+    broadcast, and joined under the exploded words; the per-doc mean is
+    one partial-agg'd shuffle on the key. OOV words (beyond top_k) get
+    the floor probability 1/total. The rank window runs on the
+    POST-AGG vocab table (tiny), so its single-partition stage is
+    bounded by vocabulary, never corpus."""
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), r"\s+")
+    words = df.select(key, F.explode(ws).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
+    top = (
+        vocab.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+            ),
+        )
+        .filter(F.col("_r") <= top_k)
+        .select("w", F.log(F.col("cnt") * F.lit(1.0) / F.lit(total)).alias("logp"))
+    )
+    floor = F.log(F.lit(1.0) / F.lit(total))
+    return (
+        words.join(F.broadcast(top), "w", "left")
+        .groupBy(key)
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("logp"), floor)), 6).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

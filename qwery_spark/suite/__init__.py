@@ -95,7 +95,9 @@ _WINDOW_50 = [
     # mm_frame_sample — both stay judge/oracle-covered via
     # tools/check_oracle.py
     "cdc_wap_publish", "cdc_rollback_state",
-    "dedup_pipeline_survivors", "text_quality",
+    # round-6: unigram-LM quality proxy takes always-green
+    # text_quality's slot (same operator family, never driver-rowed)
+    "dedup_pipeline_survivors", "text_wordfreq_logprob",
     # multimodal plumbing
     "mm_binary_features",
     # ANN / embedding dedup (round-5: the persisted incremental IVF

@@ -30,6 +30,7 @@ from qwery_spark.operators.text import (
     repetition_stats,
     token_budget_sample,
     token_stats,
+    wordfreq_logprob,
 )
 from qwery_spark.suite import load, register
 
@@ -1334,3 +1335,37 @@ def sample_token_budget(spark, sf_dir):
     return token_budget_sample(
         load(spark, sf_dir, "documents"), "doc_id", "text", "source", budget=500
     )
+
+
+@register(
+    "text_wordfreq_logprob",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    top AS (
+      SELECT w, ln(cnt * 1.0 / (SELECT total FROM tot)) AS logp
+      FROM (
+        SELECT w, cnt,
+               row_number() OVER (ORDER BY cnt DESC, w ASC) AS r
+        FROM vocab
+      ) WHERE r <= 65536
+    )
+    SELECT w.doc_id,
+           round(avg(coalesce(top.logp,
+                              ln(1.0 / (SELECT total FROM tot)))), 6)
+             AS avg_logp,
+           count(*) AS n_words
+    FROM w LEFT JOIN top USING (w)
+    GROUP BY w.doc_id
+    """,
+    doc="Unigram-LM quality proxy (KenLM-filter shape, corpus as LM): "
+    "per-doc mean log-probability under the corpus unigram "
+    "distribution; vocab aggregated once, deterministically truncated, "
+    "broadcast under the exploded words.",
+)
+def text_wordfreq_logprob(spark, sf_dir):
+    return wordfreq_logprob(load(spark, sf_dir, "documents"), "doc_id", "text")
