@@ -120,6 +120,14 @@ def parse_statement(stmt: str) -> Stmt:
             "drop_tombstones": bool(m.group(4)),
         })
 
+    m = G.BINPACK.match(s)
+    if m:
+        return Stmt("binpack", {
+            "path": m.group(1),
+            "small": int(m.group(2)) if m.group(2) else None,
+            "min_files": int(m.group(3)) if m.group(3) else None,
+        })
+
     m = G.VACUUM.match(s)
     if m:
         return Stmt("vacuum", {
@@ -258,6 +266,13 @@ def render(st: Stmt) -> str:
             out += f" {p['cluster']} BY ({', '.join(p['cols'])})"
         if p["drop_tombstones"]:
             out += " DROP TOMBSTONES"
+        return out
+    if st.kind == "binpack":
+        out = f"BINPACK LAKE '{p['path']}'"
+        if p["small"] is not None:
+            out += f" SMALL {p['small']}"
+        if p["min_files"] is not None:
+            out += f" MIN FILES {p['min_files']}"
         return out
     if st.kind == "vacuum":
         out = f"VACUUM LAKE '{p['path']}'"

@@ -905,6 +905,29 @@ class ScriptEngine:
                 [(res["compacted_buckets"],)], "compacted_buckets int"
             )
 
+        if re.match(r"BINPACK\s+LAKE\b", up):
+            # BINPACK LAKE 'p' [SMALL <bytes>] [MIN FILES <n>]: merge
+            # only each bucket's sub-threshold files (Iceberg
+            # rewrite_data_files binpack) — maintenance write
+            # amplification bounded by small-file volume, the big
+            # sorted files stay put (full rewrite = COMPACT LAKE).
+            m = G.BINPACK.match(stmt)
+            if not m:
+                raise ValueError(f"bad BINPACK LAKE: {stmt}")
+            from qwery_spark.lake.merge import binpack
+            from qwery_spark.lake.table import open_lake
+
+            res = binpack(
+                self.spark,
+                open_lake(m.group(1)),
+                small_bytes=int(m.group(2)) if m.group(2) else 32 << 20,
+                min_files=int(m.group(3)) if m.group(3) else 4,
+            )
+            return self.spark.createDataFrame(
+                [(res["binpacked_buckets"], res["files_merged"], res["files_written"])],
+                "binpacked_buckets int, files_merged int, files_written int",
+            )
+
         if re.match(r"VACUUM\s+LAKE\b", up):
             # lake maintenance (Iceberg remove_orphan_files):
             # VACUUM LAKE 'path' [GRACE <seconds>]

@@ -104,3 +104,9 @@ SHOW_BRANCHES = re.compile(r"SHOW\s+BRANCHES\s+'([^']+)'\s*$", re.IGNORECASE)
 ROLLBACK_LAKE = re.compile(
     r"ROLLBACK\s+LAKE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
 )
+
+BINPACK = re.compile(
+    r"BINPACK\s+LAKE\s+'([^']+)'(?:\s+SMALL\s+(\d+))?"
+    r"(?:\s+MIN\s+FILES\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)

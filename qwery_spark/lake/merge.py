@@ -729,3 +729,84 @@ def merge_changes(
         src.unpersist()
         if merged_cache is not None:
             merged_cache.unpersist()
+
+
+def binpack(
+    spark: SparkSession,
+    table: LakeTable,
+    small_bytes: int = 32 << 20,
+    min_files: int = 4,
+    buckets: set[int] | None = None,
+    max_records_per_file: int = 2_000_000,
+) -> dict:
+    """Partial small-file compaction (Iceberg rewrite_data_files
+    binpack): per bucket, merge ONLY the files under ``small_bytes``
+    into one, leaving the bucket's large (already-compacted, sorted)
+    files untouched. Versus compact(), which rewrites every touched
+    bucket wholesale, binpack bounds maintenance write amplification by
+    the SMALL-file volume — at 100 TB a bucket is one multi-GB sorted
+    file plus a tail of per-epoch delta files, and rewriting the big
+    file every maintenance tick is the single largest wasted-write
+    lever (measured: tools/binpack_bench.py).
+
+    Soundness: LWW resolution is an associative max_by per key, so
+    resolving a SUBSET of a bucket's files produces subset-winners that
+    still compete correctly with the untouched files' rows at read
+    time; tombstones are kept (they must keep suppressing rows in the
+    untouched files). An unresolved bucket stays unresolved, a resolved
+    bucket's subset concatenates losslessly (disjoint keys make the
+    resolve an identity). The commit is a strict-CAS partial rewrite
+    (remove exactly the merged files, add their replacement —
+    LakeTable.commit_remove_add); any concurrent head movement raises
+    CommitConflict and maintenance recomputes.
+
+    File sizes come from the local filesystem (os.path.getsize — one
+    stat per candidate, metadata only); on an object store the size
+    would ride the manifest entry like rows/key bounds do."""
+    snap = table.snapshot()
+    key = snap.m["key_col"]
+    scope = buckets if buckets is not None else {
+        f["bucket"] for f in snap.m["files"]
+    }
+    plans: list[tuple[int, list[dict]]] = []
+    for b in sorted(scope):
+        entries = snap.files({b})
+        small = [
+            f for f in entries
+            if os.path.getsize(os.path.join(table.path, f["path"])) < small_bytes
+        ]
+        # merging one small file is a pure rewrite; require a win
+        if len(small) >= min_files:
+            plans.append((b, small))
+    if not plans:
+        return {"binpacked_buckets": 0, "files_merged": 0, "files_written": 0}
+
+    merged = [f for _b, fs in plans for f in fs]
+    df = table._aligned_scan(spark, snap, None, file_subset=merged)
+    df = LakeTable._resolve_lww(df, key)  # identity on resolved buckets
+    df = df.withColumn("_bucket", table.bucket_expr())
+    new_files = _stage_write(
+        df,
+        table,
+        snap.schema_version,
+        n_partitions=len(plans),
+        max_records_per_file=max_records_per_file,
+        repartition=True,
+        stats_col=key,
+    )
+    table.commit_remove_add(
+        snap,
+        [f["path"] for f in merged],
+        new_files,
+        summary={
+            "operation": "binpack",
+            "touched_buckets": sorted(b for b, _ in plans),
+            "files_merged": len(merged),
+            "files_written": len(new_files),
+        },
+    )
+    return {
+        "binpacked_buckets": len(plans),
+        "files_merged": len(merged),
+        "files_written": len(new_files),
+    }

@@ -344,9 +344,11 @@ class LakeTable:
                 set(s.get("applied_epochs", [])) | {rec["epoch_id"]}, key=str
             )
         rep = set(rec.get("replace_buckets", ()))
-        if rep or rec.get("add_files"):
+        rem = set(rec.get("remove_paths", ()))  # binpack partial rewrite
+        if rep or rem or rec.get("add_files"):
             s["files"] = [
-                f for f in s["files"] if f["bucket"] not in rep
+                f for f in s["files"]
+                if f["bucket"] not in rep and f["path"] not in rem
             ] + rec.get("add_files", [])
         unresolved = (set(s.get("unresolved_buckets", ())) - rep) | set(
             rec.get("append_buckets", ())
@@ -556,6 +558,7 @@ class LakeTable:
         key_range: tuple | None = None,
         align_to: "Snapshot | None" = None,
         col_ranges: dict | None = None,
+        file_subset: list[dict] | None = None,
     ) -> DataFrame:
         """Read live data files, aligning every historical schema version
         to the current one by field id (rename: metadata-only; widen:
@@ -563,10 +566,17 @@ class LakeTable:
         onto a DIFFERENT (later) snapshot's schema instead — its
         schemas dict is a superset of this one's, so every file still
         maps by field id (the coarse changelog diff aligns the range's
-        before-endpoint to the after-endpoint this way)."""
+        before-endpoint to the after-endpoint this way).
+        ``file_subset`` scans exactly those manifest entries instead of
+        the snapshot's pruned file list (binpack reads the small-file
+        subset it is about to replace)."""
         tgt = align_to or snap
         cur = tgt.fields()
-        files = snap.files(buckets, key_range, col_ranges)
+        files = (
+            file_subset
+            if file_subset is not None
+            else snap.files(buckets, key_range, col_ranges)
+        )
         if not files:
             empty = T.StructType.fromDDL(
                 ", ".join(f"`{f['name']}` {f['type']}" for f in cur)
@@ -852,6 +862,44 @@ class LakeTable:
             if hit:
                 return f"v{v} touched replaced bucket(s) {sorted(hit)}"
         return None
+
+    def commit_remove_add(
+        self,
+        base: Snapshot,
+        remove_paths: list[str],
+        new_files: list[dict],
+        summary: dict,
+    ) -> Snapshot:
+        """Partial-rewrite commit: drop specific files, add replacements
+        (the binpack shape — lake/merge.binpack). STRICT CAS, no rebase:
+        the replacement rows were computed from exactly ``base``'s file
+        set, and unlike a pure append or a whole-bucket replace there is
+        no cheap proof that an interleaved winner's files are disjoint
+        from the removed subset — any head movement raises
+        CommitConflict and the caller (maintenance) just recomputes
+        against the new head. Maintenance races are rare and cheap to
+        lose; unsound merges of 100 TB are not."""
+        latest = self.snapshot()
+        if latest.version != base.version:
+            raise CommitConflict(
+                f"binpack staged at v{base.version} but head is "
+                f"v{latest.version}; recompute against the new head"
+            )
+        rec = {
+            "version": latest.version + 1,
+            "parent": latest.snapshot_id,
+            "snapshot_id": uuid.uuid4().hex,
+            "epoch_id": None,
+            "remove_paths": sorted(remove_paths),
+            "add_files": new_files,
+            "summary": summary,
+        }
+        try:
+            return self._commit_record(rec, self._fold(latest.m, rec))
+        except FileExistsError:
+            raise CommitConflict(
+                "binpack lost the commit race; recompute against the new head"
+            ) from None
 
     def commit_schema_change(
         self,

@@ -1,6 +1,6 @@
 """Property-based soundness of the changelog diff pruning
 (lake/changes._diff_pruning): for RANDOM op sequences — appends,
-old/new-key updates, deletes, interleaved compactions (plain and
+old/new-key updates, deletes, interleaved compactions (plain, binpack and
 key-sorted) — every feed mode must return exactly the same rows with
 pruning on as with pruning forced off. Both key-set gate knobs (depth
 floor AND kept/added ratio) are dropped so the exact-key path fires on
@@ -20,7 +20,7 @@ from qwery_spark.lake.changes import read_changes
 # captured at import time: the restore target can never be a leaked
 # disable-lambda from an earlier failed example
 _REAL_ADDED_KEY_RANGE = ch._added_key_range
-from qwery_spark.lake.merge import append_changes, compact
+from qwery_spark.lake.merge import append_changes, binpack, compact
 from qwery_spark.lake.table import LakeTable
 from qwery_spark.schema import TARGET_SCHEMA
 
@@ -35,11 +35,12 @@ def op_sequences(draw):
     ordinal = 0
     live = []
     for _ in range(n_commits):
-        kind = rng.choice(["append", "mixed", "compact", "compact_sorted"],
-                          p=[0.4, 0.35, 0.15, 0.1])
-        if kind in ("compact", "compact_sorted") and not live:
+        kind = rng.choice(["append", "mixed", "compact", "compact_sorted",
+                           "binpack"],
+                          p=[0.35, 0.3, 0.15, 0.1, 0.1])
+        if kind in ("compact", "compact_sorted", "binpack") and not live:
             kind = "append"
-        if kind.startswith("compact"):
+        if kind.startswith("compact") or kind == "binpack":
             commits.append((kind, []))
             continue
         rows = []
@@ -84,6 +85,12 @@ def test_pruned_feed_always_equals_unpruned(spark, tmp_path_factory, seq,
             continue
         if kind == "compact_sorted":
             compact(spark, tbl, sort_cols=["doc_id"])
+            continue
+        if kind == "binpack":
+            # partial rewrite: removes files without replacing whole
+            # buckets — the pruning layer must detect the non-additive
+            # range through remove_paths and fall back soundly
+            binpack(spark, tbl, min_files=2)
             continue
         df = spark.createDataFrame(
             [(k, [1, 2] if op == "U" else None,
