@@ -63,6 +63,18 @@ class CompactionPolicy:
     # 1.08-1.23 and cadence-4 clustering holding it <= ~1.07).
     cluster_every_commits: int | None = None
     max_records_per_file: int = 2_000_000
+    # cheap-tick mode (round-6): when set, file-count-triggered ticks
+    # BINPACK the due buckets (merge only files under this byte size —
+    # write volume bounded by the delta tail, the multi-GB sorted base
+    # files never rewritten; measured 179.7x less write volume,
+    # tools/binpack_bench.py) instead of whole-bucket compaction. A due
+    # bucket whose file count binpack cannot reduce (all files large)
+    # falls back to a full compact the same tick — the
+    # read-amplification bound stays a guarantee, not a hope. The
+    # cluster_every_commits cadence still runs the full sorted rewrite
+    # (binpack leaves buckets unresolved; the cadence restores read
+    # speed + clustering).
+    binpack_small_bytes: int | None = None
 
     def __post_init__(self):
         # a policy misconfiguration must fail at CONSTRUCTION, not at
@@ -155,6 +167,9 @@ class MaintenanceReport:
     triggered: bool = False
     # this tick ran a full-table clustering rewrite (cadence trigger)
     clustered: bool = False
+    # files merged by the cheap binpack tick (0 when binpack is off or
+    # the tick fell through to full compaction)
+    binpacked_files: int = 0
     due_buckets: set[int] = field(default_factory=set)
     files_before: int = 0
     files_after: int = 0
@@ -194,16 +209,35 @@ def maybe_compact(
     if not cluster and len(due) < max(policy.min_due_buckets, 1):
         rep.files_after = rep.files_before
         return rep
-    from qwery_spark.lake.merge import compact
+    from qwery_spark.lake.merge import binpack, compact
     from qwery_spark.lake.table import CommitConflict
 
     try:
-        compact(
-            spark, table, buckets=None if cluster else due,
-            sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
-            max_records_per_file=policy.max_records_per_file,
-        )
-        rep.clustered = cluster
+        if not cluster and policy.binpack_small_bytes is not None:
+            # cheap tick: merge only the due buckets' small files; any
+            # bucket still over the bound afterwards (all-large files)
+            # gets the full rewrite — the bound is a guarantee
+            res = binpack(
+                spark, table, small_bytes=policy.binpack_small_bytes,
+                min_files=2, buckets=due,
+                max_records_per_file=policy.max_records_per_file,
+            )
+            rep.binpacked_files = res["files_merged"]
+            still_due = policy.due_buckets(table.snapshot())
+            if still_due:
+                compact(
+                    spark, table, buckets=still_due,
+                    sort_cols=policy.sort_cols,
+                    zorder_cols=policy.zorder_cols,
+                    max_records_per_file=policy.max_records_per_file,
+                )
+        else:
+            compact(
+                spark, table, buckets=None if cluster else due,
+                sort_cols=policy.sort_cols, zorder_cols=policy.zorder_cols,
+                max_records_per_file=policy.max_records_per_file,
+            )
+            rep.clustered = cluster
     except CommitConflict:
         # the advertised concurrent mode's COMMON case: an ingest
         # append to a due (hot) bucket landed between our snapshot

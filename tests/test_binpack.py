@@ -156,3 +156,52 @@ def test_binpack_statement_verb(spark, tmp_table_dir):
     r = eng.execute(f"BINPACK LAKE '{p}' SMALL 1048576 MIN FILES 2").collect()[0]
     assert r["files_merged"] == 4 and r["files_written"] >= 1
     assert eng.execute(f"SELECT count(*) AS n FROM '{p}'").collect()[0]["n"] == 4
+
+
+def test_policy_binpack_cheap_tick(spark, tmp_table_dir):
+    """With binpack_small_bytes set, a file-count-triggered tick merges
+    only the small delta tail; the big compacted file is never
+    rewritten, and the bound still holds."""
+    from qwery_spark.lake.maintenance import CompactionPolicy, maybe_compact
+
+    t = _mk(tmp_table_dir, n_buckets=1)
+    merge_changes(
+        spark, t,
+        _batch(spark, [(f"k{i}", "U", i, i) for i in range(20000)]),
+        epoch_id=0,
+    )
+    compact(spark, t)
+    big = {f["path"] for f in t.snapshot().m["files"]}
+    for e in range(1, 7):
+        append_changes(spark, t, _batch(spark, [(f"k{e}", "U", 1000 + e, -e)]), epoch_id=e)
+    before = _state(spark, t)
+
+    pol = CompactionPolicy(
+        max_files_per_bucket=4, binpack_small_bytes=max(_sizes(t).values())
+    )
+    rep = maybe_compact(spark, t, pol)
+    assert rep.triggered and rep.binpacked_files == 6
+    files = {f["path"] for f in t.snapshot().m["files"]}
+    assert big <= files  # the base was not rewritten
+    assert len(files) <= 1 + pol.max_files_per_bucket
+    assert _state(spark, t) == before
+    # bound satisfied -> the next tick is a no-op
+    rep2 = maybe_compact(spark, t, pol)
+    assert not rep2.triggered and rep2.binpacked_files == 0
+
+
+def test_policy_binpack_falls_back_when_all_large(spark, tmp_table_dir):
+    """Due bucket whose files are all over the binpack threshold: the
+    tick must fall through to a full compact — the read-amplification
+    bound is a guarantee."""
+    from qwery_spark.lake.maintenance import CompactionPolicy, maybe_compact
+
+    t = _mk(tmp_table_dir, n_buckets=1)
+    for e in range(6):
+        append_changes(spark, t, _batch(spark, [(f"k{e}", "U", e + 1, e)]), epoch_id=e)
+    before = _state(spark, t)
+    pol = CompactionPolicy(max_files_per_bucket=4, binpack_small_bytes=1)
+    rep = maybe_compact(spark, t, pol)
+    assert rep.triggered and rep.binpacked_files == 0  # nothing under 1 byte
+    assert len(t.snapshot().m["files"]) <= pol.max_files_per_bucket
+    assert _state(spark, t) == before
