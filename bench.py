@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     # update + sorted compaction + probe — construction-dominated by
     # design, like the other incremental-view entries)
     "ann_index_incremental_topk",
+    # round-6: write-audit-publish engine loop (branch stage + audit +
+    # fast-forward/reject per window) and the zero-shuffle repetition
+    # filters
+    "cdc_wap_publish",
+    "text_repetition_quality",
 ]
 
 
