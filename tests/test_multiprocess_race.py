@@ -309,3 +309,90 @@ def test_two_process_ingest_vs_policy_compaction(spark, tmp_table_dir):
 
     per_bucket = Counter(f["bucket"] for f in tbl.snapshot().files())
     assert max(per_bucket.values()) <= 2
+
+
+def _wap_ingest_worker(path: str, done_flag: str, err_file: str, wap_json: str):
+    """Ingest through the write-audit-publish path: every epoch stages
+    on a branch and fast-forwards — under a live compaction daemon the
+    publish CAS can lose and must re-stage against the new head."""
+    try:
+        from qwery_spark.cdc.apply import apply_changes
+        from qwery_spark.schema import EVENT_SCHEMA
+        from qwery_spark.session import get_spark
+        from qwery_spark.streaming.stream import _wap_batch
+
+        spark = get_spark(
+            "race-wap-ingest", cpus=4, shuffle_partitions=4,
+            extra_conf={"spark.ui.enabled": "false"},
+        )
+        tbl = LakeTable(path)
+        wap_log: list = []
+        for e in range(N_EPOCHS):
+            df = spark.createDataFrame(_events(e), schema=EVENT_SCHEMA)
+
+            def _apply(target, _df=df, _e=e):
+                return apply_changes(
+                    spark, target, _df, epoch_id=_e, scan_ddl=False,
+                    collect_stats=False,
+                )
+
+            _wap_batch(
+                spark, tbl, _apply,
+                "SELECT 1 FROM staged WHERE 1 = 0",  # audit always passes
+                "race", e, df, None, wap_log, max_restages=10,
+            )
+        with open(wap_json, "w") as f:
+            json.dump(wap_log, f)
+        spark.stop()
+    except BaseException as exc:
+        with open(err_file, "w") as f:
+            f.write(f"wap-ingest: {type(exc).__name__}: {exc}")
+    finally:
+        with open(done_flag, "w") as f:
+            f.write("done")
+
+
+@pytest.mark.timeout(900)
+def test_wap_publish_races_compaction_daemon(spark, tmp_table_dir):
+    """WAP ingest (branch stage -> audit -> fast-forward) in one OS
+    process vs the compaction-policy daemon in another: every epoch
+    must publish exactly once even when the publish CAS loses to a
+    maintenance commit and re-stages; final state equals the serial
+    oracle."""
+    import pandas as pd
+
+    from tests.helpers import assert_state_equals_oracle
+
+    path = os.path.join(tmp_table_dir, "t")
+    LakeTable.create(path, TARGET_SCHEMA, n_buckets=4, write_mode="mor")
+    done_flag = os.path.join(tmp_table_dir, "done")
+    errs = [os.path.join(tmp_table_dir, f"err{i}") for i in range(2)]
+    stats_file = os.path.join(tmp_table_dir, "policy.json")
+    wap_json = os.path.join(tmp_table_dir, "wap.json")
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_wap_ingest_worker,
+                    args=(path, done_flag, errs[0], wap_json)),
+        ctx.Process(target=_policy_worker,
+                    args=(path, done_flag, errs[1], stats_file)),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=800)
+        assert not p.is_alive(), "worker hung"
+    for e in errs:
+        assert not os.path.exists(e), open(e).read()
+
+    with open(wap_json) as f:
+        wap = json.load(f)
+    assert len(wap) == N_EPOCHS
+    assert all(w["published"] for w in wap)
+
+    tbl = LakeTable(path)
+    snap = tbl.snapshot()
+    assert snap.applied_epochs == set(range(N_EPOCHS))
+    assert tbl.list_branches() == []  # every stage published or rebuilt
+    events = pd.concat([_events(e) for e in range(N_EPOCHS)], ignore_index=True)
+    assert_state_equals_oracle(spark, tbl, events)
