@@ -46,6 +46,10 @@ class CompactionPolicy:
     max_files_per_bucket: int = 8
     min_due_buckets: int = 1
     expire_keep: int | None = None
+    # time-based retention rider (round-6): with expire_keep, commits
+    # younger than this many seconds survive expiry regardless of count
+    # — "keep a week of time travel" independent of commit rate
+    expire_older_than_sec: float | None = None
     vacuum: bool = False
     # clustering applied to triggered compactions: maintenance rewrites
     # are the natural (free) moment to restore sort/z-order — the data
@@ -250,7 +254,10 @@ def maybe_compact(
         return rep
     rep.triggered = True
     if policy.expire_keep:
-        rep.snapshots_expired = table.expire_snapshots(keep_last=policy.expire_keep)
+        rep.snapshots_expired = table.expire_snapshots(
+            keep_last=policy.expire_keep,
+            older_than_sec=policy.expire_older_than_sec,
+        )
     if policy.vacuum:
         # default grace protects concurrent writers' staged files (the
         # policy daemon is explicitly allowed to run beside a writer)

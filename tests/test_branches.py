@@ -331,3 +331,49 @@ def test_branch_changelog_reads_window_diff(spark, tmp_table_dir):
     assert rows == {"a": "update_postimage", "b": "delete", "c": "insert"}
     # main's changelog is untouched by the stage
     assert read_changes(spark, t, 1).count() == 0
+
+
+def test_changelog_spans_published_windows(spark, tmp_table_dir):
+    """Published branch records are ordinary data commits in the main
+    log: a downstream follower's change feed (granular AND coarse)
+    crosses the publish seamlessly."""
+    from qwery_spark.lake.changes import read_changes
+
+    t = _mk(tmp_table_dir)
+    merge_changes(spark, t, _batch(spark, [("a", "U", 1, 10)]), epoch_id=0)
+    for w, rows in enumerate(
+        [[("b", "U", 2, 20)], [("a", "U", 3, 11), ("b", "D", 4, None)]]
+    ):
+        br = t.create_branch(f"w{w}")
+        merge_changes(spark, br, _batch(spark, rows), epoch_id=w + 1)
+        t.publish_branch(f"w{w}")
+    gran = {
+        (r["doc_id"], r["_change_type"], r["_commit_version"])
+        for r in read_changes(spark, t, 1).collect()
+    }
+    assert gran == {
+        ("b", "insert", 2),
+        ("a", "update_postimage", 3),
+        ("b", "delete", 3),
+    }
+    coarse = {
+        (r["doc_id"], r["_change_type"])
+        for r in read_changes(spark, t, 1, granular=False).collect()
+    }
+    assert coarse == {("a", "update_postimage")}  # b inserted+deleted nets out
+
+
+def test_policy_expire_older_than(spark, tmp_table_dir):
+    from qwery_spark.lake.maintenance import CompactionPolicy, maybe_compact
+
+    t = _mk(tmp_table_dir)
+    for e in range(6):
+        merge_changes(spark, t, _batch(spark, [(f"k{e}", "U", e + 1, e)]), epoch_id=e)
+    pol = CompactionPolicy(
+        max_files_per_bucket=1, expire_keep=1, expire_older_than_sec=86400
+    )
+    rep = maybe_compact(spark, t, pol)
+    assert rep.triggered
+    # everything is young: nothing expired despite keep_last=1
+    assert rep.snapshots_expired == 0
+    assert t.earliest_version() == 0
