@@ -840,6 +840,15 @@ class LakeTable:
         mode's own documented precondition (no straggler below the
         tombstone retention watermark can still arrive) — the rebase
         adds no new hazard beyond what drop_tombstones already assumes.
+
+        Interleaved BINPACK commits (remove_paths records) deliberately
+        contribute NOTHING to the winner's touched set: binpack is a
+        logical identity (same rows, fewer files), its data files are
+        never physically deleted before vacuum (our staged read already
+        completed), and a rebased replace of the same bucket simply
+        drops the binpack output as an orphan — so rebasing over one is
+        always sound. Binpack's own commits never rebase at all
+        (commit_remove_add is strict CAS).
         """
         mine = set(replaced_buckets)
         for v in range(base_version + 1, head_version + 1):
