@@ -358,3 +358,47 @@ def test_changelog_key_set_reaches_parquet_scan(spark, tmp_path, monkeypatch):
     with_in = [p for p in pushed if "In(doc_id" in p]
     # both the before side and the after side scans carry the In
     assert len(with_in) >= 2, plan[:4000]
+
+
+def test_join_view_window_batch_broadcast_semi_joins(spark, tmp_path):
+    """update_join's window recompute (joinview.window_batch — the
+    product function): the affected-key set and the window's dim keys
+    reach the base scans as BROADCAST left-semi joins; the final
+    fact->dim decoration broadcasts the (window-bounded) dim slice.
+    No sort-merge join, no cartesian product — the maintenance plan
+    stays window-sized no matter how deep the base tables are."""
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.joinview import window_batch
+
+    left = LakeTable.create(
+        str(tmp_path / "fact"),
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("source", T.StringType()),
+                      T.StructField("n_chars", T.LongType())]),
+        n_buckets=2, key_col="doc_id", write_mode="mor",
+    )
+    right = LakeTable.create(
+        str(tmp_path / "dim"),
+        T.StructType([T.StructField("source", T.StringType()),
+                      T.StructField("weight", T.LongType())]),
+        n_buckets=2, key_col="source",
+    )
+    append_changes(spark, left, spark.createDataFrame(
+        [(i, f"s{i % 3}", i, "U", i) for i in range(30)],
+        "doc_id long, source string, n_chars long, op string, ordinal long"))
+    append_changes(spark, right, spark.createDataFrame(
+        [(f"s{j}", j, "U", j) for j in range(3)],
+        "source string, weight long, op string, ordinal long"))
+    affected = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    batch = window_batch(
+        spark, left, right, affected, "source", ["n_chars"], ["weight"],
+        left.current_version(), right.current_version(), "inner",
+    )
+    p = batch._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 3  # 2 semi probes + dim decorate
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
