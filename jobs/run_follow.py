@@ -8,6 +8,8 @@ this job tails its commit log and ships change rows to consumers).
       --table /lake/tok_sequences --sink /exports/changes \
       --state /exports/changes/_follow_state.json \
       [--replica /lake/replica] [--poll 30] [--max-polls N] [--coarse]
+      [--join-table /lake/enriched --join-dim /lake/sources
+       --join-fk source --join-right-cols trust]
 
 Each new commit window lands as parquet under ``--sink/from=<lo>/``
 (insert/update_postimage/delete rows, Delta-CDF column contract; the
@@ -90,6 +92,26 @@ def main(argv=None):
                         "(list of float lists) for --annindex-table")
     p.add_argument("--annindex-emb", default="embedding",
                    help="source embedding column for --annindex-table")
+    p.add_argument("--join-table",
+                   help="maintain an incremental materialized JOIN view "
+                        "(operators/joinview; fact = the followed table "
+                        "enriched with --join-dim columns) at this path "
+                        "from each window; the dim side's change window "
+                        "is its commits since the dim version in --state")
+    p.add_argument("--join-dim",
+                   help="dimension lake table for --join-table (keyed by "
+                        "the join column)")
+    p.add_argument("--join-fk",
+                   help="fact-side foreign-key column joining to "
+                        "--join-dim's key")
+    p.add_argument("--join-left-cols", default="",
+                   help="comma-separated fact columns carried into the "
+                        "view (beyond key + fk)")
+    p.add_argument("--join-right-cols", default="",
+                   help="comma-separated dim columns carried into the "
+                        "view")
+    p.add_argument("--join-how", default="inner", choices=["inner", "left"],
+                   help="join semantics for --join-table")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="replica maintenance: compact any replica bucket "
                         "whose live-file count exceeds this bound after a "
@@ -111,11 +133,16 @@ def main(argv=None):
                         "pruning stays tight")
     args = p.parse_args(argv)
     if not (args.sink or args.replica or args.agg_table or args.scd2_table
-            or args.sigindex_table or args.annindex_table):
+            or args.sigindex_table or args.annindex_table
+            or args.join_table):
         p.error("need --sink, --replica, --agg-table, --scd2-table, "
-                "--sigindex-table and/or --annindex-table")
+                "--sigindex-table, --annindex-table and/or --join-table")
     if args.agg_table and not args.agg_group:
         p.error("--agg-table requires --agg-group")
+    if args.join_table and not (args.join_dim and args.join_fk
+                                and args.join_right_cols):
+        p.error("--join-table requires --join-dim, --join-fk and "
+                "--join-right-cols")
     if args.cluster_every and not (args.auto_compact_files and args.replica):
         p.error("--cluster-every requires --auto-compact-files and "
                 "--replica (it extends the replica's compaction policy)")
@@ -132,7 +159,10 @@ def main(argv=None):
     table = LakeTable(args.table)
 
     start = args.from_version
-    if start is None and os.path.exists(args.state):
+    # dim-side resume point for --join-table, persisted alongside the
+    # fact version (the two feeds advance in lockstep per window)
+    dim_state = {"v": None}
+    if os.path.exists(args.state):
         with open(args.state) as fh:
             st = json.load(fh)
         if os.path.normpath(st.get("table", "")) != table.path:
@@ -140,14 +170,19 @@ def main(argv=None):
                 f"--state {args.state} was written for table "
                 f"{st.get('table')!r}, not {table.path!r}"
             )
-        start = st["version"]
+        if start is None:
+            start = st["version"]
+        dim_state["v"] = st.get("dim_version")
     if start is None:
         start = table.current_version()
 
     def persist(version: int) -> None:
         tmp = args.state + ".tmp"
+        st = {"version": version, "table": table.path}
+        if dim_state["v"] is not None:
+            st["dim_version"] = dim_state["v"]
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "table": table.path}, fh)
+            json.dump(st, fh)
         os.replace(tmp, args.state)
 
     # pin the resume point BEFORE the loop: a drain that sees no new
@@ -189,6 +224,32 @@ def main(argv=None):
             build_signature_index(spark, table, args.sigindex_table,
                                   text_col=args.sigindex_text,
                                   at_version=start)
+    join_left = [c for c in args.join_left_cols.split(",") if c]
+    join_right = [c for c in args.join_right_cols.split(",") if c]
+    if args.join_table:
+        from qwery_spark.operators.joinview import build_join, update_join
+
+        dim_tbl = LakeTable(args.join_dim)
+        if _needs_build(args.join_table):
+            # a fresh build pins BOTH resume points: fact at `start`,
+            # dim at its current head
+            dim_state["v"] = dim_tbl.current_version()
+            build_join(spark, table, dim_tbl, args.join_table,
+                       args.join_fk, join_left, join_right,
+                       how=args.join_how, at_left_version=start,
+                       at_right_version=dim_state["v"])
+            # re-pin so a drain that ships no window still records the
+            # dim resume point the build just defined
+            persist(start)
+        elif dim_state["v"] is None:
+            # an existing view with no recorded dim resume point cannot
+            # be safely continued — the dim changes since its build are
+            # unknowable from here
+            p.error(
+                f"--state {args.state} has no dim_version for the "
+                f"existing join view {args.join_table!r} — delete the "
+                "view to rebuild it at the current resume point"
+            )
     centroids = None
     if args.annindex_table:
         from qwery_spark.operators.annindex import (
@@ -239,7 +300,7 @@ def main(argv=None):
         # is window-epoch-keyed, so a crashed-and-restarted window
         # no-ops — the indexes filter the preimage rows out themselves
         if (args.agg_table or args.scd2_table or args.sigindex_table
-                or args.annindex_table):
+                or args.annindex_table or args.join_table):
             from qwery_spark.lake.changes import read_changes
 
             pfeed = read_changes(
@@ -264,6 +325,23 @@ def main(argv=None):
                         centroids, lo, hi, emb_col=args.annindex_emb,
                         feed=pfeed,
                     )
+                if args.join_table:
+                    # the fact side reuses the shared window diff; the
+                    # dim side diffs its own commits since the persisted
+                    # dim resume point. A crash between this commit and
+                    # persist() re-applies with a wider dim window —
+                    # safe: the window batch is a recompute of the
+                    # affected keys at the current heads, so
+                    # re-application converges (and the higher LWW
+                    # ordinal wins)
+                    dim_hi = dim_tbl.current_version()
+                    update_join(
+                        spark, table, dim_tbl, LakeTable(args.join_table),
+                        args.join_fk, join_left, join_right,
+                        lo, dim_state["v"], to_left=hi, to_right=dim_hi,
+                        how=args.join_how, left_feed=pfeed,
+                    )
+                    dim_state["v"] = dim_hi
             finally:
                 pfeed.unpersist()
             if args.auto_compact_views:

@@ -358,3 +358,93 @@ def test_run_follow_cli_expired_resume_exits_with_rebuild_contract(
     # script to read
     with open(state) as f:
         assert json.load(f)["version"] == 1
+
+
+def test_run_follow_cli_join_view(spark, tmp_path):
+    """Follower maintaining an incremental materialized JOIN view: the
+    view is built at the resume point (pinning BOTH resume points into
+    --state), then advanced per window off the shared fact diff while
+    the dim side diffs its own commits — including a dim change landing
+    BETWEEN the two runs. Final view equals a from-scratch join."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    table = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    state = str(tmp_path / "state.json")
+    src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2)
+    ev = make_events(1200, seed=23).to_pandas()
+    apply_changes(spark, src,
+                  spark.createDataFrame(ev.iloc[:600], schema=EVENT_SCHEMA),
+                  epoch_id=0, collect_stats=False)
+    from pyspark.sql import types as T
+
+    dim_tbl = LakeTable.create(
+        dim,
+        T.StructType([T.StructField("source", T.StringType()),
+                      T.StructField("trust", T.LongType())]),
+        n_buckets=2, key_col="source",
+    )
+    srcs = [r["source"] for r in
+            src.read(spark).select("source").distinct().collect()]
+    append_changes(spark, dim_tbl, spark.createDataFrame(
+        [(s, len(s), "U", i) for i, s in enumerate(sorted(srcs))],
+        "source string, trust long, op string, ordinal long"))
+
+    join_args = [
+        "--join-table", view, "--join-dim", dim, "--join-fk", "source",
+        "--join-left-cols", "n_tok", "--join-right-cols", "trust",
+    ]
+    # first run: builds the view at the pinned start, drains window 1
+    apply_changes(spark, src,
+                  spark.createDataFrame(ev.iloc[600:900], schema=EVENT_SCHEMA),
+                  epoch_id=1, collect_stats=False)
+    r = _run_follow([
+        "--table", table, "--state", state, "--from-version", "1",
+        *join_args, "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    st = _json.load(open(state))
+    assert st["dim_version"] == 1  # pinned at the build
+
+    # between runs: a dim trust bump AND a new fact window
+    append_changes(spark, dim_tbl, spark.createDataFrame(
+        [(sorted(srcs)[0], 999, "U", 100)],
+        "source string, trust long, op string, ordinal long"))
+    apply_changes(spark, src,
+                  spark.createDataFrame(ev.iloc[900:1200], schema=EVENT_SCHEMA),
+                  epoch_id=2, collect_stats=False)
+    r = _run_follow([
+        "--table", table, "--state", state, *join_args, "--max-polls", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _json.load(open(state))["dim_version"] == 2
+
+    got = sorted(
+        tuple(x)
+        for x in LakeTable(view).read(spark)
+        .select("doc_id", "source", "n_tok", "trust").collect()
+    )
+    want = sorted(
+        tuple(x)
+        for x in src.read(spark).select("doc_id", "source", "n_tok")
+        .join(dim_tbl.read(spark), "source")
+        .select("doc_id", "source", "n_tok", "trust").collect()
+    )
+    assert got == want
+    # an existing view with a pre-join-era state file (no dim_version)
+    # is refused with the rebuild contract, not silently mis-resumed
+    st.pop("dim_version", None)
+    with open(state, "w") as f:
+        _json.dump(st, f)
+    bad = _run_follow([
+        "--table", table, "--state", state, *join_args, "--max-polls", "1",
+    ])
+    assert bad.returncode != 0 and "no dim_version" in bad.stderr
