@@ -1150,6 +1150,115 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
+# ---------------- distributed BPE training / encoding -------------
+# The DuckDB oracle UNROLLS the full training loop (4 merge
+# iterations): per iteration, adjacent-pair counts from the current
+# vocab symbol strings, the deterministic top pair (count DESC, pair
+# ASC), and the same exact-greedy list_reduce fold the Spark side
+# implements with F.aggregate — value equality proves the entire
+# distributed training trajectory, not just a final projection.
+_BPE_V0_SQL = r"""
+  v0 AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents) w
+    WHERE word <> ''
+    GROUP BY word
+  )"""
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled training iteration: pair counts -> top pair ->
+    exact-greedy fold merge (matches operators/bpe.merge_fold)."""
+    return f"""
+  p{i} AS (
+    SELECT p AS pair, sum(freq) AS cnt
+    FROM v{i - 1}, UNNEST(list_transform(
+           range(2, len(string_split(syms, ' ')) + 1),
+           i -> string_split(syms, ' ')[i - 1] || ' ' ||
+                string_split(syms, ' ')[i])) AS t(p)
+    GROUP BY p
+  ),
+  b{i} AS (
+    SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+    FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+  ),
+  v{i} AS (
+    SELECT word, freq,
+           list_reduce(string_split(syms, ' '), (acc, x) -> CASE
+             WHEN (acc = a OR right(acc, len(a) + 1) = ' ' || a)
+                  AND x = b
+             THEN left(acc, len(acc) - len(a)) || a || b
+             ELSE acc || ' ' || x END) AS syms
+    FROM v{i - 1} CROSS JOIN b{i}
+  )"""
+
+
+_BPE_N_MERGES = 4
+_BPE_TRAIN_CTES = "WITH " + _BPE_V0_SQL + "," + ",".join(
+    _bpe_iter_sql(i) for i in range(1, _BPE_N_MERGES + 1)
+)
+
+
+@register(
+    "tok_bpe_train",
+    _BPE_TRAIN_CTES + f"""
+    {"".join(f'''
+    SELECT CAST({i} AS INT) AS merge_rank, a AS lhs, b AS rhs FROM b{i}
+    {'UNION ALL' if i < _BPE_N_MERGES else ''}''' for i in range(1, _BPE_N_MERGES + 1))}
+    """,
+    doc="Distributed BPE tokenizer TRAINING (operators/bpe.py): corpus "
+    "-> (word, freq) vocab in ONE shuffle (the corpus is never read "
+    "again), then per merge a vocab-sized pair-count agg + a "
+    "pure-Catalyst exact-greedy fold merge; only the top pair (1 row) "
+    "reaches the driver per iteration. The oracle unrolls the SAME 4 "
+    "training iterations in SQL — the learned merge list must match "
+    "pair-for-pair, proving the whole trajectory. At 100 TB: the vocab "
+    "table is a few million rows regardless of corpus size; M merges "
+    "cost M tiny aggs, not M corpus scans.",
+)
+def tok_bpe_train(spark, sf_dir):
+    from qwery_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(load(spark, sf_dir, "documents"), "text",
+                       _BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+@register(
+    "tok_bpe_encode",
+    _BPE_TRAIN_CTES + f""",
+    docwords AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT) AS n_pieces
+    FROM docwords d JOIN v{_BPE_N_MERGES} v USING (word)
+    WHERE d.word <> ''
+    GROUP BY d.doc_id
+    """,
+    doc="BPE ENCODING via the trained vocab table "
+    "(operators/bpe.encode_words): training already applied every "
+    "merge to every corpus word, so encoding is explode-words -> "
+    "broadcast-join the vocab -> per-doc piece counts — no per-row "
+    "merge loop anywhere. (encode_text_udf covers unseen text; its "
+    "rank-greedy == in-order-merge equivalence is pytest-pinned.) The "
+    "oracle replays training AND encoding in SQL.",
+)
+def tok_bpe_encode(spark, sf_dir):
+    from qwery_spark.operators.bpe import encode_words, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    _, vocab = train_bpe(docs, "text", _BPE_N_MERGES, return_vocab=True)
+    return encode_words(docs, "text", vocab, "doc_id")
+
+
 @register(
     "dedup_pipeline_survivors",
     f"""
