@@ -744,6 +744,10 @@ class ScriptEngine:
             bad_stats = [c for c in stats_cols if c not in schema.fieldNames()]
             if bad_stats:
                 raise ValueError(f"CREATE LAKE: STATS column(s) not in schema: {bad_stats}")
+            bloom_cols = [c.strip() for c in (m.group(9) or "").split(",") if c.strip()]
+            bad_bloom = [c for c in bloom_cols if c not in schema.fieldNames()]
+            if bad_bloom:
+                raise ValueError(f"CREATE LAKE: BLOOM column(s) not in schema: {bad_bloom}")
             try:
                 snap = LakeTable(path).snapshot()
             except FileNotFoundError:
@@ -765,6 +769,8 @@ class ScriptEngine:
                 write_mode=(m.group(6) or "cow").lower(),
                 codec=(m.group(7) or "snappy").lower(),
                 stats_cols=stats_cols,
+                bloom_filter_cols=bloom_cols,
+                bloom_ndv=int(m.group(10)) if m.group(10) else None,
             )
             snap = tbl.snapshot()
             return self.spark.createDataFrame(

@@ -16,7 +16,8 @@ CREATE_LAKE = re.compile(
     r"\s+KEYED\s+ON\s+(\w+)"
     r"(?:\s+BUCKETS\s+(\d+))?(?:\s+MODE\s+(mor|cow))?"
     r"(?:\s+CODEC\s+(\w+))?"
-    r"(?:\s+STATS\s*\(([\w,\s]+)\))?\s*$",
+    r"(?:\s+STATS\s*\(([\w,\s]+)\))?"
+    r"(?:\s+BLOOM\s*\(([\w,\s]+)\))?(?:\s+BLOOM\s+NDV\s+(\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 

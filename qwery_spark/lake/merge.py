@@ -109,12 +109,23 @@ def _stage_write(
     snap = table.snapshot()  # one manifest read for codec + stats_cols
     if repartition:
         df = df.repartition(max(n_partitions, 1), "_bucket")
-    (
+    writer = (
         df.write.option("maxRecordsPerFile", max_records_per_file)
         .option("compression", snap.codec)
-        .partitionBy("_bucket")
-        .parquet(stage_dir)
     )
+    # parquet-native bloom filters on the configured columns: written
+    # by parquet-mr into each row group, used by the reader to skip
+    # row groups on pushed equality predicates (the scattered-key
+    # point-lookup case min/max stats can't prune). Every write path
+    # funnels through here, so compaction/binpack regenerate them.
+    for c in snap.m.get("bloom_filter_cols") or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        ndv = snap.m.get("bloom_ndv")
+        if ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+            )
+    writer.partitionBy("_bucket").parquet(stage_dir)
     new_files = []
     for bdir in os.listdir(stage_dir):
         if not bdir.startswith("_bucket="):

@@ -365,6 +365,9 @@ class LakeTable:
             # rename_column remaps stats_cols so footer stats keep
             # being recorded under the column's current name
             s["stats_cols"] = rec["stats_cols"]
+        if rec.get("bloom_filter_cols") is not None:
+            # same remap for the parquet bloom columns
+            s["bloom_filter_cols"] = rec["bloom_filter_cols"]
         if rec.get("n_buckets") is not None:
             # partition-spec evolution (rebucket): the bucket count is
             # per-snapshot state, so time travel before this commit
@@ -487,6 +490,8 @@ class LakeTable:
         write_mode: str = "cow",
         codec: str = "snappy",
         stats_cols: list[str] | None = None,
+        bloom_filter_cols: list[str] | None = None,
+        bloom_ndv: int | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the USER schema; engine
         columns are appended automatically. Partition spec is the hidden
@@ -539,6 +544,24 @@ class LakeTable:
             # manifest at every write (Iceberg column bounds) — enables
             # file skipping on non-key predicates via files(col_ranges=)
             "stats_cols": list(stats_cols or ()),
+            # parquet-NATIVE bloom filters (parquet.bloom.filter.* write
+            # options, applied at every _stage_write — so compaction and
+            # binpack regenerate them). The reader uses them
+            # automatically for row-group skipping on pushed equality
+            # predicates: the point-lookup rung manifest min/max can't
+            # serve — SCATTERED keys inside an unsorted bucket, where
+            # every row group's hull spans the key space. Manifest-level
+            # blooms were considered and rejected: at ~10 bits/row a
+            # useful bloom is MBs per 100-TB-scale file, which belongs
+            # in the data files (the parquet format already standardizes
+            # exactly this), not in a JSON manifest every planner read
+            # must parse. bloom_ndv is the PER-ROW-GROUP distinct-count
+            # hint; without it parquet-mr allocates its 1 MiB maximum
+            # per row group — harmless at the default 128 MiB row
+            # groups, pathological for small ones (measured 6x file
+            # bloat in tools/pointlookup_bench.py's layout).
+            "bloom_filter_cols": list(bloom_filter_cols or ()),
+            "bloom_ndv": bloom_ndv,
             "resolved": True,  # False once MOR deltas overlap keys
             "schema_version": 0,
             "schemas": {"0": fields},
@@ -917,6 +940,7 @@ class LakeTable:
         max_retries: int = 5,
         base: Snapshot | None = None,
         new_stats_cols: list[str] | None = None,
+        new_bloom_cols: list[str] | None = None,
     ) -> Snapshot:
         """Metadata-only commit: new schema version, files untouched.
         Retries over interleaved DATA commits (they can't invalidate a
@@ -953,6 +977,8 @@ class LakeTable:
             }
             if new_stats_cols is not None:
                 rec["stats_cols"] = new_stats_cols
+            if new_bloom_cols is not None:
+                rec["bloom_filter_cols"] = new_bloom_cols
             try:
                 return self._commit_record(rec, self._fold(latest.m, rec))
             except FileExistsError:
@@ -1300,9 +1326,13 @@ class LakeTable:
         new_stats = (
             [new if c == old else c for c in stats] if old in stats else None
         )
+        bloom = list(latest.m.get("bloom_filter_cols") or ())
+        new_bloom = (
+            [new if c == old else c for c in bloom] if old in bloom else None
+        )
         return self.commit_schema_change(
             fields, {"operation": "rename_column", "from": old, "to": new},
-            base=latest, new_stats_cols=new_stats,
+            base=latest, new_stats_cols=new_stats, new_bloom_cols=new_bloom,
         )
 
     def drop_column(self, name: str) -> Snapshot:

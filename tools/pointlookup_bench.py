@@ -53,9 +53,18 @@ def main():
         # ~16 files/bucket so manifest key_min/key_max skipping (the
         # third rung of the pruning stack) has real files to skip
         per_file = max(n // 64, 1)
-        for label, sort_cols in (("unsorted", None), ("sorted", ["doc_id"])):
+        # bloom arm: parquet-native bloom filters on the key — the rung
+        # for SCATTERED keys, where neither sorting nor min/max applies
+        # (e.g. the table can't be kept sorted under a hot update feed).
+        # ndv sized to the forced tiny row groups (~8k rows each).
+        for label, sort_cols, bloom in (
+            ("unsorted", None, False),
+            ("unsorted_bloom", None, True),
+            ("sorted", ["doc_id"], False),
+        ):
             d = os.path.join(base, label)
-            tbl = LakeTable.create(d, TARGET_SCHEMA, n_buckets=4, write_mode="mor")
+            kw = dict(bloom_filter_cols=["doc_id"], bloom_ndv=10_000) if bloom else {}
+            tbl = LakeTable.create(d, TARGET_SCHEMA, n_buckets=4, write_mode="mor", **kw)
             apply_changes(spark, tbl, df, epoch_id=0, collect_stats=False, scan_ddl=False)
             compact(spark, tbl, sort_cols=sort_cols, max_records_per_file=per_file)
             if sort_cols:
@@ -101,12 +110,18 @@ def main():
                 snap.files(key_range=(probe_ids[0], probe_ids[0]))
             ),
             "unsorted": results["unsorted"],
+            "unsorted_bloom": results["unsorted_bloom"],
             "sorted": results["sorted"],
             "sorted_cold": results["sorted_cold"],
             "stats_lookup": results["stats_lookup"],
             "speedup_sorted": round(
                 results["unsorted"]["lookup_sec"]
                 / results["sorted"]["lookup_sec"],
+                2,
+            ),
+            "speedup_bloom_on_scattered": round(
+                results["unsorted"]["lookup_sec"]
+                / results["unsorted_bloom"]["lookup_sec"],
                 2,
             ),
             "speedup_stats_vs_cold": round(
