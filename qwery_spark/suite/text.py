@@ -1423,6 +1423,37 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+@register(
+    "sample_global_shuffle",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 16 AS INT)
+             AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 16
+                  ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM (SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents) t
+    """,
+    doc="Deterministic seeded global shuffle (operators/shuffle.py): "
+    "order key md5(seed|id) -> shard (first 32 bits mod 16) + 1-based "
+    "position within the shard. The ENTIRE shuffle order is "
+    "value-checked against DuckDB computing the same key — identical "
+    "on any engine/cluster size/re-run with zero RNG state. Plan: ONE "
+    "shard-partitioned shuffle with per-shard sort, never a global "
+    "ORDER BY — shards are the training loader's parallelism unit, so "
+    "per-shard order replaces a total order at a fraction of the cost.",
+)
+def sample_global_shuffle(spark, sf_dir):
+    from qwery_spark.operators.shuffle import shard_assignments
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return shard_assignments(d, "doc_id", 42, 16)
+
+
 _PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
