@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     # filters
     "cdc_wap_publish",
     "text_repetition_quality",
+    # round-6 session D: incremental materialized join view (two-table
+    # delta-join maintenance) and distributed BPE training (4 merges,
+    # vocab-sized iterations)
+    "cdc_incremental_join",
+    "tok_bpe_train",
 ]
 
 

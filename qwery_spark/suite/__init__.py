@@ -59,7 +59,9 @@ _WINDOW_50 = [
     # sample_cap_per_group, appended at the end of this list); they
     # stay covered by tools/check_oracle.py + the judge's own run.
     "cdc_lww_final_state",
-    "cdc_asof_last_error", "cdc_json_props",
+    # round-6 session D: the incremental materialized JOIN view (the
+    # fifth IVM maintainer) takes always-green cdc_json_props' slot
+    "cdc_asof_last_error", "cdc_incremental_join",
     # round-4 flagship: incremental materialized aggregate maintained
     # from the preimage/postimage change feed (takes always-green
     # cdc_hourly_throughput's slot)
@@ -105,11 +107,17 @@ _WINDOW_50 = [
     # ann_index_batch_topk — the ONLY registry query never driver-
     # rowed through r5 — takes always-green ann_ivf_topk's slot,
     # which stays judge/oracle-covered)
-    "ann_cosine_topk", "ann_lsh_topk",
+    # round-6 session D: distributed BPE training + vocab-join encoding
+    # (tok_bpe_train's oracle unrolls the full 4-iteration training
+    # loop in SQL) take the slots of always-green ann_cosine_topk and
+    # dedup_embedding_cosine_pairs; the deterministic seeded global
+    # shuffle takes always-green q_range_frame_10min's slot. All three
+    # displaced queries stay judge/oracle-covered via check_oracle.
+    "tok_bpe_train", "tok_bpe_encode", "ann_lsh_topk",
     "ann_index_incremental_topk", "ann_index_batch_topk",
-    "dedup_embedding_cosine_pairs", "dedup_clusters", "ann_ivf_kmeans_topk",
+    "sample_global_shuffle", "dedup_clusters", "ann_ivf_kmeans_topk",
     # core flagships named by the r2 verdict + headline TPC-H-ish
-    "q10_returned_revenue", "q_range_frame_10min", "q01_pricing_summary",
+    "q10_returned_revenue", "q01_pricing_summary",
     "q03_segment_revenue", "q05_nation_revenue",
     # round-6: per-domain token-budget mixture sampling (grouped
     # range-partition cumsum — the same distributed-ranker family as
