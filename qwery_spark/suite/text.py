@@ -1683,3 +1683,128 @@ def sample_token_budget(spark, sf_dir):
 )
 def text_wordfreq_logprob(spark, sf_dir):
     return wordfreq_logprob(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------- exact duplicated-span (substring) dedup ----------------
+# Synthetic token corpus with KNOWN repeated spans: a third of the docs
+# carry a fixed 12-token boilerplate header (every corpus-duplicated
+# window inside it must be cut from every carrier), and body sequences
+# collide across docs exactly when event_id matches mod 997 at the same
+# offset — a deterministic mix of corpus-wide boilerplate and rare
+# aligned body repeats at every sf.
+_SPAN_L = 8
+_SPAN_DOCS_SQL = """
+      SELECT event_id AS ordinal,
+             list_concat(
+               CASE WHEN event_id % 3 = 0
+                    THEN [101,102,103,104,105,106,107,108,109,110,111,112]
+                    ELSE CAST([] AS INTEGER[]) END,
+               list_transform(range(0, 12 + CAST(event_id % 11 AS INTEGER)),
+                              i -> CAST((event_id * 97 + i * 31 + (i * i) % 17)
+                                        % 997 AS INTEGER))
+             ) AS tokens
+      FROM events
+"""
+# the oracle's window table: one (ordinal, pos, h) row per L-token
+# window, hashed with md5 over the comma-joined span (bit-identical to
+# the Spark side)
+_SPAN_WINDOWS_SQL = f"""
+    w0 AS (
+      SELECT ordinal,
+             CASE WHEN len(tokens) >= {_SPAN_L} THEN
+               list_transform(range(1, len(tokens) - {_SPAN_L} + 2),
+                 i -> struct_pack(pos := i,
+                        h := md5(array_to_string(
+                               list_transform(tokens[i:i+{_SPAN_L}-1],
+                                              x -> CAST(x AS VARCHAR)), ','))))
+             ELSE [] END AS ws
+      FROM docs),
+    wx AS (SELECT ordinal, unnest(ws) AS u FROM w0),
+    wf AS (SELECT ordinal, (u).pos AS pos, (u).h AS h FROM wx)
+"""
+
+
+def _span_docs(spark, sf_dir) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    boiler = F.when(
+        F.col("event_id") % 3 == 0,
+        F.array(*[F.lit(v) for v in range(101, 113)]),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    body = F.expr(
+        "transform(sequence(0, 11 + CAST(event_id % 11 AS INT)), "
+        "i -> CAST((event_id * 97 + i * 31 + (i * i) % 17) % 997 AS INT))"
+    )
+    return ev.select(
+        F.col("event_id").alias("ordinal"), F.concat(boiler, body).alias("tokens")
+    )
+
+
+@register(
+    "tok_dup_spans",
+    f"""
+    WITH docs AS ({_SPAN_DOCS_SQL}), {_SPAN_WINDOWS_SQL}
+    SELECT h AS span_hash, count(*) AS n_occ,
+           count(DISTINCT ordinal) AS n_docs
+    FROM wf GROUP BY h HAVING count(*) >= 2
+    """,
+    doc="Exact duplicated-span inventory (Lee et al. 2022 exact-substring "
+    "dedup, distributed-SQL restatement): md5-fingerprint every 8-token "
+    "window (map-only HOF, zero shuffle), then ONE partial-aggregated "
+    "groupBy(span_hash) finds every window content occurring >= 2 times "
+    "corpus-wide. operators/spandedup.py.",
+)
+def tok_dup_spans(spark, sf_dir):
+    from qwery_spark.operators.spandedup import dup_spans
+
+    return dup_spans(_span_docs(spark, sf_dir), "ordinal", "tokens", _SPAN_L)
+
+
+@register(
+    "tok_span_scrub",
+    f"""
+    WITH docs AS ({_SPAN_DOCS_SQL}), {_SPAN_WINDOWS_SQL},
+    dups AS (SELECT h FROM wf GROUP BY h HAVING count(*) >= 2),
+    dup_pos AS (
+      SELECT ordinal, list(pos) AS ds FROM wf
+      WHERE h IN (SELECT h FROM dups) GROUP BY ordinal),
+    scr AS (
+      SELECT d.ordinal,
+             CASE WHEN dp.ds IS NULL THEN d.tokens ELSE
+               list_where(d.tokens,
+                 list_transform(range(1, len(d.tokens) + 1),
+                   p -> len(list_filter(dp.ds,
+                          s -> p >= s AND p <= s + {_SPAN_L} - 1)) = 0))
+             END AS kept,
+             len(d.tokens) AS n_tok,
+             coalesce(len(dp.ds), 0) AS n_dup_windows
+      FROM docs d LEFT JOIN dup_pos dp USING (ordinal))
+    SELECT ordinal, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+           md5(coalesce(array_to_string(
+                 list_transform(kept, x -> CAST(x AS VARCHAR)), ','),
+               '')) AS kept_md5
+    FROM scr
+    """,
+    doc="Exact-substring scrub: every position covered by a corpus-"
+    "duplicated 8-token window is cut from its document's token array "
+    "(boilerplate/license/header removal before training). Shuffles only "
+    "on span_hash and doc id — the dup-position list per doc is bounded "
+    "by the doc's own length, and the cut is an index-lambda HOF. "
+    "Per-row kept-array md5 makes the scrub value-checked bit-exactly.",
+)
+def tok_span_scrub(spark, sf_dir):
+    from qwery_spark.operators.spandedup import scrub_dup_spans
+
+    s = scrub_dup_spans(_span_docs(spark, sf_dir), "ordinal", "tokens", _SPAN_L)
+    return s.select(
+        "ordinal",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.size("tokens_clean").cast("long").alias("n_kept"),
+        "n_dup_windows",
+        F.md5(
+            F.array_join(
+                F.transform("tokens_clean", lambda x: x.cast("string")), ","
+            )
+        ).alias("kept_md5"),
+    )
