@@ -92,6 +92,14 @@ def main(argv=None):
                         "(list of float lists) for --annindex-table")
     p.add_argument("--annindex-emb", default="embedding",
                    help="source embedding column for --annindex-table")
+    p.add_argument("--vocab-table",
+                   help="maintain an incremental token-frequency "
+                        "(vocabulary) lake table (operators/vocab) at "
+                        "this path from each window; the window's arrays "
+                        "explode and partial-aggregate before one "
+                        "token-keyed shuffle")
+    p.add_argument("--vocab-tokens", default="tokens",
+                   help="source token-array column for --vocab-table")
     p.add_argument("--join-table",
                    help="maintain an incremental materialized JOIN view "
                         "(operators/joinview; fact = the followed table "
@@ -134,9 +142,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if not (args.sink or args.replica or args.agg_table or args.scd2_table
             or args.sigindex_table or args.annindex_table
-            or args.join_table):
+            or args.join_table or args.vocab_table):
         p.error("need --sink, --replica, --agg-table, --scd2-table, "
-                "--sigindex-table, --annindex-table and/or --join-table")
+                "--sigindex-table, --annindex-table, --join-table and/or "
+                "--vocab-table")
     if args.agg_table and not args.agg_group:
         p.error("--agg-table requires --agg-group")
     if args.join_table and not (args.join_dim and args.join_fk
@@ -224,6 +233,12 @@ def main(argv=None):
             build_signature_index(spark, table, args.sigindex_table,
                                   text_col=args.sigindex_text,
                                   at_version=start)
+    if args.vocab_table:
+        from qwery_spark.operators.vocab import build_vocab, update_vocab
+
+        if _needs_build(args.vocab_table):
+            build_vocab(spark, table, args.vocab_table,
+                        tokens_col=args.vocab_tokens, at_version=start)
     join_left = [c for c in args.join_left_cols.split(",") if c]
     join_right = [c for c in args.join_right_cols.split(",") if c]
     if args.join_table:
@@ -300,7 +315,8 @@ def main(argv=None):
         # is window-epoch-keyed, so a crashed-and-restarted window
         # no-ops — the indexes filter the preimage rows out themselves
         if (args.agg_table or args.scd2_table or args.sigindex_table
-                or args.annindex_table or args.join_table):
+                or args.annindex_table or args.join_table
+                or args.vocab_table):
             from qwery_spark.lake.changes import read_changes
 
             pfeed = read_changes(
@@ -325,6 +341,9 @@ def main(argv=None):
                         centroids, lo, hi, emb_col=args.annindex_emb,
                         feed=pfeed,
                     )
+                if args.vocab_table:
+                    update_vocab(spark, table, LakeTable(args.vocab_table),
+                                 args.vocab_tokens, lo, hi, feed=pfeed)
                 if args.join_table:
                     # the fact side reuses the shared window diff; the
                     # dim side diffs its own commits since the persisted

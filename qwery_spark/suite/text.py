@@ -1808,3 +1808,138 @@ def tok_span_scrub(spark, sf_dir):
             )
         ).alias("kept_md5"),
     )
+
+
+# ---------------- incremental vocabulary (token-frequency) view ----------------
+# Final-state oracle for the vocab IVM lifecycle below: ep0 = docs with
+# h2 % 4 != 0; epoch 2 adds the rest, shifts the token derivation for
+# h2 % 5 = 1 docs (an array-changing update), and deletes h2 % 5 = 2
+# docs. Docs with event_id % 4 = 0 carry their first token twice, so
+# cnt > n_docs there — the occurrence-vs-document distinction is
+# exercised, not just asserted.
+_VOCAB_FINAL_SQL = """
+      SELECT ordinal,
+             CASE WHEN event_id % 4 = 0
+                  THEN list_concat(base, [base[1]]) ELSE base END AS tokens
+      FROM (
+        SELECT event_id, event_id AS ordinal,
+               list_transform(range(0, CAST(event_id % 7 AS INTEGER) + 1),
+                 i -> CAST((event_id * 37 + i * 13 +
+                            CASE WHEN h2 % 4 <> 0 AND h2 % 5 = 1
+                                 THEN 1 ELSE 0 END) % 50257 AS INTEGER))
+                 AS base
+        FROM (
+          SELECT event_id,
+                 CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                      AS INTEGER) AS h2
+          FROM events
+        ) h
+        WHERE NOT (h2 % 4 <> 0 AND h2 % 5 = 2)
+      ) b
+"""
+
+
+def _vocab_tagged(spark, sf_dir, shift: int) -> DataFrame:
+    """Token arrays for every event at derivation offset ``shift``,
+    with the doc-duplicated first token and the md5 epoch tag."""
+    ev = load(spark, sf_dir, "events")
+    base = F.expr(
+        f"transform(sequence(0, CAST(event_id % 7 AS INT)), "
+        f"i -> CAST((event_id * 37 + i * 13 + {shift}) % 50257 AS INT))"
+    )
+    toks = F.when(
+        F.col("event_id") % 4 == 0,
+        F.concat(base, F.array(F.element_at(base, 1))),
+    ).otherwise(base)
+    h2 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return ev.select(
+        F.col("event_id").cast("long").alias("doc_id"),
+        toks.alias("tokens"),
+        h2.alias("h2"),
+    )
+
+
+@register(
+    "cdc_incremental_vocab",
+    f"""
+    SELECT token, count(*) AS cnt,
+           CAST(count(DISTINCT ordinal) AS BIGINT) AS n_docs
+    FROM (SELECT ordinal, unnest(tokens) AS token
+          FROM ({_VOCAB_FINAL_SQL}) f) u
+    GROUP BY token
+    """,
+    doc="Incrementally maintained token-frequency (vocabulary) view "
+    "(operators/vocab.py): a token-keyed (cnt, n_docs) lake table built "
+    "at epoch 0, then updated from ONE preimage-bearing change-feed "
+    "window — array-changing updates subtract the old array and add the "
+    "new, deletes subtract their preimage, zeroed tokens leave the view. "
+    "The oracle recomputes the vocabulary from scratch over the final "
+    "corpus: value equality proves the explode-through IVM is exact. At "
+    "100 TB the refresh shuffles (distinct tokens in the window), never "
+    "the corpus.",
+)
+def cdc_incremental_vocab(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.vocab import build_vocab, update_vocab
+
+    base = _vocab_tagged(spark, sf_dir, 0)
+    shifted = _vocab_tagged(spark, sf_dir, 1)
+
+    tag = hashlib.md5(f"{sf_dir}|inc_vocab".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_inc_vocab_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_inc_vocab_tbl_")
+    try:
+        src = LakeTable.create(
+            d + "/src",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                ]
+            ),
+            n_buckets=8,
+            key_col="doc_id",
+            write_mode="mor",
+        )
+        ep0 = base.filter(F.col("h2") % 4 != 0).select(
+            "doc_id", "tokens", F.lit("U").alias("op"),
+            F.col("doc_id").alias("ordinal"),
+        )
+        append_changes(spark, src, ep0)
+        v1 = src.current_version()
+        vocab = build_vocab(spark, src, d + "/vocab", "tokens")
+        adds = base.filter(F.col("h2") % 4 == 0).select(
+            "doc_id", "tokens", F.lit("U").alias("op"),
+            (F.col("doc_id") + 1_000_000).alias("ordinal"),
+        )
+        updates = shifted.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
+        ).select(
+            "doc_id", "tokens", F.lit("U").alias("op"),
+            (F.col("doc_id") + 2_000_000).alias("ordinal"),
+        )
+        dels = base.filter(
+            (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
+        ).select(
+            "doc_id", F.lit(None).cast("array<int>").alias("tokens"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 3_000_000).alias("ordinal"),
+        )
+        append_changes(spark, src, adds.unionAll(updates).unionAll(dels))
+        update_vocab(spark, src, vocab, "tokens", from_version=v1)
+        vocab.read(spark).select("token", "cnt", "n_docs").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)

@@ -99,6 +99,7 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     table = str(tmp_path / "src")
     agg = str(tmp_path / "agg")
     scd2 = str(tmp_path / "hist")
+    vocab = str(tmp_path / "vocab")
     state = str(tmp_path / "state.json")
     src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2)
     ev = make_events(1500, seed=17).to_pandas()
@@ -112,7 +113,7 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
         "--table", table, "--state", state, "--from-version", "1",
         "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
         "--agg-min", "n_tok", "--agg-max", "n_tok",
-        "--scd2-table", scd2, "--max-polls", "1",
+        "--scd2-table", scd2, "--vocab-table", vocab, "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
 
@@ -123,7 +124,7 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
         "--table", table, "--state", state,
         "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
         "--agg-min", "n_tok", "--agg-max", "n_tok",
-        "--scd2-table", scd2, "--max-polls", "1",
+        "--scd2-table", scd2, "--vocab-table", vocab, "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
 
@@ -151,6 +152,24 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     live_keys = src.read(spark).count()
     assert hist.filter("valid_to IS NULL").count() == live_keys
     assert hist.filter("valid_to IS NOT NULL").count() > 0
+    # vocabulary view equals a from-scratch exploded recompute
+    got_v = sorted(
+        tuple(x)
+        for x in LakeTable(vocab).read(spark)
+        .select("token", "cnt", "n_docs").collect()
+    )
+    want_v = sorted(
+        tuple(x)
+        for x in src.read(spark)
+        .select(F.explode("tokens").alias("token"), "doc_id")
+        .groupBy(F.col("token").cast("long").alias("token"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .collect()
+    )
+    assert got_v == want_v
 
 
 def test_run_follow_cli_maintains_both_indexes(spark, tmp_path):
