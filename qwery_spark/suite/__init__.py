@@ -132,9 +132,15 @@ _WINDOW_50 = [
     "cdc_range_join_windows", "cdc_change_feed", "cdc_quarantine_audit",
     # round-4 rotation: first-ever driver rows for these three
     "q_grouping_sets", "q_sessionize", "sample_cap_per_group",
+    # round-6 session E: exact duplicated-span dedup (inventory +
+    # scrub) and the incremental vocabulary view take the slots of
+    # q_semi_join / q_anti_join / q_distinct — all three earned their
+    # first driver rows in r5 and stay judge/oracle-covered via
+    # tools/check_oracle.py
+    "tok_dup_spans", "tok_span_scrub", "cdc_incremental_vocab",
     # round-5 rotation: first-ever driver rows — the full never-rowed
     # set from the r4 verdict...
-    "q_semi_join", "q_anti_join", "q_distinct", "q_cube", "q_percentiles",
+    "q_cube", "q_percentiles",
     "emb_quantize_int8", "emb_l2_normalize",
     "text_pii_scrub", "text_decontaminate", "cdc_interval_overlap_join",
     # ...plus the two new round-5 operators: MIN/MAX materialized-

@@ -1,6 +1,6 @@
 """IVM flatness evidence (r4 verdict task 4): the per-window cost of
 maintaining downstream views — update_agg, update_scd2,
-update_signature_index, update_ann_index — must track the WINDOW's
+update_signature_index, update_ann_index, update_vocab — must track the WINDOW's
 change volume, not the base table's depth. Fixed-size change windows
 are applied while the base grows ~10x; per-window wall is recorded for
 each maintainer, and flatness = median(second half)/median(first half).
@@ -78,6 +78,9 @@ def _docs(spark, lo: int, n: int, ordinal0: int, lang_tag: str):
             (F.col("id") % 997).cast("long").alias("n_chars"),
             F.concat_ws(" ", *words).alias("text"),
             emb.alias("embedding"),
+            F.expr(f"transform(sequence(0, 11), i -> "
+                   f"CAST((id * 37 + i * 13 + {ord(lang_tag[0])}) % 50257 "
+                   f"AS INT))").alias("tokens"),
             F.lit("U").alias("op"),
             (F.lit(ordinal0) + F.col("id") - lo).alias("ordinal"),
         )
@@ -99,6 +102,7 @@ def main():
     from qwery_spark.operators.sigindex import (
         build_signature_index, update_signature_index,
     )
+    from qwery_spark.operators.vocab import build_vocab, update_vocab
     from qwery_spark.session import get_spark
 
     windows = int(sys.argv[1]) if len(sys.argv) > 1 else 16
@@ -118,6 +122,7 @@ def main():
         T.StructField("n_chars", T.LongType()),
         T.StructField("text", T.StringType()),
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
     ])
     centroids = [
         [2.0, 2.0, 2.0, 2.0], [8.0, 2.0, 8.0, 2.0],
@@ -147,9 +152,10 @@ def main():
         hist = build_scd2(spark, src, d + "/hist")
         sidx = build_signature_index(spark, src, d + "/sidx")
         aidx = build_ann_index(spark, src, d + "/aidx", centroids)
+        vocab = build_vocab(spark, src, d + "/vocab", "tokens")
 
         walls = {"agg": [], "scd2": [], "sigindex": [], "annindex": [],
-                 "window_total": []}
+                 "vocab": [], "window_total": []}
         next_id = SEED_ROWS
         ordinal = 10_000_000
         for w in range(windows):
@@ -182,6 +188,9 @@ def main():
                                 16, 10).cast("double") % 100) / 10.0
                             for dd in range(4)
                         ]).alias("embedding"),
+                        F.expr(f"transform(sequence(0, 11), i -> "
+                               f"CAST((id * 41 + i * 13 + {w}) % 50257 "
+                               f"AS INT))").alias("tokens"),
                         F.lit("U").alias("op"),
                         (F.lit(ordinal + per_win) + F.col("id")).alias("ordinal"),
                     )
@@ -195,6 +204,7 @@ def main():
                 F.lit(None).cast("long").alias("n_chars"),
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("array<double>").alias("embedding"),
+                F.lit(None).cast("array<int>").alias("tokens"),
                 F.lit("D").alias("op"),
                 (F.lit(ordinal + 2 * per_win) + F.col("id")).alias("ordinal"),
             )
@@ -213,6 +223,9 @@ def main():
             t = time.monotonic()
             update_ann_index(spark, src, aidx, centroids, from_version=v)
             walls["annindex"].append(round((time.monotonic() - t) * 1000))
+            t = time.monotonic()
+            update_vocab(spark, src, vocab, "tokens", from_version=v)
+            walls["vocab"].append(round((time.monotonic() - t) * 1000))
             walls["window_total"].append(round((time.monotonic() - t0) * 1000))
             next_id += per_win
             ordinal += 3 * per_win
