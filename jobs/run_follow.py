@@ -100,6 +100,13 @@ def main(argv=None):
                         "token-keyed shuffle")
     p.add_argument("--vocab-tokens", default="tokens",
                    help="source token-array column for --vocab-table")
+    p.add_argument("--spanindex-table",
+                   help="maintain a persisted exact-span (substring) "
+                        "index (operators/spanindex) at this path from "
+                        "each window; changed docs re-fingerprint, the "
+                        "corpus never does")
+    p.add_argument("--spanindex-length", type=int, default=16,
+                   help="window length L for --spanindex-table")
     p.add_argument("--join-table",
                    help="maintain an incremental materialized JOIN view "
                         "(operators/joinview; fact = the followed table "
@@ -142,10 +149,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if not (args.sink or args.replica or args.agg_table or args.scd2_table
             or args.sigindex_table or args.annindex_table
-            or args.join_table or args.vocab_table):
+            or args.join_table or args.vocab_table or args.spanindex_table):
         p.error("need --sink, --replica, --agg-table, --scd2-table, "
-                "--sigindex-table, --annindex-table, --join-table and/or "
-                "--vocab-table")
+                "--sigindex-table, --annindex-table, --join-table, "
+                "--vocab-table and/or --spanindex-table")
     if args.agg_table and not args.agg_group:
         p.error("--agg-table requires --agg-group")
     if args.join_table and not (args.join_dim and args.join_fk
@@ -239,6 +246,17 @@ def main(argv=None):
         if _needs_build(args.vocab_table):
             build_vocab(spark, table, args.vocab_table,
                         tokens_col=args.vocab_tokens, at_version=start)
+    if args.spanindex_table:
+        from qwery_spark.operators.spanindex import (
+            build_span_index,
+            update_span_index,
+        )
+
+        if _needs_build(args.spanindex_table):
+            build_span_index(spark, table, args.spanindex_table,
+                             tokens_col=args.vocab_tokens,
+                             length=args.spanindex_length,
+                             at_version=start)
     join_left = [c for c in args.join_left_cols.split(",") if c]
     join_right = [c for c in args.join_right_cols.split(",") if c]
     if args.join_table:
@@ -316,7 +334,7 @@ def main(argv=None):
         # no-ops — the indexes filter the preimage rows out themselves
         if (args.agg_table or args.scd2_table or args.sigindex_table
                 or args.annindex_table or args.join_table
-                or args.vocab_table):
+                or args.vocab_table or args.spanindex_table):
             from qwery_spark.lake.changes import read_changes
 
             pfeed = read_changes(
@@ -344,6 +362,12 @@ def main(argv=None):
                 if args.vocab_table:
                     update_vocab(spark, table, LakeTable(args.vocab_table),
                                  args.vocab_tokens, lo, hi, feed=pfeed)
+                if args.spanindex_table:
+                    update_span_index(
+                        spark, table, LakeTable(args.spanindex_table),
+                        args.vocab_tokens, args.spanindex_length,
+                        lo, hi, feed=pfeed,
+                    )
                 if args.join_table:
                     # the fact side reuses the shared window diff; the
                     # dim side diffs its own commits since the persisted

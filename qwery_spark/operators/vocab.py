@@ -61,47 +61,112 @@ class VocabUpdateStats:
     snapshot_version: int | None = None
 
 
-_VOCAB_SCHEMA = T.StructType(
-    [
-        T.StructField("token", T.LongType()),
-        T.StructField("cnt", T.LongType()),
-        T.StructField("n_docs", T.LongType()),
-    ]
-)
+def _counts_schema(key_name: str, key_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_name, key_type),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+        ]
+    )
 
 
-def _occurrence_units(rows: DataFrame, tokens_col: str, sign) -> DataFrame:
-    """(token, d_cnt, d_docs) unit rows for one side of the feed:
-    every occurrence counts toward cnt, every distinct token toward
-    n_docs. explode (not explode_outer) drops NULL arrays — a delete
-    whose preimage payload is null contributes nothing, correctly."""
-    c = F.col(f"`{tokens_col}`")
+_VOCAB_SCHEMA = _counts_schema("token", T.LongType())
+
+
+def _occurrence_units(rows: DataFrame, unit_array, key_name: str,
+                      sign) -> DataFrame:
+    """(unit, d_cnt, d_docs) rows for one side of the feed: every
+    occurrence of a unit (token / span hash) counts toward cnt, every
+    DISTINCT unit per row toward n_docs. explode (not explode_outer)
+    drops NULL arrays — a delete whose preimage payload is null
+    contributes nothing, correctly."""
+    c = unit_array
     occ = rows.select(
-        F.explode(c).alias("token"), sign.alias("d_cnt"), F.lit(0).alias("d_docs")
+        F.explode(c).alias(key_name), sign.alias("d_cnt"),
+        F.lit(0).alias("d_docs"),
     )
     docs = rows.select(
-        F.explode(F.array_distinct(c)).alias("token"),
+        F.explode(F.array_distinct(c)).alias(key_name),
         F.lit(0).alias("d_cnt"),
         sign.alias("d_docs"),
     )
     return occ.unionAll(docs)
 
 
-def vocab_deltas(feed: DataFrame, tokens_col: str) -> DataFrame:
-    """Fold one preimage/postimage window into per-token deltas — the
-    explode amplifies rows map-side but the groupBy(token) partial agg
+def unit_count_deltas(feed: DataFrame, unit_array, key_name: str,
+                      key_cast: str) -> DataFrame:
+    """Fold one preimage/postimage window into per-unit deltas — the
+    explode amplifies rows map-side but the groupBy(unit) partial agg
     collapses them BEFORE the one window-sized shuffle (plan-gated)."""
     add = F.col("_change_type").isin("insert", "update_postimage")
     sign = F.when(add, F.lit(1)).otherwise(F.lit(-1))
     return (
-        _occurrence_units(feed, tokens_col, sign)
-        .groupBy("token")
+        _occurrence_units(feed, unit_array, key_name, sign)
+        .groupBy(key_name)
         .agg(
             F.sum("d_cnt").cast("long").alias("d_cnt"),
             F.sum("d_docs").cast("long").alias("d_docs"),
         )
-        .select(F.col("token").cast("long").alias("token"), "d_cnt", "d_docs")
+        .select(
+            F.col(key_name).cast(key_cast).alias(key_name),
+            "d_cnt", "d_docs",
+        )
     )
+
+
+def vocab_deltas(feed: DataFrame, tokens_col: str) -> DataFrame:
+    return unit_count_deltas(
+        feed, F.col(f"`{tokens_col}`"), "token", "long"
+    )
+
+
+def build_unit_counts(
+    spark: SparkSession,
+    src: LakeTable,
+    path: str,
+    unit_array,
+    key_name: str,
+    key_type: T.DataType,
+    key_cast: str,
+    epoch_prefix: str,
+    n_buckets: int = 8,
+    at_version: int | None = None,
+    stats_cols: list | None = None,
+) -> LakeTable:
+    """Full build of a (unit, cnt, n_docs) counts view from the
+    source's live state (pinned to ``at_version`` for followers
+    building at their resume point), with ordinal = the reflected
+    source version so incremental windows continue the same LWW order.
+    Idempotent: the build merge is epoch-keyed, so re-building an
+    existing view no-ops. ``unit_array`` is any Catalyst expression
+    yielding the per-row unit array (raw tokens, window hashes, ...)."""
+    from qwery_spark.lake.merge import merge_changes
+    from qwery_spark.operators.materialize import _reuse_or_create
+
+    version = src.current_version() if at_version is None else at_version
+    view = _reuse_or_create(
+        path, _counts_schema(key_name, key_type), n_buckets, key_name,
+        "cow", stats_cols=stats_cols,
+    )
+    base = src.read(spark, snapshot_version=version)
+    rows = (
+        _occurrence_units(base, unit_array, key_name, F.lit(1))
+        .groupBy(key_name)
+        .agg(
+            F.sum("d_cnt").cast("long").alias("cnt"),
+            F.sum("d_docs").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col(key_name).cast(key_cast).alias(key_name),
+            "cnt",
+            "n_docs",
+            F.lit("U").alias("op"),
+            F.lit(version).cast("bigint").alias("ordinal"),
+        )
+    )
+    merge_changes(spark, view, rows, epoch_id=f"{epoch_prefix}:{version}")
+    return view
 
 
 def build_vocab(
@@ -112,37 +177,83 @@ def build_vocab(
     n_buckets: int = 8,
     at_version: int | None = None,
 ) -> LakeTable:
-    """Full build from the source's live state (pinned to
-    ``at_version`` for followers building at their resume point), with
-    ordinal = the reflected source version so incremental windows
-    continue the same LWW order. Idempotent: the build merge is epoch-
-    keyed, so re-building an existing view no-ops."""
-    from qwery_spark.lake.merge import merge_changes
-    from qwery_spark.operators.materialize import _reuse_or_create
+    return build_unit_counts(
+        spark, src, vocab_path, F.col(f"`{tokens_col}`"), "token",
+        T.LongType(), "long", "vocab", n_buckets=n_buckets,
+        at_version=at_version, stats_cols=["token"],
+    )
 
-    version = src.current_version() if at_version is None else at_version
-    vocab = _reuse_or_create(
-        vocab_path, _VOCAB_SCHEMA, n_buckets, "token", "cow",
-        stats_cols=["token"],
-    )
-    base = src.read(spark, snapshot_version=version)
-    rows = (
-        _occurrence_units(base, tokens_col, F.lit(1))
-        .groupBy("token")
-        .agg(
-            F.sum("d_cnt").cast("long").alias("cnt"),
-            F.sum("d_docs").cast("long").alias("n_docs"),
+
+def update_unit_counts(
+    spark: SparkSession,
+    src: LakeTable,
+    view: LakeTable,
+    unit_array,
+    key_name: str,
+    key_cast: str,
+    epoch_prefix: str,
+    source_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    feed: DataFrame | None = None,
+    rebuild_hint: str = "the counts view",
+) -> VocabUpdateStats:
+    """One change-feed window becomes one counts commit: fold the
+    window into per-unit deltas, add them to the current counts, and
+    merge — updated units as upserts, zeroed units as deletes. Pass
+    ``feed`` (a preimage-bearing changelog for the same range) to share
+    one endpoint diff with the other view maintainers."""
+    from qwery_spark.lake.merge import merge_changes
+
+    to_version = src.current_version() if to_version is None else to_version
+    stats = VocabUpdateStats(from_version=from_version, to_version=to_version)
+    if to_version <= from_version:
+        return stats
+    # the view references source columns by name; renames/drops cannot
+    # be replayed onto it (its content IS those columns) — fail with
+    # the rebuild contract, same as update_agg
+    src_cols = {f["name"] for f in src.snapshot(to_version).fields()}
+    gone = [c for c in source_cols if c not in src_cols]
+    if gone:
+        raise ValueError(
+            f"update for {rebuild_hint}: source {src.path!r} no longer "
+            f"has columns {gone} at v{to_version} (renamed or dropped "
+            f"mid-stream) — rebuild {rebuild_hint} against the new "
+            "column names (build at the current version) and resume there"
         )
-        .select(
-            F.col("token").cast("long").alias("token"),
-            "cnt",
-            "n_docs",
-            F.lit("U").alias("op"),
-            F.lit(version).cast("bigint").alias("ordinal"),
+    if feed is None:
+        feed = read_changes(
+            spark, src, from_version, to_version, granular=False,
+            include_preimages=True,
         )
-    )
-    merge_changes(spark, vocab, rows, epoch_id=f"vocab:{version}")
-    return vocab
+    deltas = unit_count_deltas(feed, unit_array, key_name, key_cast).persist()
+    try:
+        stats.tokens_touched = deltas.count()
+        if stats.tokens_touched == 0:
+            return stats
+        cur = view.read(spark)
+        merged = deltas.alias("d").join(cur.alias("c"), key_name, "left")
+        cnt = (F.coalesce(F.col("c.cnt"), F.lit(0)) + F.col("d.d_cnt")).cast(
+            "long"
+        )
+        nd = (
+            F.coalesce(F.col("c.n_docs"), F.lit(0)) + F.col("d.d_docs")
+        ).cast("long")
+        live = cnt > 0
+        batch = merged.select(
+            F.col(key_name),
+            F.when(live, cnt).alias("cnt"),
+            F.when(live, nd).alias("n_docs"),
+            F.when(live, F.lit("U")).otherwise("D").alias("op"),
+            F.lit(to_version).cast("bigint").alias("ordinal"),
+        )
+        r = merge_changes(
+            spark, view, batch, epoch_id=f"{epoch_prefix}:{to_version}"
+        )
+        stats.snapshot_version = r.snapshot_version
+        return stats
+    finally:
+        deltas.unpersist()
 
 
 def update_vocab(
@@ -154,56 +265,8 @@ def update_vocab(
     to_version: int | None = None,
     feed: DataFrame | None = None,
 ) -> VocabUpdateStats:
-    """One change-feed window becomes one vocabulary commit: fold the
-    window into per-token deltas, add them to the current counts, and
-    merge — updated tokens as upserts, zeroed tokens as deletes. Pass
-    ``feed`` (a preimage-bearing changelog for the same range) to share
-    one endpoint diff with the other view maintainers."""
-    from qwery_spark.lake.merge import merge_changes
-
-    to_version = src.current_version() if to_version is None else to_version
-    stats = VocabUpdateStats(from_version=from_version, to_version=to_version)
-    if to_version <= from_version:
-        return stats
-    # the view references the tokens column by name; renames/drops
-    # cannot be replayed onto it (its content IS that column) — fail
-    # with the rebuild contract, same as update_agg
-    src_cols = {f["name"] for f in src.snapshot(to_version).fields()}
-    if tokens_col not in src_cols:
-        raise ValueError(
-            f"update_vocab: source {src.path!r} no longer has column "
-            f"{tokens_col!r} at v{to_version} (renamed or dropped "
-            "mid-stream) — rebuild the vocabulary against the new column "
-            "name (build_vocab at the current version) and resume there"
-        )
-    if feed is None:
-        feed = read_changes(
-            spark, src, from_version, to_version, granular=False,
-            include_preimages=True,
-        )
-    deltas = vocab_deltas(feed, tokens_col).persist()
-    try:
-        stats.tokens_touched = deltas.count()
-        if stats.tokens_touched == 0:
-            return stats
-        cur = vocab.read(spark)
-        merged = deltas.alias("d").join(cur.alias("c"), "token", "left")
-        cnt = (F.coalesce(F.col("c.cnt"), F.lit(0)) + F.col("d.d_cnt")).cast(
-            "long"
-        )
-        nd = (
-            F.coalesce(F.col("c.n_docs"), F.lit(0)) + F.col("d.d_docs")
-        ).cast("long")
-        live = cnt > 0
-        batch = merged.select(
-            F.col("token"),
-            F.when(live, cnt).alias("cnt"),
-            F.when(live, nd).alias("n_docs"),
-            F.when(live, F.lit("U")).otherwise("D").alias("op"),
-            F.lit(to_version).cast("bigint").alias("ordinal"),
-        )
-        r = merge_changes(spark, vocab, batch, epoch_id=f"vocab:{to_version}")
-        stats.snapshot_version = r.snapshot_version
-        return stats
-    finally:
-        deltas.unpersist()
+    return update_unit_counts(
+        spark, src, vocab, F.col(f"`{tokens_col}`"), "token", "long",
+        "vocab", [tokens_col], from_version, to_version=to_version,
+        feed=feed, rebuild_hint="the vocabulary",
+    )

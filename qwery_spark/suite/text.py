@@ -1943,3 +1943,222 @@ def cdc_incremental_vocab(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+# ---------------- persisted incremental span index ----------------
+# Final corpus for the span-index lifecycle: ep0 = docs with h2 % 4 != 0
+# at body shift 0; epoch 2 adds the rest, re-derives bodies at shift 1
+# for h2 % 5 = 1 docs (every body window changes, boilerplate windows
+# survive), and deletes h2 % 5 = 2 docs.
+_SPANIDX_FINAL_SQL = """
+      SELECT ordinal,
+             list_concat(
+               CASE WHEN event_id % 3 = 0
+                    THEN [101,102,103,104,105,106,107,108,109,110,111,112]
+                    ELSE CAST([] AS INTEGER[]) END,
+               list_transform(range(0, 12 + CAST(event_id % 11 AS INTEGER)),
+                 i -> CAST((event_id * 97 + i * 31 + (i * i) % 17 +
+                            CASE WHEN h2 % 4 <> 0 AND h2 % 5 = 1
+                                 THEN 1 ELSE 0 END) % 997 AS INTEGER))
+             ) AS tokens, h2
+      FROM (
+        SELECT event_id, event_id AS ordinal,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) AS h2
+        FROM events
+      ) h
+      WHERE NOT (h2 % 4 <> 0 AND h2 % 5 = 2)
+"""
+
+
+def _span_tagged(spark, sf_dir, shift: int) -> DataFrame:
+    """The span corpus at body derivation offset ``shift``, with the
+    md5 epoch tag (boilerplate headers are shift-invariant)."""
+    ev = load(spark, sf_dir, "events")
+    boiler = F.when(
+        F.col("event_id") % 3 == 0,
+        F.array(*[F.lit(v) for v in range(101, 113)]),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    body = F.expr(
+        f"transform(sequence(0, 11 + CAST(event_id % 11 AS INT)), "
+        f"i -> CAST((event_id * 97 + i * 31 + (i * i) % 17 + {shift}) "
+        f"% 997 AS INT))"
+    )
+    h2 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return ev.select(
+        F.col("event_id").cast("long").alias("doc_id"),
+        F.concat(boiler, body).alias("tokens"),
+        h2.alias("h2"),
+    )
+
+
+def _span_index_lifecycle(spark, sf_dir, tmpdir: str):
+    """Shared harness: source table through two epochs with the span
+    index built at epoch 0 and advanced from the change feed. Returns
+    (src, index, batch2_docs) with batch2 = epoch-2 upserts at their
+    final arrays."""
+    from pyspark.sql import types as T
+
+    from qwery_spark.lake.merge import append_changes
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.operators.spanindex import (
+        build_span_index,
+        update_span_index,
+    )
+
+    base = _span_tagged(spark, sf_dir, 0)
+    shifted = _span_tagged(spark, sf_dir, 1)
+    src = LakeTable.create(
+        tmpdir + "/src",
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+        n_buckets=8,
+        key_col="doc_id",
+        write_mode="mor",
+    )
+    ep0 = base.filter(F.col("h2") % 4 != 0).select(
+        "doc_id", "tokens", F.lit("U").alias("op"),
+        F.col("doc_id").alias("ordinal"),
+    )
+    append_changes(spark, src, ep0)
+    v1 = src.current_version()
+    idx = build_span_index(spark, src, tmpdir + "/spanidx", "tokens", _SPAN_L)
+    adds = base.filter(F.col("h2") % 4 == 0).select(
+        "doc_id", "tokens", F.lit("U").alias("op"),
+        (F.col("doc_id") + 1_000_000).alias("ordinal"),
+    )
+    updates = shifted.filter(
+        (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 1)
+    ).select(
+        "doc_id", "tokens", F.lit("U").alias("op"),
+        (F.col("doc_id") + 2_000_000).alias("ordinal"),
+    )
+    dels = base.filter(
+        (F.col("h2") % 4 != 0) & (F.col("h2") % 5 == 2)
+    ).select(
+        "doc_id", F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit("D").alias("op"),
+        (F.col("doc_id") + 3_000_000).alias("ordinal"),
+    )
+    append_changes(spark, src, adds.unionAll(updates).unionAll(dels))
+    update_span_index(spark, src, idx, "tokens", _SPAN_L, from_version=v1)
+    batch2 = adds.select("doc_id", "tokens").unionAll(
+        updates.select("doc_id", "tokens")
+    )
+    return src, idx, batch2
+
+
+@register(
+    "tok_span_index_dups",
+    f"""
+    WITH docs AS ({_SPANIDX_FINAL_SQL}), {_SPAN_WINDOWS_SQL}
+    SELECT h AS span_hash, count(*) AS cnt,
+           CAST(count(DISTINCT ordinal) AS BIGINT) AS n_docs
+    FROM wf GROUP BY h HAVING count(*) >= 2
+    """,
+    doc="Persisted incremental span index (operators/spanindex.py): the "
+    "corpus-wide L-window inventory as a span_hash-keyed (cnt, n_docs) "
+    "lake table built at epoch 0 and maintained from ONE preimage-"
+    "bearing change window — changed docs subtract their old windows "
+    "and add their new ones, zeroed spans leave the index. Output = the "
+    "live duplicated-span inventory (cnt >= 2), zero corpus IO. The "
+    "oracle re-fingerprints the final corpus from scratch: equality "
+    "proves the incremental index is exact. At 100 TB the daily refresh "
+    "costs O(window tokens), never a corpus pass.",
+)
+def tok_span_index_dups(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from qwery_spark.operators.spanindex import duplicated_spans
+
+    tag = hashlib.md5(f"{sf_dir}|spanidx".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_spanidx_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_spanidx_tbl_")
+    try:
+        src, idx, _ = _span_index_lifecycle(spark, sf_dir, d)
+        duplicated_spans(spark, idx).select(
+            "span_hash", "cnt", "n_docs"
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "tok_span_scrub_incremental",
+    f"""
+    WITH docs AS ({_SPANIDX_FINAL_SQL}), {_SPAN_WINDOWS_SQL},
+    dups AS (SELECT h FROM wf GROUP BY h HAVING count(*) >= 2),
+    batch AS (
+      SELECT ordinal, tokens FROM docs
+      WHERE h2 % 4 = 0 OR (h2 % 4 <> 0 AND h2 % 5 = 1)),
+    bw AS (
+      SELECT b.ordinal, w.pos FROM wf w JOIN batch b USING (ordinal)
+      WHERE w.h IN (SELECT h FROM dups)),
+    dup_pos AS (SELECT ordinal, list(pos) AS ds FROM bw GROUP BY ordinal),
+    scr AS (
+      SELECT b.ordinal,
+             CASE WHEN dp.ds IS NULL THEN b.tokens ELSE
+               list_where(b.tokens,
+                 list_transform(range(1, len(b.tokens) + 1),
+                   p -> len(list_filter(dp.ds,
+                          s -> p >= s AND p <= s + {_SPAN_L} - 1)) = 0))
+             END AS kept,
+             len(b.tokens) AS n_tok,
+             coalesce(len(dp.ds), 0) AS n_dup_windows
+      FROM batch b LEFT JOIN dup_pos dp USING (ordinal))
+    SELECT ordinal AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+           md5(coalesce(array_to_string(
+                 list_transform(kept, x -> CAST(x AS VARCHAR)), ','),
+               '')) AS kept_md5
+    FROM scr
+    """,
+    doc="Day-2 scrub against the persisted span index: the epoch-2 "
+    "batch is cleaned against every span the WHOLE corpus repeats — "
+    "only the batch is fingerprinted (map-only), its windows semi-join "
+    "the index's cnt>=2 slice, covered positions are cut. O(batch), the "
+    "corpus is never re-read. Oracle recomputes the dup set from the "
+    "final corpus from scratch and scrubs the same batch in SQL.",
+)
+def tok_span_scrub_incremental(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from qwery_spark.operators.spanindex import scrub_against_index
+
+    tag = hashlib.md5(f"{sf_dir}|spanscrub".encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"qwery_spanscrub_{tag}")
+    d = tempfile.mkdtemp(prefix="qwery_spanscrub_tbl_")
+    try:
+        _, idx, batch2 = _span_index_lifecycle(spark, sf_dir, d)
+        s = scrub_against_index(
+            spark, batch2, idx, "doc_id", "tokens", _SPAN_L
+        )
+        s.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tok"),
+            F.size("tokens_clean").cast("long").alias("n_kept"),
+            "n_dup_windows",
+            F.md5(
+                F.array_join(
+                    F.transform("tokens_clean", lambda x: x.cast("string")),
+                    ",",
+                )
+            ).alias("kept_md5"),
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.read.parquet(out_dir)

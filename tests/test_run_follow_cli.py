@@ -100,6 +100,7 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
     agg = str(tmp_path / "agg")
     scd2 = str(tmp_path / "hist")
     vocab = str(tmp_path / "vocab")
+    spanidx = str(tmp_path / "spanidx")
     state = str(tmp_path / "state.json")
     src = LakeTable.create(table, TARGET_SCHEMA, n_buckets=2)
     ev = make_events(1500, seed=17).to_pandas()
@@ -113,7 +114,9 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
         "--table", table, "--state", state, "--from-version", "1",
         "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
         "--agg-min", "n_tok", "--agg-max", "n_tok",
-        "--scd2-table", scd2, "--vocab-table", vocab, "--max-polls", "1",
+        "--scd2-table", scd2, "--vocab-table", vocab,
+        "--spanindex-table", spanidx, "--spanindex-length", "4",
+        "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
 
@@ -124,7 +127,9 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
         "--table", table, "--state", state,
         "--agg-table", agg, "--agg-group", "source", "--agg-sum", "n_tok",
         "--agg-min", "n_tok", "--agg-max", "n_tok",
-        "--scd2-table", scd2, "--vocab-table", vocab, "--max-polls", "1",
+        "--scd2-table", scd2, "--vocab-table", vocab,
+        "--spanindex-table", spanidx, "--spanindex-length", "4",
+        "--max-polls", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
 
@@ -170,6 +175,21 @@ def test_run_follow_cli_incremental_views(spark, tmp_path):
         .collect()
     )
     assert got_v == want_v
+    # span index equals a from-scratch re-fingerprint of the corpus
+    from qwery_spark.operators.spandedup import dup_spans
+
+    got_s = sorted(
+        tuple(x)
+        for x in LakeTable(spanidx).read(spark)
+        .select("span_hash", "cnt", "n_docs").collect()
+    )
+    want_s = sorted(
+        tuple(x)
+        for x in dup_spans(src.read(spark), "doc_id", "tokens", 4, 1)
+        .select("span_hash", F.col("n_occ").alias("cnt"), "n_docs")
+        .collect()
+    )
+    assert got_s == want_s
 
 
 def test_run_follow_cli_maintains_both_indexes(spark, tmp_path):
