@@ -138,9 +138,10 @@ _WINDOW_50 = [
     # first driver rows in r5 and stay judge/oracle-covered via
     # tools/check_oracle.py
     "tok_dup_spans", "tok_span_scrub", "cdc_incremental_vocab",
-    # round-5 rotation: first-ever driver rows — the full never-rowed
-    # set from the r4 verdict...
-    "q_cube", "q_percentiles",
+    # round-6 session E: the persisted incremental span index lifecycle
+    # + day-2 batch scrub take q_cube / q_percentiles' slots (both
+    # first driver-rowed in r5, judge/oracle-covered since)
+    "tok_span_index_dups", "tok_span_scrub_incremental",
     "emb_quantize_int8", "emb_l2_normalize",
     "text_pii_scrub", "text_decontaminate", "cdc_interval_overlap_join",
     # ...plus the two new round-5 operators: MIN/MAX materialized-
