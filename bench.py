@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     # vocab-sized iterations)
     "cdc_incremental_join",
     "tok_bpe_train",
+    # round-6 session E: one-shot exact-span scrub (corpus
+    # fingerprint + cut), the span-index lifecycle (build + window
+    # update + dup inventory), and the vocabulary-view lifecycle
+    "tok_span_scrub",
+    "tok_span_index_dups",
+    "cdc_incremental_vocab",
 ]
 
 
@@ -374,6 +380,9 @@ def main():
             },
             "headline_interleave_sequence": head_seq,
             "scaling": scaling,
+            # full per-query timings survive here even when the final
+            # line's tail-capture guard sheds to its top-15
+            "queries": qtimes,
         }
         sidecar = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -99,28 +99,29 @@ def dup_spans(
     )
 
 
-def scrub_dup_spans(
-    df: DataFrame, id_col: str, tokens_col: str, length: int
+def scrub_with_dup_set(
+    df: DataFrame,
+    dup_hashes: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    length: int,
 ) -> DataFrame:
-    """Cut every position covered by ANY duplicated L-window from each
-    document's token array. Returns the input columns plus:
+    """Cut every position of ``df``'s token arrays covered by a window
+    whose hash appears in ``dup_hashes`` (a DataFrame with a single
+    ``span_hash`` column). Returns the input columns plus:
 
       tokens_clean   the scrubbed array (order preserved)
-      n_dup_windows  how many duplicated windows the doc carried
+      n_dup_windows  how many flagged windows the doc carried
 
-    A position survives iff no duplicated window's span [s, s+L-1]
-    covers it. The per-doc dup-start list is bounded by the doc's own
-    length, so the collect_set and the index-lambda filter are O(doc),
-    never O(corpus)."""
+    A position survives iff no flagged window's span [s, s+L-1] covers
+    it. The per-doc dup-start list is bounded by the doc's own length,
+    so the collect_set and the index-lambda filter are O(doc), never
+    O(corpus). Only ``df`` is fingerprinted — the dup set can come from
+    this corpus (scrub_dup_spans) or a persisted index
+    (spanindex.scrub_against_index)."""
     w = span_windows(df, id_col, tokens_col, length)
-    dups = (
-        w.groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= 2)
-        .select("span_hash")
-    )
     dup_pos = (
-        w.join(dups, "span_hash", "left_semi")
+        w.join(dup_hashes.select("span_hash"), "span_hash", "left_semi")
         .groupBy(f"`{id_col}`")
         .agg(F.collect_set("pos").alias("_dup_starts"))
     )
@@ -142,3 +143,19 @@ def scrub_dup_spans(
             ),
         )
     )
+
+
+def scrub_dup_spans(
+    df: DataFrame, id_col: str, tokens_col: str, length: int
+) -> DataFrame:
+    """Cut every position covered by ANY corpus-duplicated L-window
+    from each document's token array (one-shot form: the dup set is
+    computed from ``df`` itself)."""
+    dups = (
+        span_windows(df, id_col, tokens_col, length)
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("span_hash")
+    )
+    return scrub_with_dup_set(df, dups, id_col, tokens_col, length)

@@ -120,35 +120,8 @@ def scrub_against_index(
     batch is not yet in the index's cnt>=2 slice — apply the window to
     the source and advance the index first if intra-batch dups must
     count (the lifecycle query does exactly that)."""
-    w = batch.select(
-        F.col(f"`{id_col}`"),
-        F.posexplode(_window_hash_array(tokens_col, length)).alias(
-            "_pos0", "span_hash"
-        ),
-    ).select(
-        F.col(f"`{id_col}`"),
-        (F.col("_pos0") + 1).cast("long").alias("pos"),
-        "span_hash",
-    )
-    dup_pos = (
-        w.join(
-            duplicated_spans(spark, index).select("span_hash"),
-            "span_hash",
-            "left_semi",
-        )
-        .groupBy(f"`{id_col}`")
-        .agg(F.collect_set("pos").alias("_dup_starts"))
-    )
-    toks = F.col(f"`{tokens_col}`")
-    ds = F.col("_dup_starts")
-    keep = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            ds, lambda s: (s <= i + 1) & (i + 1 <= s + F.lit(length) - 1)
-        ),
-    )
-    return batch.join(dup_pos, id_col, "left").select(
-        *[F.col(f"`{c}`") for c in batch.columns],
-        F.when(ds.isNull(), toks).otherwise(keep).alias("tokens_clean"),
-        F.coalesce(F.size(ds), F.lit(0)).cast("long").alias("n_dup_windows"),
+    from qwery_spark.operators.spandedup import scrub_with_dup_set
+
+    return scrub_with_dup_set(
+        batch, duplicated_spans(spark, index), id_col, tokens_col, length
     )
