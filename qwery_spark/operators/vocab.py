@@ -80,7 +80,9 @@ def _occurrence_units(rows: DataFrame, unit_array, key_name: str,
     occurrence of a unit (token / span hash) counts toward cnt, every
     DISTINCT unit per row toward n_docs. explode (not explode_outer)
     drops NULL arrays — a delete whose preimage payload is null
-    contributes nothing, correctly."""
+    contributes nothing, correctly. NULL ELEMENTS inside an array are
+    dropped too (same rule as the agg maintainer's null groups: a null
+    unit is not a unit, and the view's lake key cannot be null)."""
     c = unit_array
     occ = rows.select(
         F.explode(c).alias(key_name), sign.alias("d_cnt"),
@@ -91,7 +93,7 @@ def _occurrence_units(rows: DataFrame, unit_array, key_name: str,
         F.lit(0).alias("d_cnt"),
         sign.alias("d_docs"),
     )
-    return occ.unionAll(docs)
+    return occ.unionAll(docs).filter(F.col(key_name).isNotNull())
 
 
 def unit_count_deltas(feed: DataFrame, unit_array, key_name: str,

@@ -136,3 +136,17 @@ def test_vocab_deltas_single_partial_agg_shuffle(spark):
     )
     assert "HashAggregate" in p
     assert p.count("Exchange") == 1, p
+
+
+def test_vocab_null_token_elements_are_not_units(spark, tmp_table_dir):
+    """NULL elements inside an array are dropped (a null unit is not a
+    unit and the view's lake key cannot be null) — same rule as the agg
+    maintainer's null groups."""
+    src = _mk_src(spark, tmp_table_dir + "/src")
+    _apply(spark, src, [(1, [1, None, 2], "U", 1), (2, [None, None], "U", 2)])
+    vocab = build_vocab(spark, src, tmp_table_dir + "/vocab", "tokens")
+    assert _view(spark, vocab) == [(1, 1, 1), (2, 1, 1)]
+    v = src.current_version()
+    _apply(spark, src, [(1, [2, None], "U", 10)])
+    update_vocab(spark, src, vocab, "tokens", from_version=v)
+    assert _view(spark, vocab) == [(2, 1, 1)]
