@@ -50,6 +50,10 @@ def _window_hash_array(tokens_col: str, length: int) -> Column:
     guard matters because sequence(1, 0) in Spark yields a DESCENDING
     [1, 0], not an empty array."""
     c = f"`{tokens_col}`"
+    # NULL elements inside a window are skipped by array_join, i.e. a
+    # null token is hashed as if absent — token arrays are expected
+    # null-element-free (the vocab maintainer enforces the same rule by
+    # dropping null units)
     return F.expr(
         f"CASE WHEN size({c}) >= {length} THEN "
         f"  transform(sequence(1, size({c}) - {length} + 1), "
