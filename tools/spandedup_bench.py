@@ -39,9 +39,13 @@ def _docs(spark, n: int, boiler_every: int):
         F.col("id") % boiler_every == 0,
         F.array(*[F.lit(900_000 + v) for v in range(16)]),
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    # collision-free bodies: id*37 + i*31 is injective over (id, i)
+    # for id < 50M and i <= 32 (37 and 31 coprime, i-range < 37), so
+    # the dup profile is EXACTLY the boilerplate at every n — the 4N
+    # rung measures volume scaling, not a different dedup workload
     body = F.expr(
         "transform(sequence(0, 15 + CAST(id % 17 AS INT)), "
-        "i -> CAST((id * 97 + i * 31 + (i * i) % 23) % 899981 AS INT))"
+        "i -> CAST(id * 37 + i * 31 AS INT))"
     )
     return spark.range(n).select(
         F.col("id").alias("doc_id"), F.concat(boiler, body).alias("tokens")
