@@ -104,7 +104,8 @@ def main(argv=None):
                    help="maintain a persisted exact-span (substring) "
                         "index (operators/spanindex) at this path from "
                         "each window; changed docs re-fingerprint, the "
-                        "corpus never does")
+                        "corpus never does (token-array column taken "
+                        "from --vocab-tokens)")
     p.add_argument("--spanindex-length", type=int, default=16,
                    help="window length L for --spanindex-table")
     p.add_argument("--join-table",
