@@ -404,6 +404,10 @@ def main(argv=None):
                     (args.sigindex_table, CompactionPolicy(max_files_per_bucket=bound)),
                     (args.annindex_table, CompactionPolicy(
                         max_files_per_bucket=bound, sort_cols=["cell"])),
+                    # the span index is MOR too (vocab is COW and
+                    # self-compacting)
+                    (args.spanindex_table, CompactionPolicy(
+                        max_files_per_bucket=bound)),
                 ):
                     if path:
                         maybe_compact(spark, LakeTable(path), policy)

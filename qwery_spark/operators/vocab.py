@@ -135,6 +135,7 @@ def build_unit_counts(
     n_buckets: int = 8,
     at_version: int | None = None,
     stats_cols: list | None = None,
+    write_mode: str = "cow",
 ) -> LakeTable:
     """Full build of a (unit, cnt, n_docs) counts view from the
     source's live state (pinned to ``at_version`` for followers
@@ -142,14 +143,20 @@ def build_unit_counts(
     source version so incremental windows continue the same LWW order.
     Idempotent: the build merge is epoch-keyed, so re-building an
     existing view no-ops. ``unit_array`` is any Catalyst expression
-    yielding the per-row unit array (raw tokens, window hashes, ...)."""
+    yielding the per-row unit array (raw tokens, window hashes, ...).
+
+    ``write_mode``: "cow" for views bounded by a small key space (the
+    vocabulary — every window rewrites a handful of bucket files);
+    "mor" for views sized like the corpus (the span index — a COW
+    window would rewrite O(index) while MOR appends O(window) and
+    resolves at read time; compact on the usual policy cadence)."""
     from qwery_spark.lake.merge import merge_changes
     from qwery_spark.operators.materialize import _reuse_or_create
 
     version = src.current_version() if at_version is None else at_version
     view = _reuse_or_create(
         path, _counts_schema(key_name, key_type), n_buckets, key_name,
-        "cow", stats_cols=stats_cols,
+        write_mode, stats_cols=stats_cols,
     )
     base = src.read(spark, snapshot_version=version)
     rows = (
