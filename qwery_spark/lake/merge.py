@@ -212,6 +212,23 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _subsplit_factor(spark: SparkSession, n_buckets: int) -> int:
+    """How many key-derived sub-buckets to split each bucket into for
+    the ONE append/dedup shuffle. A table with fewer buckets than the
+    cluster has parallelism would otherwise run its only shuffle (and
+    the write) at n_buckets tasks, idling the rest of the cluster
+    (guide §2.5: synthetic partitioning keys with too few distinct
+    values). The split key is a SECOND independent hash of the table
+    key — pmod(xxhash64(seed, key), S) — so rows of one (bucket, key)
+    still land in one task (the LWW groupBy needs that clustering) and
+    the factor is 1 whenever buckets already cover the parallelism
+    (a 4096-bucket production table never splits; a local 8-bucket
+    view splits 4-way on 32 cores). Derived from defaultParallelism,
+    never a constant, so the same code right-sizes on any cluster."""
+    par = spark.sparkContext.defaultParallelism
+    return max(1, min(16, -(-par // max(n_buckets, 1))))
+
+
 def append_changes(
     spark: SparkSession,
     table: LakeTable,
@@ -246,8 +263,18 @@ def append_changes(
     ufields = _user_fields(snap)
     payload = [f for f in ufields if f["name"] != key]
 
-    pre = src.repartition(snap.n_buckets, "_bucket")
-    winner = pre.groupBy("_bucket", key).agg(
+    # sub-bucket split (see _subsplit_factor): the shuffle/write width
+    # becomes n_buckets * S instead of n_buckets. _sub is derived from
+    # the KEY (seeded second hash), so same-key rows stay colocated and
+    # the groupBy below still reuses this one exchange — grouping by
+    # (_bucket, _sub, key) equals grouping by (_bucket, key) because
+    # both extra columns are functions of the key.
+    sub_n = _subsplit_factor(spark, snap.n_buckets)
+    src = src.withColumn(
+        "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
+    )
+    pre = src.repartition(snap.n_buckets * sub_n, "_bucket", "_sub")
+    winner = pre.groupBy("_bucket", "_sub", key).agg(
         F.max_by(
             F.struct(F.col("op"), *[F.col(f"`{f['name']}`") for f in payload]),
             F.col("ordinal"),
@@ -533,6 +560,87 @@ def merge_changes(
     ufields = _user_fields(snap)
     payload_cols = [f["name"] for f in ufields if f["name"] != key]
     src = _align_batch(batch, snap, key)
+
+    if insert_missing and not snap.m["files"]:
+        # ---- EMPTY-TARGET fast path (initial view build / first
+        # window into a fresh table): nothing can match, so every
+        # batch row is an insert (a delete of an unseen key becomes a
+        # tombstone — identical to the general path's NOT MATCHED arm).
+        # ONE pass: shape -> observe -> write -> commit. The general
+        # path would persist the whole batch, run a bucket-count job,
+        # and join against an empty scan — for the span-index build
+        # (~10M delta rows at sf1.0) that is two extra materializations
+        # of the most expensive subplan in the query (measured round 7,
+        # guide §1.2: don't compute things you throw away).
+        ins_delete = F.col("op") == "D"
+        sub_n = _subsplit_factor(spark, snap.n_buckets)
+        rows = src.select(
+            F.col(key),
+            *[
+                F.when(ins_delete, F.lit(None).cast(f["type"]))
+                .otherwise(F.col(f"`{f['name']}`"))
+                .alias(f["name"])
+                for f in ufields
+                if f["name"] != key
+            ],
+            F.col("ordinal").alias("last_ordinal"),
+            ins_delete.alias("_deleted"),
+            F.col("_bucket"),
+            F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n))
+            .cast("int")
+            .alias("_sub"),
+        ).repartition(snap.n_buckets * sub_n, "_bucket", "_sub").drop("_sub")
+        obs = None
+        if collect_stats:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            rows = rows.observe(
+                obs,
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("del"),
+                F.count(F.lit(1)).alias("total"),
+            )
+        new_files = _stage_write(
+            rows, table, snap.schema_version, snap.n_buckets,
+            max_records_per_file, repartition=False, stats_col=key,
+        )
+        if not new_files:
+            return MergeStats(skipped=True, snapshot_version=snap.version,
+                              snapshot_id=snap.snapshot_id)
+        touched = {f["bucket"] for f in new_files}
+        stats = MergeStats(touched_buckets=len(touched))
+        if obs is not None:
+            vals = observed_or(
+                obs,
+                rows,
+                [
+                    F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("del"),
+                    F.count(F.lit(1)).alias("total"),
+                ],
+            )
+            stats.rows_deleted = int(vals["del"] or 0)
+            stats.rows_upserted = int(vals["total"] or 0) - stats.rows_deleted
+        newsnap = table.commit_rewrite(
+            base=snap,
+            new_files=new_files,
+            replaced_buckets=touched,
+            epoch_id=epoch_id,
+            summary={
+                "operation": "merge",
+                "epoch_id": epoch_id,
+                "touched_buckets": sorted(touched),
+                "rows_upserted": stats.rows_upserted,
+                "rows_deleted": stats.rows_deleted,
+                "rows_stale": 0,
+            },
+        )
+        if newsnap is None:  # epoch raced in since our check: no-op
+            return MergeStats(skipped=True)
+        stats.snapshot_version = newsnap.version
+        stats.snapshot_id = newsnap.snapshot_id
+        stats.summary = newsnap.m["summary"]
+        return stats
+
     src.persist()
     merged_cache = None
     try:

@@ -87,7 +87,11 @@ def minhash_candidates(
             & (F.col(f"a.{key}") < F.col(f"b.{key}")),
         )
         .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("bands_hit"))
+        # count, not countDistinct: signatures carry exactly one row per
+        # (key, band), so a pair can hit a band at most once and the
+        # distinct-agg's second shuffle/expand is pure overhead on the
+        # collision-pair stream (the largest intermediate of the query)
+        .agg(F.count("a.band").cast("long").alias("bands_hit"))
     )
 
 

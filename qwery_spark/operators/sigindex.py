@@ -254,7 +254,11 @@ def index_candidates(spark: SparkSession, index: LakeTable) -> DataFrame:
             & (F.col(f"a.{key}") < F.col(f"b.{key}")),
         )
         .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("bands_hit"))
+        # count, not countDistinct: the index holds one sigs entry per
+        # (doc, band) — a pair hits each band at most once, so the
+        # distinct-agg machinery would re-shuffle the collision-pair
+        # stream (62.9M rows at sf1.0) for nothing
+        .agg(F.count("a.band").cast("long").alias("bands_hit"))
     )
 
 

@@ -36,6 +36,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """load() + immediate hash-repartition of the RAW rows to the
+    session's parallelism, for tables feeding expensive per-row
+    derivations (token-array synthesis, md5 window fingerprints,
+    shingling). The sf tables are single small parquet files that split
+    into only a few scan tasks, and Spark evaluates the derivation
+    projection inside those scan tasks — so without this the whole
+    synthesis runs 4-wide on a 32-core host (optimization guide §2.5,
+    input skew: "one huge unsplittable file ... repartition immediately
+    after the read"). Hash on the id column — deterministic under task
+    retry and no sort-before-repartition cost — and derive AFTER the
+    exchange: only skinny raw rows shuffle, the expanded arrays are
+    born at full width. Width follows defaultParallelism, so cluster
+    and local runs each right-size themselves."""
+    return load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism, key
+    )
+
+
 # import for side effects: populates REGISTRY
 from qwery_spark.suite import ann, cdc, core, engine, mm, text  # noqa: E402,F401
 

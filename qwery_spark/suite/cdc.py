@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from qwery_spark.cdc.dedup import lww_dedup
-from qwery_spark.suite import load, register
+from qwery_spark.suite import load, load_spread, register
 
 
 def _as_change_stream(spark, sf_dir):
@@ -534,7 +534,7 @@ _LONG_TOKENS_SQL = """
 def tok_chunking(spark, sf_dir):
     from qwery_spark.operators.chunk import chunk_tokens
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "event_id")
     tokens = F.transform(
         F.sequence(F.lit(0), (F.col("event_id") % 37).cast("int")),
         lambda i: ((F.col("event_id") * 41 + i * 7) % 50257).cast("int"),

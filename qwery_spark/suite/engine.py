@@ -34,6 +34,10 @@ _N_BATCHES = 4
 
 
 def _derived_events(spark, sf_dir):
+    # NOT load_spread: this derivation is cheap (<=5-int arrays, no
+    # md5), and the replay consumers re-evaluate the plan once per
+    # micro-batch — a pre-derivation repartition costs 4 extra shuffles
+    # per replay and measured slower (optimization round 7 A/B)
     ev = load(spark, sf_dir, "events")
     tokens = F.transform(
         F.sequence(F.lit(0), (F.col("event_id") % 5).cast("int")),

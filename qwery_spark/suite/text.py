@@ -32,7 +32,7 @@ from qwery_spark.operators.text import (
     token_stats,
     wordfreq_logprob,
 )
-from qwery_spark.suite import load, register
+from qwery_spark.suite import load, load_spread, register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -49,7 +49,12 @@ _CORPUS_SQL = """
 
 
 def _corpus(spark, sf_dir) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread before deriving: the corpus feeds shingling/fingerprint
+    # stages whose md5-per-ngram work would otherwise run inside the
+    # single document file's 1-2 scan tasks (suite.load_spread)
+    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "text"
+    )
     exact = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     near = d.select(
         (F.col("doc_id") + 200000).alias("doc_id"),
@@ -1725,7 +1730,7 @@ _SPAN_WINDOWS_SQL = f"""
 
 
 def _span_docs(spark, sf_dir) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "event_id")
     boiler = F.when(
         F.col("event_id") % 3 == 0,
         F.array(*[F.lit(v) for v in range(101, 113)]),
@@ -1974,7 +1979,7 @@ _SPANIDX_FINAL_SQL = """
 def _span_tagged(spark, sf_dir, shift: int) -> DataFrame:
     """The span corpus at body derivation offset ``shift``, with the
     md5 epoch tag (boilerplate headers are shift-invariant)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "event_id")
     boiler = F.when(
         F.col("event_id") % 3 == 0,
         F.array(*[F.lit(v) for v in range(101, 113)]),
