@@ -274,37 +274,65 @@ def append_changes(
         "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
     )
     pre = src.repartition(snap.n_buckets * sub_n, "_bucket", "_sub")
-    winner = pre.groupBy("_bucket", "_sub", key).agg(
-        F.max_by(
-            F.struct(F.col("op"), *[F.col(f"`{f['name']}`") for f in payload]),
-            F.col("ordinal"),
-        ).alias("w"),
-        F.max("ordinal").alias("last_ordinal"),
-    )
-    obs = None
-    if collect_stats:
-        from pyspark.sql import Observation
-
-        # stats ride the write job (CollectMetrics) — no extra pass
-        obs = Observation()
-        winner = winner.observe(
-            obs,
-            F.sum(F.when(F.col("w.op") == "D", 1).otherwise(0)).alias("deleted"),
-            F.count(F.lit(1)).alias("total"),
+    additive = snap.additive_cols
+    if additive:
+        # aggregating-payload table: batch rows are DELTAS — the
+        # in-batch reduction is SUM per key (not LWW), there are no
+        # tombstones (a key dies when its summed count reaches <= 0 at
+        # read time), and 'op' is ignored by construction
+        winner = pre.groupBy("_bucket", "_sub", key).agg(
+            *[F.sum(F.col(f"`{c}`")).cast("long").alias(c) for c in additive],
+            F.max("ordinal").alias("last_ordinal"),
         )
-    is_delete = F.col("w.op") == "D"
-    rows = winner.select(
-        F.col(key),
-        *[
-            F.when(is_delete, F.lit(None).cast(f["type"]))
-            .otherwise(F.col(f"w.`{f['name']}`"))
-            .alias(f["name"])
-            for f in payload
-        ],
-        F.col("last_ordinal"),
-        is_delete.alias("_deleted"),
-        F.col("_bucket"),
-    )
+        obs = None
+        if collect_stats:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            winner = winner.observe(
+                obs,
+                F.lit(0).alias("deleted"),
+                F.count(F.lit(1)).alias("total"),
+            )
+        rows = winner.select(
+            F.col(key),
+            *[F.col(f"`{c}`") for c in additive],
+            F.col("last_ordinal"),
+            F.lit(False).alias("_deleted"),
+            F.col("_bucket"),
+        )
+    else:
+        winner = pre.groupBy("_bucket", "_sub", key).agg(
+            F.max_by(
+                F.struct(F.col("op"), *[F.col(f"`{f['name']}`") for f in payload]),
+                F.col("ordinal"),
+            ).alias("w"),
+            F.max("ordinal").alias("last_ordinal"),
+        )
+        obs = None
+        if collect_stats:
+            from pyspark.sql import Observation
+
+            # stats ride the write job (CollectMetrics) — no extra pass
+            obs = Observation()
+            winner = winner.observe(
+                obs,
+                F.sum(F.when(F.col("w.op") == "D", 1).otherwise(0)).alias("deleted"),
+                F.count(F.lit(1)).alias("total"),
+            )
+        is_delete = F.col("w.op") == "D"
+        rows = winner.select(
+            F.col(key),
+            *[
+                F.when(is_delete, F.lit(None).cast(f["type"]))
+                .otherwise(F.col(f"w.`{f['name']}`"))
+                .alias(f["name"])
+                for f in payload
+            ],
+            F.col("last_ordinal"),
+            is_delete.alias("_deleted"),
+            F.col("_bucket"),
+        )
     new_files = _stage_write(
         rows, table, snap.schema_version, snap.n_buckets, max_records_per_file,
         repartition=False, stats_col=key,
@@ -555,6 +583,11 @@ def merge_changes(
     snap = table.snapshot()
     if epoch_id is not None and epoch_id in snap.applied_epochs:
         return MergeStats(skipped=True, snapshot_version=snap.version, snapshot_id=snap.snapshot_id)
+    if snap.additive_cols:
+        raise ValueError(
+            "merge_changes on an aggregating-payload (additive) table — "
+            "its rows are deltas; use append_changes"
+        )
 
     key = snap.m["key_col"]
     ufields = _user_fields(snap)
@@ -902,7 +935,9 @@ def binpack(
 
     merged = [f for _b, fs in plans for f in fs]
     df = table._aligned_scan(spark, snap, None, file_subset=merged)
-    df = LakeTable._resolve_lww(df, key)  # identity on resolved buckets
+    # identity on resolved buckets; SUM-folds additive tables' deltas
+    # (subset sums stack associatively, same soundness as subset LWW)
+    df = LakeTable._resolve(df, key, snap)
     df = df.withColumn("_bucket", table.bucket_expr())
     new_files = _stage_write(
         df,

@@ -161,6 +161,16 @@ class Snapshot:
     def stats_cols(self) -> list:
         return list(self.m.get("stats_cols", []))
 
+    @property
+    def additive_cols(self) -> list:
+        """Non-empty => aggregating-payload table (Hudi aggregating-
+        payload / additive-MOR design): physical rows are DELTAS of
+        these numeric columns, resolution is SUM per key instead of
+        LWW, and a key whose summed first additive column is <= 0 is
+        dead. Lets a counting view (span index) absorb a maintenance
+        window as a blind O(window) append — no current-state read."""
+        return list(self.m.get("additive_cols", []))
+
     def fields(self, schema_version: int | None = None) -> list[dict]:
         sv = self.schema_version if schema_version is None else schema_version
         return self.m["schemas"][str(sv)]
@@ -492,6 +502,7 @@ class LakeTable:
         stats_cols: list[str] | None = None,
         bloom_filter_cols: list[str] | None = None,
         bloom_ndv: int | None = None,
+        additive_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the USER schema; engine
         columns are appended automatically. Partition spec is the hidden
@@ -509,6 +520,19 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode}")
+        if additive_cols:
+            # the aggregating-payload contract needs every non-key user
+            # column to be additive (SUM has no defined meaning for a
+            # bystander payload column) and MOR layout (the whole point
+            # is append-only maintenance)
+            if write_mode != "mor":
+                raise ValueError("additive_cols requires write_mode='mor'")
+            user = {f.name for f in schema.fields} - {key_col}
+            if set(additive_cols) != user:
+                raise ValueError(
+                    f"additive_cols {sorted(additive_cols)} must equal the "
+                    f"non-key user columns {sorted(user)}"
+                )
         if codec not in ("snappy", "zstd", "gzip", "lz4", "uncompressed"):
             raise ValueError(f"unsupported codec: {codec}")
         if n_buckets < 1:
@@ -562,6 +586,9 @@ class LakeTable:
             # bloat in tools/pointlookup_bench.py's layout).
             "bloom_filter_cols": list(bloom_filter_cols or ()),
             "bloom_ndv": bloom_ndv,
+            # aggregating-payload (additive-MOR) columns — see
+            # Snapshot.additive_cols; empty = normal LWW table
+            "additive_cols": list(additive_cols or ()),
             "resolved": True,  # False once MOR deltas overlap keys
             "schema_version": 0,
             "schemas": {"0": fields},
@@ -631,6 +658,36 @@ class LakeTable:
         return df
 
     @staticmethod
+    def _resolve_sum(df: DataFrame, key: str, additive_cols: list) -> DataFrame:
+        """Aggregating-payload resolution: physical rows are deltas, the
+        visible row per key is their SUM (one hash aggregation, partial
+        sums combine map-side — same skew argument as LWW max_by). A key
+        whose first additive column sums <= 0 resolves as dead
+        (_deleted=True) — the additive analogue of a tombstone winning;
+        there are no physical tombstones in this layout. Rows already
+        folded by compaction participate as ordinary deltas (their sum
+        is their value), so resolving any union of folded and delta
+        files is associative and always correct."""
+        aggs = [
+            F.sum(F.col(f"`{c}`")).cast("long").alias(c) for c in additive_cols
+        ] + [F.max("last_ordinal").alias("last_ordinal")]
+        live = F.col(f"`{additive_cols[0]}`") > 0
+        cols = [c for c in df.columns if c != key]
+        return (
+            df.groupBy(key)
+            .agg(*aggs)
+            .withColumn("_deleted", ~live)
+            .select(key, *cols)
+        )
+
+    @classmethod
+    def _resolve(cls, df: DataFrame, key: str, snap: "Snapshot") -> DataFrame:
+        ac = snap.additive_cols
+        if ac:
+            return cls._resolve_sum(df, key, ac)
+        return cls._resolve_lww(df, key)
+
+    @staticmethod
     def _resolve_lww(df: DataFrame, key: str) -> DataFrame:
         """Merge-on-read resolution: one winner row per key, the one with
         the highest last_ordinal (tombstones compete like normal rows, so
@@ -682,11 +739,12 @@ class LakeTable:
                 )
             )
         parts.append(
-            self._resolve_lww(
+            self._resolve(
                 self._aligned_scan(
                     spark, snap, unresolved, key_range, align_to, col_ranges
                 ),
                 key,
+                snap,
             )
         )
         df = parts[0]

@@ -86,7 +86,8 @@ def _agg_schema(group_col: str, group_type: T.DataType, sum_cols: list[str],
 
 def _reuse_or_create(path: str, schema: T.StructType, n_buckets: int,
                      key_col: str, write_mode: str,
-                     stats_cols: list | None = None) -> LakeTable:
+                     stats_cols: list | None = None,
+                     additive_cols: list | None = None) -> LakeTable:
     """Create the view table, or adopt an existing EMPTY one (version 0
     = a build that crashed between create and its first merge). A
     non-empty table is also adopted as-is — the build merge's epoch key
@@ -100,6 +101,7 @@ def _reuse_or_create(path: str, schema: T.StructType, n_buckets: int,
     return LakeTable.create(
         path, schema, n_buckets=n_buckets, key_col=key_col,
         write_mode=write_mode, stats_cols=stats_cols,
+        additive_cols=additive_cols,
     )
 
 

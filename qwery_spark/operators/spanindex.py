@@ -31,21 +31,22 @@ What the index buys at 100 TB:
     are cleaned against every span the corpus has ever repeated,
     at O(batch) cost.
 
-Per-window maintenance cost, stated honestly: the window's documents
-explode to their windows map-side and PARTIAL-AGGREGATE before one
-span_hash shuffle — O(window token volume) — but the counting merge
-then joins those deltas against the CURRENT counts, which reads the
-index once per window (a 3-column columnar scan; the MOR write itself
-appends only O(window) deltas — a COW window would additionally
-REWRITE the touched index buckets, which is why this view is MOR).
-The corpus documents are never re-read; the index scan is the same
-shape the agg rollup pays against its (much smaller) rollup. If the
-per-window index scan ever dominates at extreme index sizes, the
-upgrade path is the additive-MOR layout (append uniquely-keyed
-(span_hash, +d_cnt, +d_docs) delta rows with NO current-read, resolve
-by SUM at read time, fold on compaction — the Hudi aggregating-payload
-design); the read-side API here (duplicated_spans / scrub semi-join)
-would not change.
+Per-window maintenance cost: the window's documents explode to their
+windows map-side and PARTIAL-AGGREGATE before one span_hash shuffle —
+O(window token volume) — and the deltas then APPEND BLINDLY as
+(span_hash, +d_cnt, +d_docs) rows with NO read of the current index:
+this is the additive-MOR aggregating-payload layout (Hudi's
+aggregating-payload design). Resolution is SUM per span_hash at read
+time (a zeroed span resolves dead), and compaction folds delta files
+into materialized sums on the usual policy cadence. Round 6 measured
+the earlier read-merge variant's per-window index scan at 13.9 s/batch
+vs 9.05 s for the no-index full rescrub at the 10x bench scale — the
+index's key cardinality grows with the CORPUS, so any per-window read
+of it is corpus-coupled; the additive layout makes the update a true
+O(window) append (tools/spanindex_bench.py measures the flatness).
+The read-side API (duplicated_spans / scrub semi-join) is unchanged;
+tests/test_counts_property.py pins additive-fold == read-merge over
+random op sequences.
 
 Reference anchor: beyond the reference; pairs with sigindex.py (near-
 dup MinHash index) as the exact-substring member of the persisted
@@ -77,16 +78,17 @@ def build_span_index(
     at_version: int | None = None,
 ) -> LakeTable:
     """Full build from the source's live state; see build_unit_counts
-    for the pinning/idempotency contract. The index is MOR: it is
-    sized like the corpus's window inventory, so a COW maintenance
-    window would rewrite O(index) bucket files while MOR appends
-    O(window) deltas and resolves at read time — the same choice as
-    the MinHash signature index. Compact it on the usual policy
-    cadence (run_follow --auto-compact-views covers it)."""
+    for the pinning/idempotency contract. The index is ADDITIVE-MOR
+    (aggregating payload): it is sized like the corpus's window
+    inventory, so a maintenance window must neither rewrite O(index)
+    files (COW) nor read the O(index) current counts (read-merge) —
+    deltas append blindly and SUM-resolve at read time. Compact it on
+    the usual policy cadence (run_follow --auto-compact-views covers
+    it); compaction folds deltas into materialized sums."""
     return build_unit_counts(
         spark, src, path, _window_hash_array(tokens_col, length),
         "span_hash", T.StringType(), "string", "spanidx",
-        n_buckets=n_buckets, at_version=at_version, write_mode="mor",
+        n_buckets=n_buckets, at_version=at_version, additive=True,
     )
 
 

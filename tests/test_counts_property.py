@@ -129,3 +129,47 @@ def test_counts_views_equal_recompute_after_every_window(
             .select("span_hash", "cnt", "n_docs").collect()
         )
         assert got_s == _recompute_spans(spark, src)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(windows=op_windows())
+def test_additive_span_index_survives_compaction_fold(
+    spark, tmp_path_factory, windows
+):
+    """The additive-MOR span index folds its delta files on compaction
+    (SUM resolution materialized). Compacting after EVERY window — the
+    worst-case cadence — must leave counts identical to the recompute,
+    and later windows must stack correctly on the folded files."""
+    from qwery_spark.lake.merge import compact
+
+    d = str(tmp_path_factory.mktemp("counts_fold"))
+    src = LakeTable.create(
+        d + "/src", SRC_SCHEMA, n_buckets=2, key_col="doc_id",
+        write_mode="mor",
+    )
+
+    def _apply(rows):
+        df = spark.createDataFrame(
+            [(k, t, op, o) for op, k, t, o in rows],
+            "doc_id long, tokens array<int>, op string, ordinal long",
+        )
+        append_changes(spark, src, df)
+
+    _apply(windows[0])
+    sidx = build_span_index(spark, src, d + "/sidx", "tokens", L, n_buckets=2)
+    for rows in windows[1:]:
+        v = src.current_version()
+        _apply(rows)
+        update_span_index(spark, src, sidx, "tokens", L, from_version=v)
+        compact(spark, sidx)  # fold deltas -> materialized sums
+        got = sorted(
+            tuple(r)
+            for r in sidx.read(spark)
+            .select("span_hash", "cnt", "n_docs").collect()
+        )
+        assert got == _recompute_spans(spark, src)
