@@ -43,6 +43,12 @@ from qwery_spark.lake.table import DATA_DIR, LakeTable, Snapshot
 
 ENGINE_COLS = ("last_ordinal", "_deleted")
 
+# wall-clock of the LAST _stage_write, split into the Spark write job
+# vs the driver-side footer-stats pass — a pure instrumentation hook
+# (tools/lc_decompose.py reads it to attribute per-epoch driver time);
+# no engine behavior depends on it
+LAST_STAGE_TIMINGS: dict = {}
+
 
 def observed_or(obs, fallback_df, exprs: list) -> dict:
     """Observation.get, falling back to a direct aggregation when the
@@ -125,7 +131,11 @@ def _stage_write(
             writer = writer.option(
                 f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
             )
+    import time as _time
+
+    _t0 = _time.monotonic()
     writer.partitionBy("_bucket").parquet(stage_dir)
+    _t1 = _time.monotonic()
     new_files = []
     for bdir in os.listdir(stage_dir):
         if not bdir.startswith("_bucket="):
@@ -133,30 +143,40 @@ def _stage_write(
         b = int(bdir.split("=")[1])
         for fn in os.listdir(os.path.join(stage_dir, bdir)):
             if fn.endswith(".parquet"):
-                entry = {
+                new_files.append({
                     "path": os.path.join(DATA_DIR, stage, bdir, fn),
                     "bucket": b,
                     "schema_version": schema_version,
-                }
-                # key bounds + the table's stats_cols payload bounds
-                # (Iceberg column bounds) in ONE footer open per file
-                want = ([stats_col] if stats_col else []) + snap.stats_cols
-                if want:
-                    fstats = _footer_stats(
-                        os.path.join(table.path, entry["path"]), want
-                    )
-                    if stats_col is not None and stats_col in fstats:
-                        entry["key_min"], entry["key_max"] = fstats[stats_col]
-                    if "__num_rows" in fstats:
-                        entry["rows"] = fstats["__num_rows"]
-                    cstats = {
-                        c: list(fstats[c])
-                        for c in snap.stats_cols
-                        if c in fstats
-                    }
-                    if cstats:
-                        entry["col_stats"] = cstats
-                new_files.append(entry)
+                })
+    # key bounds + the table's stats_cols payload bounds (Iceberg column
+    # bounds) in ONE footer open per file — THREADED: these opens are
+    # driver-side serial metadata IO on the commit path of every epoch
+    # (64-bucket commit = 64 opens); on separate-executor-JVM clusters
+    # this serial driver tail is exactly the per-epoch term the
+    # local-cluster scaling rung exposes, so amortize it across a small
+    # pool (pyarrow releases the GIL during footer reads). On a real
+    # cluster these stats ride the write tasks' commit messages instead.
+    want = ([stats_col] if stats_col else []) + snap.stats_cols
+    if want and new_files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stat(entry):
+            fstats = _footer_stats(os.path.join(table.path, entry["path"]), want)
+            if stats_col is not None and stats_col in fstats:
+                entry["key_min"], entry["key_max"] = fstats[stats_col]
+            if "__num_rows" in fstats:
+                entry["rows"] = fstats["__num_rows"]
+            cstats = {
+                c: list(fstats[c]) for c in snap.stats_cols if c in fstats
+            }
+            if cstats:
+                entry["col_stats"] = cstats
+
+        with ThreadPoolExecutor(max_workers=min(16, len(new_files))) as pool:
+            list(pool.map(_stat, new_files))
+    LAST_STAGE_TIMINGS.update(
+        write_sec=_t1 - _t0, footer_sec=_time.monotonic() - _t1
+    )
     return new_files
 
 
@@ -558,6 +578,149 @@ def rebucket(
     }
 
 
+def _merge_single_pass(
+    spark: SparkSession,
+    table: LakeTable,
+    snap: Snapshot,
+    src: DataFrame,
+    touched: set,
+    epoch_id,
+    collect_stats: bool,
+    max_records_per_file: int,
+) -> MergeStats:
+    """Small-touched-set COW merge in ONE write job: union the touched
+    buckets' physical rows with the (cached) batch shaped as delta
+    rows, LWW-resolve per key in a single sub-bucket-split shuffle, and
+    rewrite exactly the touched buckets. Semantically a MOR delta
+    append fused with an immediate compaction of those buckets — max_by
+    over (ordinal, is_target) reproduces the general path's
+    `s.ordinal > t.last_ordinal` guard exactly (ties keep the target
+    row; deletes of unseen keys become tombstones via the src row
+    winning unopposed).
+
+    Why: the broadcast merge scans the target once but also PERSISTS
+    the full joined target, runs a matched-keys derivation and an
+    anti-join for inserts — two extra jobs and a bucket-set-sized cache
+    per epoch. When the manifest proves the touched buckets small, one
+    shuffle of target+batch is cheaper than any of that (measured
+    round 7: the 4-epoch COW replay queries ~2x). A 100-TB touched set
+    fails the gate and keeps the no-target-shuffle broadcast join."""
+    key = snap.m["key_col"]
+    ufields = _user_fields(snap)
+    payload = [f for f in ufields if f["name"] != key]
+    is_delete = F.col("op") == "D"
+    s_rows = src.select(
+        F.col(key),
+        *[
+            F.when(is_delete, F.lit(None).cast(f["type"]))
+            .otherwise(F.col(f"`{f['name']}`"))
+            .alias(f["name"])
+            for f in payload
+        ],
+        F.col("ordinal").cast("bigint").alias("last_ordinal"),
+        is_delete.alias("_deleted"),
+        F.col("_bucket"),
+        F.lit(1).alias("_is_src"),
+    )
+    tgt = table.read_physical(spark, buckets=touched, resolve=True).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).cast("int")
+    )
+    t_rows = tgt.select(
+        F.col(key),
+        *[F.col(f"`{f['name']}`") for f in payload],
+        F.col("last_ordinal"),
+        F.col("_deleted"),
+        F.col("_bucket"),
+        F.lit(0).alias("_is_src"),
+    )
+    sub_n = _subsplit_factor(spark, len(touched))
+    allr = t_rows.unionByName(s_rows).withColumn(
+        "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
+    )
+    pre = allr.repartition(len(touched) * sub_n, "_bucket", "_sub")
+    # winner per key by (ordinal, target-wins-ties); carries its own
+    # ordinal/_deleted; n_src tells stale/insert apart for the stats
+    w = F.max_by(
+        F.struct(
+            *[F.col(f"`{f['name']}`") for f in payload],
+            F.col("last_ordinal"),
+            F.col("_deleted"),
+            F.col("_is_src"),
+        ),
+        F.struct(F.col("last_ordinal"), (F.lit(1) - F.col("_is_src"))),
+    ).alias("w")
+    agg = pre.groupBy("_bucket", "_sub", key).agg(
+        w, F.max("_is_src").alias("_n_src")
+    )
+    act = (
+        F.when((F.col("w._is_src") == 1) & F.col("w._deleted"), "del")
+        .when(F.col("w._is_src") == 1, "up")
+        .when(F.col("_n_src") == 1, "stale")
+    )
+    result = agg.select(
+        F.col(key),
+        *[F.col(f"w.`{f['name']}`").alias(f["name"]) for f in payload],
+        F.col("w.last_ordinal").alias("last_ordinal"),
+        F.col("w._deleted").alias("_deleted"),
+        F.col("_bucket"),
+        act.alias("_act"),
+        F.col("w._is_src").alias("_src_row"),
+    )
+    obs = None
+    if collect_stats:
+        from pyspark.sql import Observation
+
+        # MERGE action counts ride the one write job — no second pass
+        obs = Observation()
+        result = result.observe(
+            obs,
+            F.sum(F.when(F.col("_act") == "up", 1).otherwise(0)).alias("up"),
+            F.sum(F.when(F.col("_act") == "del", 1).otherwise(0)).alias("del"),
+            F.sum(F.when(F.col("_act") == "stale", 1).otherwise(0)).alias(
+                "stale"
+            ),
+        )
+    result = result.drop("_act", "_src_row")
+    new_files = _stage_write(
+        result, table, snap.schema_version, len(touched),
+        max_records_per_file, repartition=False, stats_col=key,
+    )
+    stats = MergeStats(touched_buckets=len(touched))
+    if obs is not None:
+        vals = observed_or(
+            obs,
+            result,
+            [
+                F.lit(0).alias("up"),
+                F.lit(0).alias("del"),
+                F.lit(0).alias("stale"),
+            ],
+        )
+        stats.rows_upserted = int(vals["up"] or 0)
+        stats.rows_deleted = int(vals["del"] or 0)
+        stats.rows_stale = int(vals["stale"] or 0)
+    newsnap = table.commit_rewrite(
+        base=snap,
+        new_files=new_files,
+        replaced_buckets=set(touched),
+        epoch_id=epoch_id,
+        summary={
+            "operation": "merge",
+            "epoch_id": epoch_id,
+            "touched_buckets": sorted(touched),
+            "rows_upserted": stats.rows_upserted,
+            "rows_deleted": stats.rows_deleted,
+            "rows_stale": stats.rows_stale,
+        },
+    )
+    if newsnap is None:
+        return MergeStats(skipped=True)
+    stats.snapshot_version = newsnap.version
+    stats.snapshot_id = newsnap.snapshot_id
+    stats.summary = newsnap.m["summary"]
+    return stats
+
+
 def merge_changes(
     spark: SparkSession,
     table: LakeTable,
@@ -568,6 +731,7 @@ def merge_changes(
     insert_missing: bool = True,
     broadcast_threshold: int = 4_000_000,
     broadcast_max_bytes: int = 256 << 20,
+    small_table_rows: int = 8_000_000,
 ) -> MergeStats:
     """Apply a key-unique change batch to the table.
 
@@ -686,6 +850,27 @@ def merge_changes(
         if not touched:
             return MergeStats(skipped=True, snapshot_version=snap.version,
                               snapshot_id=snap.snapshot_id)
+
+        # ---- SMALL-TOUCHED-SET single-pass arm: gate on the manifest
+        # row counts of the buckets this batch touches (metadata only).
+        # When they are provably small, merge in ONE union+LWW shuffle
+        # over (touched physical rows ∪ cached batch) — no table-sized
+        # persist, no matched-keys derivation, no anti-join — and
+        # rewrite exactly the touched buckets (write amplification
+        # unchanged). Big touched sets keep the broadcast arm below,
+        # whose target side never shuffles at all.
+        # QWERY_MERGE_SINGLE_PASS=0 is the A/B instrument.
+        touched_rows = [f.get("rows") for f in snap.files(touched)]
+        if (
+            insert_missing
+            and os.environ.get("QWERY_MERGE_SINGLE_PASS", "1") == "1"
+            and all(r is not None for r in touched_rows)
+            and sum(touched_rows) <= small_table_rows
+        ):
+            return _merge_single_pass(
+                spark, table, snap, src, touched, epoch_id, collect_stats,
+                max_records_per_file,
+            )
 
         tgt = table.read_physical(spark, buckets=touched)
 

@@ -53,6 +53,15 @@ def get_spark(
         # scan wide. On a real cluster with TB-scale inputs revert to
         # 128-256MB (per-task overhead amortizes there).
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # scan-split floor: Spark sizes splits as
+        #   min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum))
+        # so with the default 4m open cost a 55 MB micro-batch chunk
+        # splits into ~14 map tasks no matter how many cores exist —
+        # measured as the local-cluster replay's scaling wall (the map
+        # side carries validation + dedup partial-agg). 1m reflects
+        # local-disk open cost; object-store deployments should raise
+        # it back toward 4m (per-split request latency dominates there).
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -48,13 +48,16 @@ _CORPUS_SQL = """
 """
 
 
-def _corpus(spark, sf_dir) -> DataFrame:
-    # spread before deriving: the corpus feeds shingling/fingerprint
-    # stages whose md5-per-ngram work would otherwise run inside the
-    # single document file's 1-2 scan tasks (suite.load_spread)
-    d = load_spread(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", "text"
-    )
+def _corpus(spark, sf_dir, spread: bool = False) -> DataFrame:
+    # spread=True pre-repartitions the raw documents before deriving —
+    # for consumers whose downstream is md5-per-ngram shingling that
+    # would otherwise run inside the single document file's few scan
+    # tasks (suite.load_spread). Cheap consumers (dedup_exact's one md5
+    # per row) keep the unspread single-Exchange plan (plan-gated).
+    d = (
+        load_spread(spark, sf_dir, "documents", "doc_id")
+        if spread else load(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
     exact = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     near = d.select(
         (F.col("doc_id") + 200000).alias("doc_id"),
@@ -108,7 +111,7 @@ _SHINGLE_SQL = f"""
     "(doc_id, band); partial min combines map-side.",
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    return minhash_signatures(_corpus(spark, sf_dir), "doc_id", "text", _NBANDS)
+    return minhash_signatures(_corpus(spark, sf_dir, spread=True), "doc_id", "text", _NBANDS)
 
 
 @register(
@@ -129,7 +132,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     "at scale this is the standard band-bucket shuffle, never O(n^2).",
 )
 def dedup_minhash_candidates(spark, sf_dir):
-    return minhash_candidates(_corpus(spark, sf_dir), "doc_id", "text", _NBANDS)
+    return minhash_candidates(_corpus(spark, sf_dir, spread=True), "doc_id", "text", _NBANDS)
 
 
 # ---------------- incremental dedup via the persisted signature index --
@@ -212,7 +215,7 @@ def dedup_incremental_candidates(spark, sf_dir):
     h2 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
-    tagged = _corpus(spark, sf_dir).select(
+    tagged = _corpus(spark, sf_dir, spread=True).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", h2.alias("h2")
     )
 
@@ -292,7 +295,7 @@ def dedup_incremental_candidates(spark, sf_dir):
     "candidates only — never all-pairs.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    corpus = _corpus(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir, spread=True)
     base = load(spark, sf_dir, "documents")
     pairs = base.select(
         F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 200000).alias("doc_b")
@@ -337,7 +340,7 @@ def _simhash_oracle_sql() -> str:
     "(blocked-signature join gives the candidate pairs at scale).",
 )
 def dedup_simhash(spark, sf_dir):
-    return simhash64(_corpus(spark, sf_dir), "doc_id", "text")
+    return simhash64(_corpus(spark, sf_dir, spread=True), "doc_id", "text")
 
 
 # ---------------- text analysis ----------------
@@ -1322,7 +1325,7 @@ def tok_bpe_encode(spark, sf_dir):
 def dedup_pipeline_survivors(spark, sf_dir):
     from qwery_spark.operators.graph import connected_components
 
-    corpus = _corpus(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir, spread=True)
     cand = minhash_candidates(corpus, "doc_id", "text", _NBANDS).select(
         "doc_a", "doc_b"
     )

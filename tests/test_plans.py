@@ -139,10 +139,12 @@ def test_broadcast_merge_no_target_shuffle(spark, tmp_table_dir):
 
 
 def test_broadcast_merge_single_target_scan(spark, tmp_table_dir, monkeypatch):
-    """The broadcast COW merge must scan the touched target buckets
-    exactly ONCE: the left join is checkpointed, and the write plan
-    (matched ∪ inserts) reads the checkpoint blocks — no parquet
-    FileScan of the target can appear in it (round-2 verdict #3)."""
+    """The broadcast COW merge (the at-scale arm — big touched sets)
+    must scan the touched target buckets exactly ONCE: the left join is
+    checkpointed, and the write plan (matched ∪ inserts) reads the
+    checkpoint blocks — no parquet FileScan of the target can appear in
+    it (round-2 verdict #3). Forced via the round-7 A/B switch: small
+    tables otherwise take the single-pass arm (own gate below)."""
     from pyspark.sql import functions as F
 
     import qwery_spark.lake.merge as M
@@ -151,6 +153,7 @@ def test_broadcast_merge_single_target_scan(spark, tmp_table_dir, monkeypatch):
     from qwery_spark.lake.table import LakeTable
     from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
 
+    monkeypatch.setenv("QWERY_MERGE_SINGLE_PASS", "0")
     tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=8)
     first = make_events(2000, seed=3)
     apply_changes(spark, tbl, spark.createDataFrame(first.to_pandas(), schema=EVENT_SCHEMA),
@@ -184,6 +187,48 @@ def test_broadcast_merge_single_target_scan(spark, tmp_table_dir, monkeypatch):
     # would allow (textual proxy; the persist+count in merge_changes is
     # the mechanism)
     assert write_plan.count("InMemoryRelation") >= write_plan.count("FileScan")
+
+
+def test_single_pass_merge_one_shuffle_no_join(spark, tmp_table_dir, monkeypatch):
+    """The small-touched-set COW merge (round 7) runs as ONE union+LWW
+    aggregation: the write plan must contain NO join of any kind (the
+    old shape broadcast-joined then anti-joined), exactly one
+    hash-partitioned exchange (the (bucket, sub, key) shuffle), and one
+    parquet FileScan of the target (target read exactly once)."""
+    import qwery_spark.lake.merge as M
+    from qwery_spark.cdc.apply import apply_changes
+    from qwery_spark.datagen import make_events
+    from qwery_spark.lake.table import LakeTable
+    from qwery_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+    tbl = LakeTable.create(tmp_table_dir + "/t", TARGET_SCHEMA, n_buckets=8)
+    first = make_events(2000, seed=3)
+    apply_changes(spark, tbl, spark.createDataFrame(first.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=0)
+
+    plans = []
+    orig = M._stage_write
+
+    def spy(df, *a, **k):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(df, *a, **k)
+
+    monkeypatch.setattr(M, "_stage_write", spy)
+    more = make_events(500, seed=5, start_ordinal=2000)
+    apply_changes(spark, tbl, spark.createDataFrame(more.to_pandas(), schema=EVENT_SCHEMA),
+                  epoch_id=1)
+    assert plans, "merge never reached the write"
+    write_plan = plans[-1]
+    # everything after the first InMemoryTableScan is the cached batch
+    # relation's STORED lineage (kept for recompute-on-executor-loss,
+    # never executed while the cache lives) — assert on the executed
+    # section only
+    executed = write_plan.split("InMemoryTableScan")[0]
+    assert "Join" not in executed, "single-pass merge must not join"
+    assert "Union" in executed
+    assert executed.count("Exchange hashpartitioning") == 1
+    # target parquet read exactly once (the batch side reads the cache)
+    assert executed.count("FileScan parquet") == 1
     # and the second epoch really merged (not skipped / appended)
     assert tbl.snapshot().m["summary"]["operation"] == "merge"
 
@@ -240,8 +285,16 @@ def test_cap_sampler_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "sample_cap_per_group")
 
 
-def test_chunking_query_no_shuffle(spark):
-    assert "Exchange" not in _plan(spark, "tok_chunking")
+def test_chunking_query_no_shuffle_of_chunks(spark):
+    """Chunk generation is map-only; the ONE exchange allowed is the
+    round-7 pre-derivation spread of the RAW events rows (load_spread —
+    the expensive slice+md5 synthesis must not run inside the input
+    file's few scan tasks). Nothing downstream of the Generate may
+    shuffle: in the top-down plan dump the spread exchange appears
+    BELOW the chunk Generate, and it is the only exchange."""
+    p = _plan(spark, "tok_chunking")
+    assert p.count("Exchange") == 1 and "REPARTITION_BY_NUM" in p
+    assert p.index("Generate") < p.index("Exchange")
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
