@@ -126,6 +126,77 @@ def merge_fold(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(tail, F.element_at(arr, 1), step)
 
 
+def _train_bpe_exact(
+    pairs_wf: list, num_merges: int, min_freq: int
+) -> tuple[list, list, list]:
+    """Classic exact heap-based BPE over an in-memory (word, freq)
+    list: incremental pair-count maintenance (only words containing the
+    merged pair are touched) + a lazy-deletion heap ordered by
+    (-cnt, 'a b') — the SAME (count DESC, pair ASC) tie-break as the
+    distributed loop's orderBy, so the merge lists are byte-identical
+    (pytest-pinned). Per-word application is leftmost-greedy
+    non-overlapping, matching merge_fold. Returns (merges, symbol
+    lists, freqs)."""
+    import heapq
+    from collections import defaultdict
+
+    words = [list(w) for w, _ in pairs_wf]
+    freqs = [int(f) for _, f in pairs_wf]
+    pair_cnt: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            pair_cnt[p] += f
+            pair_words[p].add(i)
+    heap = [(-c, f"{p[0]} {p[1]}", p) for p, c in pair_cnt.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            negc, _k, p = heapq.heappop(heap)
+            if pair_cnt.get(p, 0) == -negc and -negc > 0:
+                best, bc = p, -negc
+                break
+        if best is None or bc < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for i in sorted(pair_words.get(best, ())):
+            syms, f = words[i], freqs[i]
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                pair_cnt[p] -= f
+                pair_words[p].discard(i)
+                if pair_cnt[p] > 0:
+                    heapq.heappush(
+                        heap, (-pair_cnt[p], f"{p[0]} {p[1]}", p)
+                    )
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                pair_cnt[p] += f
+                pair_words[p].add(i)
+                if pair_cnt[p] > 0:
+                    heapq.heappush(
+                        heap, (-pair_cnt[p], f"{p[0]} {p[1]}", p)
+                    )
+        pair_cnt.pop(best, None)
+        pair_words.pop(best, None)
+    return merges, words, freqs
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str,
@@ -133,6 +204,7 @@ def train_bpe(
     min_freq: int = 2,
     checkpoint_every: int = 8,
     return_vocab: bool = False,
+    driver_max_words: int = 2_000_000,
 ):
     """Learn ``num_merges`` BPE merges. Returns the ordered merge list
     [(left, right), ...]; with ``return_vocab=True`` returns
@@ -140,10 +212,34 @@ def train_bpe(
     with ALL merges applied — the corpus-word encoder (see
     encode_words). Stops early when no pair reaches ``min_freq``.
 
-    Driver traffic per iteration: ONE row (the top pair) — a scalar
-    collect, not a data collect."""
+    Two arms behind one contract (corpus shuffled once either way):
+
+    * vocab <= ``driver_max_words`` rows: pull (word, freq) to the
+      driver — a natural-language vocabulary is 10^5-10^6 rows
+      (~100 MB at the 2M bound) no matter how many TB the corpus is —
+      and run classic exact heap BPE there (_train_bpe_exact). A real
+      30k-merge tokenizer takes seconds instead of 30k sequential
+      Spark jobs; the merge list is byte-identical to the distributed
+      loop's (shared tie-break, pytest-pinned).
+    * bigger vocabularies keep the distributed loop: M vocab-sized
+      aggs, ONE scalar row to the driver per merge."""
     vocab = word_freqs(df, text_col).persist()
-    vocab.count()
+    n_words = vocab.count()
+    if n_words <= driver_max_words:
+        wf = [(r["word"], r["freq"]) for r in
+              vocab.select("word", "freq").collect()]
+        merges, syms_lists, _ = _train_bpe_exact(wf, num_merges, min_freq)
+        if not return_vocab:
+            vocab.unpersist()
+            return merges
+        spark = df.sparkSession
+        enc_vocab = spark.createDataFrame(
+            [(w, int(f), " ".join(s))
+             for (w, f), s in zip(wf, syms_lists)],
+            "word string, freq long, syms string",
+        )
+        vocab.unpersist()
+        return merges, enc_vocab
     prev = vocab
     merges: list[tuple[str, str]] = []
     for it in range(num_merges):

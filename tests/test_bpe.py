@@ -143,3 +143,35 @@ def test_word_freqs_one_row_per_word(spark):
     ref = _ref_word_freqs(CORPUS)
     assert {w: f for w, (f, _) in rows.items()} == dict(ref)
     assert rows["the"][1] == "t h e"
+
+
+def test_driver_exact_arm_matches_distributed_loop(spark):
+    """The round-7 driver-side exact heap BPE (vocab under
+    driver_max_words) must produce a merge list BYTE-IDENTICAL to the
+    distributed per-iteration loop — shared (count DESC, pair ASC)
+    tie-break and leftmost-greedy application. Encoder vocab parity
+    rides along (same words, same final syms)."""
+    df = _corpus_df(spark)
+    m_driver, v_driver = train_bpe(df, "text", 12, return_vocab=True)
+    m_dist, v_dist = train_bpe(
+        df, "text", 12, return_vocab=True, driver_max_words=0
+    )
+    assert m_driver == m_dist
+    got = {r["word"]: (r["freq"], r["syms"]) for r in v_driver.collect()}
+    want = {r["word"]: (r["freq"], r["syms"]) for r in v_dist.collect()}
+    assert got == want
+
+
+def test_driver_exact_arm_reaches_real_vocab_sizes(spark):
+    """1,000 merges on the driver arm complete in interactive time
+    (the distributed loop would be 1,000 sequential Spark jobs) and
+    stay internally consistent: every learned pair was adjacent
+    somewhere, ranks are unique."""
+    import time
+
+    df = _corpus_df(spark)
+    t0 = time.monotonic()
+    merges = train_bpe(df, "text", 1000, min_freq=1)
+    assert time.monotonic() - t0 < 60
+    assert len(merges) == len(set(merges))
+    assert all(a and b for a, b in merges)
