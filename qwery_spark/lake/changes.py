@@ -178,12 +178,19 @@ def _added_key_range(
         added = _added_files(table, before_version, after_version)
     if not added:
         return None  # rewrite inside the range, or no data change
-    if any(f.get("key_min") is None or f.get("key_max") is None for f in added):
+    # files PROVEN to hold only null keys (manifest key_all_null, from
+    # parquet null counts) contribute no joinable keys — null keys emit
+    # no change rows on either diff side — so they neither extend nor
+    # void the hull
+    keyed = [f for f in added if not f.get("key_all_null")]
+    if not keyed:
+        return None  # nothing but null keys: no prunable bound
+    if any(f.get("key_min") is None or f.get("key_max") is None for f in keyed):
         return None  # a file without key stats voids the bound
     try:
         return (
-            min(f["key_min"] for f in added),
-            max(f["key_max"] for f in added),
+            min(f["key_min"] for f in keyed),
+            max(f["key_max"] for f in keyed),
         )
     except TypeError:
         # key stats of incomparable Python types (key column type

@@ -164,6 +164,11 @@ def _stage_write(
             fstats = _footer_stats(os.path.join(table.path, entry["path"]), want)
             if stats_col is not None and stats_col in fstats:
                 entry["key_min"], entry["key_max"] = fstats[stats_col]
+            elif stats_col is not None and fstats.get(f"__all_null__{stats_col}"):
+                # the file carries ONLY null keys (possible when the
+                # sub-bucket split isolates them): null keys emit no
+                # change rows, so pruning may skip this file entirely
+                entry["key_all_null"] = True
             if "__num_rows" in fstats:
                 entry["rows"] = fstats["__num_rows"]
             cstats = {
@@ -211,13 +216,30 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
             lo = hi = None
             ok = True
             for rg in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
+                meta_rg = pf.metadata.row_group(rg)
+                st = meta_rg.column(idx).statistics
+                if st is None:
+                    ok = False
+                    break
+                if not st.has_min_max:
+                    # min/max absent: a PROVABLY all-null row group
+                    # (null count == row count) simply contributes no
+                    # values — skip it; anything else is genuinely
+                    # stat-less and voids the column
+                    if st.has_null_count and st.null_count == meta_rg.num_rows:
+                        continue
                     ok = False
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            if not ok or lo is None:
+            if not ok:
+                continue
+            if lo is None:
+                # every row group all-null: the file holds NO values of
+                # this column — recorded so key pruning can skip the
+                # file instead of conservatively voiding the whole hull
+                # (null keys never join and emit no change rows)
+                out[f"__all_null__{col}"] = True
                 continue
             # manifest is JSON: only store plainly serializable types
             if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):

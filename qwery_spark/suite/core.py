@@ -78,9 +78,16 @@ def q03_segment_revenue(spark, sf_dir):
     )
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # lineitem must be the STREAM side: its column-pruned size estimate
+    # (3 of 16 columns) sneaks under the broadcast threshold, and the
+    # planner otherwise broadcasts the 6M-row fact table — a driver-built
+    # multi-100MB hash relation — while streaming the ~300k-row filtered
+    # orders⋈customer side. Broadcasting the small dimension result
+    # keeps the one exchange at the final aggregation (guide §3.1:
+    # estimates are often badly wrong after filters; hint explicitly).
+    dims = F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(dims, li.l_orderkey == o.o_orderkey)
         .groupBy(o.o_orderkey.alias("orderkey"))
         .agg(F.round(F.sum(rev), 4).alias("revenue"))
         .filter(F.col("revenue") > 1000)
