@@ -105,7 +105,11 @@ def _engine_replay(spark, sf_dir, write_mode: str):
             batch = events.filter(
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
             )
-            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            # scan_ddl=False: _derived_events carries no DDL events, so
+            # the per-epoch DDL-collect job is a guaranteed-empty scan
+            # of the whole derivation (guide §1.2) — one less job/epoch
+            apply_changes(spark, tbl, batch, epoch_id=b,
+                          collect_stats=False, scan_ddl=False)
         (
             tbl.read(spark)
             .select(
@@ -182,7 +186,8 @@ def cdc_engine_time_travel(spark, sf_dir):
             batch = events.filter(
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
             )
-            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            apply_changes(spark, tbl, batch, epoch_id=b,
+                          collect_stats=False, scan_ddl=False)
             if b == 1:
                 pinned = tbl.current_version()
         (
@@ -289,7 +294,8 @@ def cdc_change_feed(spark, sf_dir):
             batch = events.filter(
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
             )
-            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            apply_changes(spark, tbl, batch, epoch_id=b,
+                          collect_stats=False, scan_ddl=False)
             if b == 1:
                 from_v = tbl.current_version()
         assert from_v == 2, f"unexpected commit numbering: {from_v}"
@@ -546,16 +552,27 @@ def cdc_wap_publish(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="qwery_engine_wap_tbl_")
     try:
         tbl = LakeTable.create(d + "/t", TARGET_SCHEMA, n_buckets=16, write_mode="mor")
+        # audit input: delete-count parity per window (the mass-delete-
+        # guard shape). All 4 window parities come from ONE aggregation
+        # scan instead of a per-branch count job — 4 scans of the
+        # md5-free derivation replaced by 1 (guide §1.2); the per-window
+        # decision is unchanged. A real deployment would run arbitrary
+        # SELECTs on the branch view.
+        win = F.floor((F.col("ordinal") - F.lit(lo)) / F.lit(step)).cast("int")
+        parities = {
+            r["win"]: r["p"]
+            for r in events.groupBy(win.alias("win"))
+            .agg((F.sum(F.when(F.col("op") == "D", 1).otherwise(0)) % 2).alias("p"))
+            .collect()
+        }
         for b in range(_N_BATCHES):
             batch = events.filter(
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
             )
             br = tbl.create_branch(f"w{b}")
-            apply_changes(spark, br, batch, epoch_id=b, collect_stats=False)
-            # audit: one scalar to the driver (delete-count parity — the
-            # mass-delete-guard shape); a real deployment would run
-            # arbitrary SELECTs on the branch view
-            parity = batch.filter(F.col("op") == "D").count() % 2
+            apply_changes(spark, br, batch, epoch_id=b,
+                          collect_stats=False, scan_ddl=False)
+            parity = int(parities.get(b, 0)) % 2
             if parity == 1:
                 tbl.drop_branch(f"w{b}")  # reject: reclaim staged files
             else:
@@ -623,7 +640,8 @@ def cdc_rollback_state(spark, sf_dir):
             batch = events.filter(
                 (F.col("ordinal") >= lo + b * step) & (F.col("ordinal") < lo + (b + 1) * step)
             )
-            apply_changes(spark, tbl, batch, epoch_id=b, collect_stats=False)
+            apply_changes(spark, tbl, batch, epoch_id=b,
+                          collect_stats=False, scan_ddl=False)
             if b == 1:
                 target = tbl.current_version()
         tbl.rollback(target)
@@ -688,7 +706,7 @@ def cdc_quarantine_audit(spark, sf_dir):
             )
             apply_changes(
                 spark, tbl, batch, epoch_id=b, collect_stats=False,
-                quarantine_dir=qdir,
+                quarantine_dir=qdir, scan_ddl=False,
             )
         (
             read_quarantine(spark, qdir)
