@@ -254,7 +254,9 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
-def _subsplit_factor(spark: SparkSession, n_buckets: int) -> int:
+def _subsplit_factor(
+    spark: SparkSession, n_buckets: int, batch: DataFrame | None = None
+) -> int:
     """How many key-derived sub-buckets to split each bucket into for
     the ONE append/dedup shuffle. A table with fewer buckets than the
     cluster has parallelism would otherwise run its only shuffle (and
@@ -266,9 +268,36 @@ def _subsplit_factor(spark: SparkSession, n_buckets: int) -> int:
     the factor is 1 whenever buckets already cover the parallelism
     (a 4096-bucket production table never splits; a local 8-bucket
     view splits 4-way on 32 cores). Derived from defaultParallelism,
-    never a constant, so the same code right-sizes on any cluster."""
+    never a constant, so the same code right-sizes on any cluster.
+
+    SIZE GATE: splitting a SMALL batch is pure overhead — S× the write
+    tasks and S× the delta files per bucket for data one task absorbs
+    (measured: the unconditional split cost the sf0.1 lifecycle
+    queries 30-60% while winning at 10x scale — a constant tuned to
+    one scale, exactly what the optimization guide warns about). When
+    ``batch`` is given, its Catalyst size estimate gates the factor:
+    one extra write slot per ~256KB of estimated bytes per bucket.
+    The estimate undercounts real array/string payloads ~10-50x, but
+    it scales linearly with rows, which is the signal that matters;
+    256KB-estimated ≈ several real MB per slot. The stats() call costs
+    a driver-side optimize of the batch plan, so it is skipped
+    entirely when the cap is already 1 (production-bucket-count tables,
+    the bench headline's 64-bucket table)."""
+    mode = os.environ.get("QWERY_SUBSPLIT")  # A/B instrument
+    if mode == "0":
+        return 1
     par = spark.sparkContext.defaultParallelism
-    return max(1, min(16, -(-par // max(n_buckets, 1))))
+    cap = max(1, min(16, -(-par // max(n_buckets, 1))))
+    if cap == 1 or batch is None or mode == "max":
+        return cap
+    try:
+        est = int(
+            batch._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return cap
+    need = -(-est // (max(n_buckets, 1) * (256 << 10)))
+    return max(1, min(cap, need))
 
 
 def append_changes(
@@ -311,7 +340,7 @@ def append_changes(
     # the groupBy below still reuses this one exchange — grouping by
     # (_bucket, _sub, key) equals grouping by (_bucket, key) because
     # both extra columns are functions of the key.
-    sub_n = _subsplit_factor(spark, snap.n_buckets)
+    sub_n = _subsplit_factor(spark, snap.n_buckets, src)
     src = src.withColumn(
         "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
     )
@@ -655,8 +684,9 @@ def _merge_single_pass(
         F.col("_bucket"),
         F.lit(0).alias("_is_src"),
     )
-    sub_n = _subsplit_factor(spark, len(touched))
-    allr = t_rows.unionByName(s_rows).withColumn(
+    allr0 = t_rows.unionByName(s_rows)
+    sub_n = _subsplit_factor(spark, len(touched), allr0)
+    allr = allr0.withColumn(
         "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
     )
     pre = allr.repartition(len(touched) * sub_n, "_bucket", "_sub")
@@ -792,7 +822,7 @@ def merge_changes(
         # of the most expensive subplan in the query (measured round 7,
         # guide §1.2: don't compute things you throw away).
         ins_delete = F.col("op") == "D"
-        sub_n = _subsplit_factor(spark, snap.n_buckets)
+        sub_n = _subsplit_factor(spark, snap.n_buckets, src)
         rows = src.select(
             F.col(key),
             *[

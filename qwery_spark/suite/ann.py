@@ -725,8 +725,11 @@ def ann_index_incremental_topk(spark, sf_dir):
     base = _annidx_base(spark, sf_dir)
     fixed = base.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").collect()
     centroids = [list(r["emb"]) for r in fixed]
-    qvec = list(
-        base.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["emb"]
+    # _QUERY_VEC_ID < _IVF_K: the query vector is already in the
+    # collected centroid rows — a second filter+collect would scan the
+    # derivation again for a row we hold (guide §1.2)
+    qvec = next(
+        list(r["emb"]) for r in fixed if r["vec_id"] == _QUERY_VEC_ID
     )
 
     tag = hashlib.md5(f"{sf_dir}|annidx".encode()).hexdigest()[:10]
