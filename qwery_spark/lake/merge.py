@@ -258,46 +258,53 @@ def _subsplit_factor(
     spark: SparkSession, n_buckets: int, batch: DataFrame | None = None
 ) -> int:
     """How many key-derived sub-buckets to split each bucket into for
-    the ONE append/dedup shuffle. A table with fewer buckets than the
-    cluster has parallelism would otherwise run its only shuffle (and
-    the write) at n_buckets tasks, idling the rest of the cluster
-    (guide §2.5: synthetic partitioning keys with too few distinct
-    values). The split key is a SECOND independent hash of the table
-    key — pmod(xxhash64(seed, key), S) — so rows of one (bucket, key)
-    still land in one task (the LWW groupBy needs that clustering) and
-    the factor is 1 whenever buckets already cover the parallelism
-    (a 4096-bucket production table never splits; a local 8-bucket
-    view splits 4-way on 32 cores). Derived from defaultParallelism,
-    never a constant, so the same code right-sizes on any cluster.
+    the ONE append/dedup shuffle. The split key is a SECOND independent
+    hash of the table key — pmod(xxhash64(seed, key), S) — so rows of
+    one (bucket, key) still land in one task (the LWW groupBy needs
+    that clustering).
 
-    SIZE GATE: splitting a SMALL batch is pure overhead — S× the write
-    tasks and S× the delta files per bucket for data one task absorbs
-    (measured: the unconditional split cost the sf0.1 lifecycle
-    queries 30-60% while winning at 10x scale — a constant tuned to
-    one scale, exactly what the optimization guide warns about). When
-    ``batch`` is given, its Catalyst size estimate gates the factor:
-    one extra write slot per ~256KB of estimated bytes per bucket.
-    The estimate undercounts real array/string payloads ~10-50x, but
-    it scales linearly with rows, which is the signal that matters;
-    256KB-estimated ≈ several real MB per slot. The stats() call costs
-    a driver-side optimize of the batch plan, so it is skipped
-    entirely when the cap is already 1 (production-bucket-count tables,
-    the bench headline's 64-bucket table)."""
+    DEFAULT 1 — the split is a measured net loss. The widened arm
+    (S = parallelism/buckets, capped 16) wins the isolated append's
+    shuffle STAGE when a table has fewer buckets than the cluster has
+    cores, but per-QUERY interleaved A/B at sf0.1 AND 10x scale
+    (round 7, second pass) showed it loses query-wide at BOTH scales:
+    S write tasks per bucket emit S delta files per bucket per epoch,
+    and every later read of the table — MOR resolution, changelog
+    endpoint diffs, compaction, the final view read — pays the S-fold
+    file count back with interest (5-20% per lifecycle query). A
+    stage-isolated win that a whole-query instrument reverses is guide
+    §1.1's empirical-loop lesson. On a real cluster with hundreds of
+    executors against a small-bucket table the trade can flip again —
+    QWERY_SUBSPLIT=max restores the widened arm for that A/B
+    (=aqe additionally lets AQE size the exchange from actual shuffle
+    bytes; =0 pins 1 explicitly)."""
     mode = os.environ.get("QWERY_SUBSPLIT")  # A/B instrument
-    if mode == "0":
-        return 1
-    par = spark.sparkContext.defaultParallelism
-    cap = max(1, min(16, -(-par // max(n_buckets, 1))))
-    if cap == 1 or batch is None or mode == "max":
-        return cap
-    try:
-        est = int(
-            batch._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return cap
-    need = -(-est // (max(n_buckets, 1) * (256 << 10)))
-    return max(1, min(cap, need))
+    if mode in ("max", "aqe"):
+        par = spark.sparkContext.defaultParallelism
+        return max(1, min(16, -(-par // max(n_buckets, 1))))
+    return 1
+
+
+def _layout_shuffle(
+    spark: SparkSession,
+    n_buckets: int,
+    src: DataFrame,
+    key: str,
+    est_batch: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE dedup+layout shuffle shared by append/merge/write paths:
+    add the sub-bucket key and repartition on (_bucket, _sub). Default
+    width = n_buckets (see _subsplit_factor); QWERY_SUBSPLIT=max widens
+    to the parallelism cap, =aqe drops the explicit width so AQE's
+    partition coalescing sizes the exchange from the ACTUAL shuffle
+    bytes (advisoryPartitionSizeInBytes)."""
+    sub_n = _subsplit_factor(spark, n_buckets, est_batch)
+    src = src.withColumn(
+        "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
+    )
+    if sub_n > 1 and os.environ.get("QWERY_SUBSPLIT") == "aqe":
+        return src.repartition("_bucket", "_sub")
+    return src.repartition(n_buckets * sub_n, "_bucket", "_sub")
 
 
 def append_changes(
@@ -334,17 +341,13 @@ def append_changes(
     ufields = _user_fields(snap)
     payload = [f for f in ufields if f["name"] != key]
 
-    # sub-bucket split (see _subsplit_factor): the shuffle/write width
-    # becomes n_buckets * S instead of n_buckets. _sub is derived from
-    # the KEY (seeded second hash), so same-key rows stay colocated and
-    # the groupBy below still reuses this one exchange — grouping by
-    # (_bucket, _sub, key) equals grouping by (_bucket, key) because
-    # both extra columns are functions of the key.
-    sub_n = _subsplit_factor(spark, snap.n_buckets, src)
-    src = src.withColumn(
-        "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
-    )
-    pre = src.repartition(snap.n_buckets * sub_n, "_bucket", "_sub")
+    # sub-bucket split (see _subsplit_factor/_layout_shuffle): the
+    # shuffle/write width becomes n_buckets * S instead of n_buckets.
+    # _sub is derived from the KEY (seeded second hash), so same-key
+    # rows stay colocated and the groupBy below still reuses this one
+    # exchange — grouping by (_bucket, _sub, key) equals grouping by
+    # (_bucket, key) because both extra columns are functions of the key.
+    pre = _layout_shuffle(spark, snap.n_buckets, src, key, src)
     additive = snap.additive_cols
     if additive:
         # aggregating-payload table: batch rows are DELTAS — the
@@ -685,11 +688,7 @@ def _merge_single_pass(
         F.lit(0).alias("_is_src"),
     )
     allr0 = t_rows.unionByName(s_rows)
-    sub_n = _subsplit_factor(spark, len(touched), allr0)
-    allr = allr0.withColumn(
-        "_sub", F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n)).cast("int")
-    )
-    pre = allr.repartition(len(touched) * sub_n, "_bucket", "_sub")
+    pre = _layout_shuffle(spark, len(touched), allr0, key, allr0)
     # winner per key by (ordinal, target-wins-ties); carries its own
     # ordinal/_deleted; n_src tells stale/insert apart for the stats
     w = F.max_by(
@@ -822,8 +821,7 @@ def merge_changes(
         # of the most expensive subplan in the query (measured round 7,
         # guide §1.2: don't compute things you throw away).
         ins_delete = F.col("op") == "D"
-        sub_n = _subsplit_factor(spark, snap.n_buckets, src)
-        rows = src.select(
+        shaped = src.select(
             F.col(key),
             *[
                 F.when(ins_delete, F.lit(None).cast(f["type"]))
@@ -835,10 +833,10 @@ def merge_changes(
             F.col("ordinal").alias("last_ordinal"),
             ins_delete.alias("_deleted"),
             F.col("_bucket"),
-            F.pmod(F.xxhash64(F.lit(1), F.col(key)), F.lit(sub_n))
-            .cast("int")
-            .alias("_sub"),
-        ).repartition(snap.n_buckets * sub_n, "_bucket", "_sub").drop("_sub")
+        )
+        rows = _layout_shuffle(
+            spark, snap.n_buckets, shaped, key, shaped
+        ).drop("_sub")
         obs = None
         if collect_stats:
             from pyspark.sql import Observation
