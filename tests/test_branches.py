@@ -365,10 +365,15 @@ def test_changelog_spans_published_windows(spark, tmp_table_dir):
 
 def test_policy_expire_older_than(spark, tmp_table_dir):
     from qwery_spark.lake.maintenance import CompactionPolicy, maybe_compact
+    from qwery_spark.lake.merge import append_changes
 
     t = _mk(tmp_table_dir)
+    # MOR delta appends so buckets genuinely accumulate >1 file and the
+    # max_files_per_bucket=1 policy is due (a COW merge rewrites each
+    # touched bucket to ONE file since the sub-bucket split revert, so
+    # it can never make this policy fire)
     for e in range(6):
-        merge_changes(spark, t, _batch(spark, [(f"k{e}", "U", e + 1, e)]), epoch_id=e)
+        append_changes(spark, t, _batch(spark, [(f"k{e}", "U", e + 1, e)]), epoch_id=e)
     pol = CompactionPolicy(
         max_files_per_bucket=1, expire_keep=1, expire_older_than_sec=86400
     )
