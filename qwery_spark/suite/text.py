@@ -1732,8 +1732,13 @@ _SPAN_WINDOWS_SQL = f"""
 """
 
 
-def _span_docs(spark, sf_dir) -> DataFrame:
-    ev = load_spread(spark, sf_dir, "events", "event_id")
+def _span_docs(spark, sf_dir, spread: bool = True) -> DataFrame:
+    # spread=False for consumers whose post-fingerprint work is small
+    # relative to the repartition (tok_span_scrub: interleaved A/B at
+    # sf0.1 AND 10x measured the unspread plan ~30% faster, while
+    # tok_dup_spans needs the spread 4-5x — round 7 second pass)
+    ev = (load_spread(spark, sf_dir, "events", "event_id") if spread
+          else load(spark, sf_dir, "events"))
     boiler = F.when(
         F.col("event_id") % 3 == 0,
         F.array(*[F.lit(v) for v in range(101, 113)]),
@@ -1804,7 +1809,9 @@ def tok_dup_spans(spark, sf_dir):
 def tok_span_scrub(spark, sf_dir):
     from qwery_spark.operators.spandedup import scrub_dup_spans
 
-    s = scrub_dup_spans(_span_docs(spark, sf_dir), "ordinal", "tokens", _SPAN_L)
+    s = scrub_dup_spans(
+        _span_docs(spark, sf_dir, spread=False), "ordinal", "tokens", _SPAN_L
+    )
     return s.select(
         "ordinal",
         F.size("tokens").cast("long").alias("n_tok"),
